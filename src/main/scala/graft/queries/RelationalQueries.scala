@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators from SURVEY.md §2 (scans, filters, joins,
+  * aggregations, set ops) expressed over the star-schema testdata, each
+  * with a DuckDB oracle. The NILM reference performs these via pandas
+  * dict/index operations (e.g. metadata probes `UKDALELoader.py:56-58`,
+  * exclusion predicates `UnifiedNILM.py:457-475`); here they are
+  * declarative so Catalyst pushes filters/prunes columns/broadcasts dims.
+  *
+  * Oracle-parity conventions (driver compares column-sorted hashes):
+  *   - every float aggregate is round()ed identically on both sides;
+  *   - DuckDB sum(INTEGER/BIGINT) returns HUGEINT → always CAST to BIGINT;
+  *   - every query ends in a total deterministic ORDER BY on both sides.
+  */
+object RelationalQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2/J3-style dim joins: fact × two broadcastable dims (the reference's
+    // channel→metadata and device→power-type dict probes, UKDALELoader.py:84-94).
+    "q03_dim_join" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(sum($"c_acctbal"), 2).as("total_acctbal"))
+        .orderBy($"r_name")
+    }),
+
+    // A2/A18-style grouped sums (TPC-H Q1 shape): the reference's
+    // compute-aggregate-from-appliances is the same groupBy+sum semantics
+    // (UnifiedNILM.py:438-490).
+    "q04_group_agg" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // P7 exclusion predicates as anti-join (UnifiedNILM.py:457-475):
+    // customers that never placed an order.
+    "q09_anti_join" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // Semi-join (membership) — parts that ship at least once.
+    "q10_semi_join" -> ((s, d) => {
+      import s.implicits._
+      part(s, d)
+        .join(lineitem(s, d), $"p_partkey" === $"l_partkey", "left_semi")
+        .select($"p_partkey", $"p_brand")
+        .orderBy($"p_partkey")
+    }),
+
+    // T2 relational division (channel_utils.py:42-46: house kept only if it
+    // has ALL required labels): customers with orders in every one of the
+    // order-priority classes present in the data.
+    "q11_division" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d)
+      val nPrio = o.select($"o_orderpriority").distinct().count()
+      o.groupBy($"o_custkey")
+        .agg(countDistinct($"o_orderpriority").as("n_prio"))
+        .filter($"n_prio" === nPrio)
+        .select($"o_custkey")
+        .orderBy($"o_custkey")
+    }),
+
+    // T1/T4 union + distinct (label-vocabulary accumulation,
+    // UKDALELoader.py:110-111): nations that have a customer or a supplier.
+    "q12_union_distinct" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d).select($"c_nationkey".as("nationkey"))
+        .union(supplier(s, d).select($"s_nationkey".as("nationkey")))
+        .distinct()
+        .join(nation(s, d), $"nationkey" === $"n_nationkey")
+        .select($"nationkey", $"n_name")
+        .orderBy($"nationkey")
+    }),
+
+    // A12 variance/stddev scoring (channel_utils.py:63-69) per group.
+    "q13_variance" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(variance($"l_quantity"), 6).as("var_qty"),
+          round(stddev($"l_extendedprice"), 4).as("std_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // A14 Pearson correlation (insights_oladatasets.ipynb cell 3).
+    "q14_corr" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Rollup over the region→nation hierarchy (the reference re-runs
+    // groupBys per level; we expose native rollup, SURVEY §2.4 note).
+    "q15_rollup" -> ((s, d) => {
+      import s.implicits._
+      customer(s, d)
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(round(sum($"c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // A13 exact quantile (train_bert_single.py:48-53 uses 0.99-quantile
+    // normalization): 0.99 quantile of order totals per status.
+    "q16_quantile" -> ((s, d) => {
+      import s.implicits._
+      orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(percentile($"o_totalprice", lit(0.99)), 4).as("p99_total"),
+          round(percentile($"o_totalprice", lit(0.5)), 4).as("median_total"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Multi-way join with selective filter: revenue by nation for one
+    // region (join-reorder + broadcast showcase; TPC-H Q5 shape).
+    "q17_join_chain" -> ((s, d) => {
+      import s.implicits._
+      lineitem(s, d)
+        .join(orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "AFRICA")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"n_name")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q03_dim_join" ->
+      """SELECT r_name,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "q04_group_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q10_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY p_partkey""",
+
+    "q11_division" ->
+      """SELECT o_custkey FROM orders
+         GROUP BY o_custkey
+         HAVING count(DISTINCT o_orderpriority) =
+                (SELECT count(DISTINCT o_orderpriority) FROM orders)
+         ORDER BY o_custkey""",
+
+    "q12_union_distinct" ->
+      """SELECT nationkey, n_name FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION
+           SELECT s_nationkey AS nationkey FROM supplier
+         ) u JOIN nation ON nationkey = n_nationkey
+         ORDER BY nationkey""",
+
+    "q13_variance" ->
+      """SELECT l_returnflag,
+         round(var_samp(l_quantity), 6) AS var_qty,
+         round(stddev_samp(l_extendedprice), 4) AS std_price,
+         CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q14_corr" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q15_rollup" ->
+      """SELECT r_name, n_name,
+         round(sum(c_acctbal), 2) AS total_bal,
+         CAST(count(*) AS BIGINT) AS n
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q16_quantile" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.99), 4) AS p99_total,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS median_total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q17_join_chain" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'AFRICA'
+         GROUP BY n_name ORDER BY n_name"""
+  )
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables._
+import graft.operators.{Resample, Sessionize, Postprocess}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series operators from SURVEY.md §2 over the `events` table
+  * (ts TIMESTAMP, user_id, event_type, value). `user_id` plays the role of
+  * the reference's (house, channel) key; `value` the power reading.
+  *
+  * Each query delegates to the reusable operator in graft.operators so the
+  * NILM API surface and the oracle-checked queries share one implementation.
+  */
+object TimeSeriesQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 resample-mean: pandas `data.resample("1H").mean()`
+    // (UnifiedNILM.py:66-124) → epoch-aligned left-closed buckets.
+    "q01_resample_avg" -> ((s, d) => {
+      import s.implicits._
+      Resample.bucketAgg(events(s, d), "ts", "1 hour",
+          Seq("user_id"), round(avg($"value"), 6).as("avg_value"))
+        .orderBy($"user_id", $"bucket_start")
+    }),
+
+    // P3 inclusive time-range slice: pandas `.loc[start:end]` is inclusive
+    // on BOTH ends (UnifiedNILM.py:397,410).
+    "q02_time_slice" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .filter($"ts".between(
+          lit("2024-01-03 00:00:00").cast("timestamp"),
+          lit("2024-01-04 00:00:00").cast("timestamp")))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    }),
+
+    // P11/W2 duplicate dedup keep-first (OlaLoader.py:117): first event per
+    // (user, type) by time, event_id as the deterministic ingest-order tie.
+    "q05_dedup_keepfirst" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", $"value")
+        .orderBy($"user_id", $"event_type")
+    }),
+
+    // W1+A9 sample-rate inference: median positive inter-sample delta
+    // (UKDALELoader.py:77-82, REFITLoader.py:83-89).
+    "q06_rate_infer" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      events(s, d)
+        .withColumn("delta_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+        .filter($"delta_us" > 0)
+        .groupBy($"user_id")
+        .agg(round(percentile($"delta_us", lit(0.5)) / 1e6, 4).as("median_delta_s"),
+             round(avg($"delta_us") / 1e6, 4).as("mean_delta_s"),
+             count(lit(1)).as("n_deltas"))
+        .orderBy($"user_id")
+    }),
+
+    // W3/O5 top-1 per group by score (channel_utils.py:57-72 picks the
+    // highest-variance channel per label).
+    "q07_top1_per_group" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"value".desc, $"event_id")
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type", $"value")
+        .orderBy($"user_id")
+    }),
+
+    // A4 pivot to wide layout (preprocess_shelly.py:64) — fixed vocabulary
+    // so the plan needs no extra pass to discover columns.
+    "q08_pivot_counts" -> ((s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val aggs = types.map(t =>
+        sum(when($"event_type" === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+        round(sum($"value"), 2).as("total_value")
+      events(s, d).groupBy($"user_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy($"user_id")
+    }),
+
+    // A5-A8 daily insights: events per day, distinct active users, span
+    // (insights_oladatasets.ipynb cells 1-2).
+    "q18_daily_insights" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("active_users"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"day")
+    }),
+
+    // W6 sessionization / run-length (postprocessing.py:5-24): gap > 30 min
+    // starts a new session; per user count sessions and longest run.
+    "q19_sessionize" -> ((s, d) => {
+      import s.implicits._
+      Sessionize.sessions(events(s, d), $"user_id", $"ts", gapSeconds = 1800L)
+        .groupBy($"user_id")
+        .agg(
+          countDistinct($"session_id").as("n_sessions"),
+          max($"session_len").as("max_session_len"))
+        .orderBy($"user_id")
+    }),
+
+    // W7 sliding median smoothing (postprocessing.py:27-30): ±2-row median
+    // of value per user ordered by time.
+    "q20_sliding_median" -> ((s, d) => {
+      import s.implicits._
+      Postprocess.slidingMedian(events(s, d), $"user_id", Seq($"ts", $"event_id"), $"value", k = 2)
+        .select($"user_id", $"event_id", round($"median_value", 4).as("median_value"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // W8+W6 threshold → binary → run filtering (postprocessing.py:32-42):
+    // per user, longest consecutive run of events with value >= 100.
+    "q21_run_length" -> ((s, d) => {
+      import s.implicits._
+      Postprocess.runs(events(s, d), $"user_id", Seq($"ts", $"event_id"),
+          ($"value" >= 100).cast("int"))
+        .filter($"state" === 1)
+        .groupBy($"user_id")
+        .agg(max($"run_len").as("max_on_run"), count(lit(1)).as("n_on_runs"))
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_resample_avg" ->
+      """SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         round(avg(value), 6) AS avg_value
+         FROM events GROUP BY user_id, bucket_start
+         ORDER BY user_id, bucket_start""",
+
+    "q02_time_slice" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00'
+                      AND TIMESTAMP '2024-01-04 00:00:00'
+         ORDER BY event_id""",
+
+    "q05_dedup_keepfirst" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q06_rate_infer" ->
+      """SELECT user_id,
+         round(quantile_cont(delta_us, 0.5) / 1e6, 4) AS median_delta_s,
+         round(avg(delta_us) / 1e6, 4) AS mean_delta_s,
+         CAST(count(*) AS BIGINT) AS n_deltas
+         FROM (
+           SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+           FROM events) t
+         WHERE delta_us > 0
+         GROUP BY user_id ORDER BY user_id""",
+
+    "q07_top1_per_group" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "q08_pivot_counts" ->
+      """SELECT user_id,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+         round(sum(value), 2) AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q18_daily_insights" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+         round(sum(value), 2) AS total_value
+         FROM events GROUP BY day ORDER BY day""",
+
+    "q19_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                   > 1800 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessions AS (
+           SELECT user_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         ), sized AS (
+           SELECT user_id, session_id, count(*) AS session_len
+           FROM sessions GROUP BY user_id, session_id
+         )
+         SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(session_len) AS BIGINT) AS max_session_len
+         FROM sized GROUP BY user_id ORDER BY user_id""",
+
+    "q20_sliding_median" ->
+      """SELECT user_id, event_id,
+         round(quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS median_value
+         FROM events ORDER BY user_id, event_id""",
+
+    "q21_run_length" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CAST(value >= 100 AS INT) AS state,
+             CASE WHEN CAST(value >= 100 AS INT) IS DISTINCT FROM
+                       lag(CAST(value >= 100 AS INT)) OVER w
+                  THEN 1 ELSE 0 END AS edge
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), runs AS (
+           SELECT user_id, state,
+             sum(edge) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           FROM flagged
+         ), sized AS (
+           SELECT user_id, state, run_id, count(*) AS run_len
+           FROM runs GROUP BY user_id, state, run_id
+         )
+         SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS max_on_run,
+           CAST(count(*) AS BIGINT) AS n_on_runs
+         FROM sized WHERE state = 1
+         GROUP BY user_id ORDER BY user_id"""
+  )
+}
