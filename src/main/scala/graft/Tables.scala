@@ -29,7 +29,11 @@ object Tables {
     * truncate to µs (integer DIV: double division would lose precision at
     * 1e18). DuckDB's reader truncates ns→µs the same way, so the oracle
     * compares exactly. Conf is set here (not only in the session builder)
-    * because the driver may call queries with its own session. */
+    * because the driver may call queries with its own session. NOTE: the
+    * conf is session-wide and deliberately NOT restored — Spark captures
+    * SQLConf lazily at action time, so restoring it right after building
+    * the plan would break this read; any later ns-timestamp parquet read
+    * in the same session will also see raw longs (handle like below). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")

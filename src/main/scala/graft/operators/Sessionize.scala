@@ -28,10 +28,12 @@ object Sessionize {
       sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
-  /** Row-level output with per-session length attached (`session_len`). */
-  def sessions(df: DataFrame, key: Column, ts: Column,
-               gapSeconds: Long): DataFrame = {
-    val assigned = assignSessions(df, key, ts, Seq(col("event_id")), gapSeconds)
+  /** Row-level output with per-session length attached (`session_len`).
+    * `tieBreak` orders equal timestamps deterministically (e.g. an
+    * ingest-order id column); pass Nil when timestamps are unique. */
+  def sessions(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
+               tieBreak: Seq[Column] = Seq(col("event_id"))): DataFrame = {
+    val assigned = assignSessions(df, key, ts, tieBreak, gapSeconds)
     val wSess = Window.partitionBy(key, col("session_id"))
     assigned.withColumn("session_len", count(lit(1)).over(wSess))
   }

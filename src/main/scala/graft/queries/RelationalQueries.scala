@@ -74,11 +74,14 @@ object RelationalQueries {
     // order-priority classes present in the data.
     "q11_division" -> ((s, d) => {
       import s.implicits._
+      // The divisor (total #priorities) stays in-plan as a broadcast
+      // 1-row aggregate — construction is side-effect free and Catalyst
+      // sees a single query (no eager driver-side count).
       val o = orders(s, d)
-      val nPrio = o.select($"o_orderpriority").distinct().count()
+      val total = o.agg(countDistinct($"o_orderpriority").as("total_prio"))
       o.groupBy($"o_custkey")
         .agg(countDistinct($"o_orderpriority").as("n_prio"))
-        .filter($"n_prio" === nPrio)
+        .join(broadcast(total), $"n_prio" === $"total_prio")
         .select($"o_custkey")
         .orderBy($"o_custkey")
     }),
