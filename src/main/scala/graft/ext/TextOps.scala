@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / embedding primitives for the LLM-data-pipeline surface
+  * (builder brief: dedup, similarity search, text analysis at 100 TB).
+  *
+  * Every hash here is derived from `md5` (identical bytes-in/hex-out in
+  * Spark and DuckDB) plus pure integer arithmetic, so the DuckDB oracle
+  * in [[graft.queries.DocumentQueries]] can replicate each computation
+  * bit-for-bit. All ops are per-row `Column` expressions (codegen'd, no
+  * UDFs) — the scale path is: narrow per-doc map work, then *banded*
+  * grouping / bucket joins, never an all-pairs cross join.
+  */
+object TextOps {
+
+  val ShingleK = 3
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  /** 2^31 - 1 (Mersenne prime): a*x+b stays < 2^59, no int64 overflow. */
+  val MinhashPrime = 2147483647L
+  val FingerprintPrime = 1000000007L
+  val SimhashBits = 60 // 15 md5 hex chars → positive int64
+  val LshPlanes = 4
+
+  /** Deterministic MinHash coefficients. java.util.Random's LCG is part
+    * of its spec, so these are stable across JVMs; DocumentQueries embeds
+    * the same values into the oracle SQL. */
+  val (hashA, hashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val r = new scala.util.Random(42)
+    val a = IndexedSeq.fill(NumHashes)(1L + r.nextInt(Int.MaxValue - 1).toLong)
+    val b = IndexedSeq.fill(NumHashes)(r.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** Whitespace tokenization (the baseline token counter). */
+  def words(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct k-word shingles: ["a","b","c","d"] → ["a b c","b c d"].
+    * Guarded so < k words yields an empty set (Spark's sequence(1,0)
+    * would otherwise count *down*). */
+  def shingles(w: Column, k: Int = ShingleK): Column = {
+    val grams = transform(sequence(lit(1), size(w) - (k - 1)), i =>
+      concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
+    array_distinct(
+      when(size(w) >= k, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** String → 28-bit positive int64 via the first 7 md5 hex chars —
+    * DuckDB parity: CAST('0x' || substr(md5(x),1,7) AS BIGINT). */
+  def hash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** String → 60-bit positive int64 (15 md5 hex chars), for SimHash. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** MinHash value j over an array of 28-bit shingle ids:
+    * min((a_j * x + b_j) mod P). Null on an empty shingle set. */
+  def minhash(j: Int, ids: Column): Column =
+    array_min(transform(ids, x =>
+      (x * lit(hashA(j)) + lit(hashB(j))) % lit(MinhashPrime)))
+
+  /** The full signature as NumHashes columns m0..m{n-1}. */
+  def signatureCols(ids: Column): Seq[Column] =
+    (0 until NumHashes).map(j => minhash(j, ids).as(s"m$j"))
+
+  /** LSH banding of signature columns m0..m15: an array of
+    * (band_idx, band_key) structs, one per band; the band key is the
+    * '-'-joined signature slice. Grouping on (bi, bk) finds candidate
+    * pairs without any all-pairs join. */
+  def bandStructs: Column = {
+    val bs = (0 until Bands).map { bi =>
+      struct(
+        lit(bi).as("bi"),
+        concat_ws("-",
+          (0 until RowsPerBand).map(r => col(s"m${bi * RowsPerBand + r}")): _*).as("bk"))
+    }
+    array(bs: _*)
+  }
+
+  /** 60-bit SimHash over (non-distinct) token hashes: bit b is set when
+    * the sum of ±1 votes (token bit b) is positive. */
+  def simhash(tokenHashes: Column): Column =
+    aggregate(sequence(lit(0), lit(SimhashBits - 1)), lit(0L), (acc, b) => {
+      val vote = aggregate(tokenHashes, lit(0L), (a2, h) =>
+        a2 + (call_function("shiftright", h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      acc + when(vote > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+
+  /** Order-sensitive rolling document fingerprint:
+    * h := (h*31 + codepoint) mod P over the characters, h0 = 0.
+    * DuckDB parity: list_reduce's implicit seed (the first element)
+    * equals our first step (0*31 + c1) mod P = c1. */
+  def rollingFingerprint(text: Column): Column = {
+    val chars = transform(sequence(lit(1), length(text)), i =>
+      ascii(call_function("substr", text, i, lit(1))).cast("long"))
+    when(length(text) >= 1,
+      aggregate(chars, lit(0L), (h, c) => (h * 31 + c) % lit(FingerprintPrime)))
+      .otherwise(lit(0L))
+  }
+
+  /** Sequential-order dot product of two equal-length double arrays.
+    * Left-to-right accumulation from 0.0 — IEEE-identical to DuckDB's
+    * list_reduce((x,y) -> x+y) over the elementwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), size(a)), lit(0.0), (acc, i) =>
+      acc + element_at(a, i) * element_at(b, i))
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cos(a,b) given precomputed norms — same expression shape as the
+    * oracle: dot / (na * nb). */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Sign bit of the dot product against a deterministic md5-derived
+    * Rademacher (±1) hyperplane `j` — random-hyperplane LSH for cosine.
+    * Component i of plane j is ((md5("plane_j_i") first hex digit) & 1)
+    * * 2 - 1, recomputed identically by the oracle. */
+  def lshBit(j: Int, emb: Column): Column = {
+    val proj = aggregate(sequence(lit(1), size(emb)), lit(0.0), (acc, i) => {
+      val r = (conv(substring(md5(concat(lit(s"plane_${j}_"), i)), 1, 1), 16, 10)
+        .cast("int").bitwiseAND(lit(1)) * 2 - 1)
+      acc + element_at(emb, i) * r
+    })
+    when(proj > 0, lit("1")).otherwise(lit("0"))
+  }
+
+  /** Concatenated sign bits of all LSH planes → bucket key string. */
+  def lshBucket(emb: Column): Column =
+    concat((0 until LshPlanes).map(j => lshBit(j, emb)): _*)
+}

