@@ -93,10 +93,14 @@ object TextOps {
   /** Order-sensitive rolling document fingerprint:
     * h := (h*31 + codepoint) mod P over the characters, h0 = 0.
     * DuckDB parity: list_reduce's implicit seed (the first element)
-    * equals our first step (0*31 + c1) mod P = c1. */
+    * equals our first step (0*31 + c1) mod P = c1.
+    * Characters come from `split(text, "")` (with the regex-split empty
+    * artifacts filtered out) rather than per-index `substr`, which is
+    * O(i) per call on UTF8String and made the walk quadratic. */
   def rollingFingerprint(text: Column): Column = {
-    val chars = transform(sequence(lit(1), length(text)), i =>
-      ascii(call_function("substr", text, i, lit(1))).cast("long"))
+    val chars = transform(
+      filter(split(text, ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
     when(length(text) >= 1,
       aggregate(chars, lit(0L), (h, c) => (h * 31 + c) % lit(FingerprintPrime)))
       .otherwise(lit(0L))

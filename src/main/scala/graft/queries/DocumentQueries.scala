@@ -45,6 +45,10 @@ object DocumentQueries {
 
     // Banded MinHash near-dup: shingle → 16-hash signature → 4 bands of 4
     // → candidates share a band key → verify exact Jaccard >= 0.5.
+    // The signature frame is persisted: it feeds three plan branches
+    // (banding + both sides of the candidate verification join), and at
+    // scale the signature table is exactly what a production pipeline
+    // would checkpoint before the bucket join.
     "q24_minhash_neardup" -> ((s, d) => {
       import s.implicits._
       val sh = documents(s, d)
@@ -52,6 +56,7 @@ object DocumentQueries {
       val sig = sh
         .withColumn("ids", transform($"sh", hash28 _))
         .select(Seq($"doc_id", $"sh") ++ signatureCols($"ids"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig
         .select($"doc_id", explode(bandStructs).as("band"))
         .select($"doc_id", $"band.bi".as("bi"), $"band.bk".as("bk"))
@@ -77,12 +82,24 @@ object DocumentQueries {
     }),
 
     // 60-bit SimHash fingerprint per document (frequency-weighted token
-    // votes). Pure per-row map work — embarrassingly parallel.
+    // votes). Formulated as explode → 60 codegen'd conditional sums →
+    // per-doc bit reassembly: higher-order functions are interpreted in
+    // Spark, so the naive per-row nested aggregate is ~40× slower; this
+    // shape also gets map-side partial aggregation at scale. `split` on
+    // \s+ always yields ≥1 token, so no doc_id is lost to the explode.
     "q25_simhash" -> ((s, d) => {
       import s.implicits._
-      documents(s, d)
+      val tok = documents(s, d)
+        .select($"doc_id", explode(words($"text")).as("w"))
+        .select($"doc_id", hash60($"w").as("h"))
+      val voteCols = (0 until SimhashBits).map(b =>
+        sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+      tok.groupBy($"doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
         .select($"doc_id",
-          simhash(transform(words($"text"), hash60 _)).as("simhash"))
+          (0 until SimhashBits)
+            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .orderBy($"doc_id")
     }),
 
@@ -91,8 +108,11 @@ object DocumentQueries {
     // threshold keeps only true near-dups.
     "q26_jaccard_pairs" -> ((s, d) => {
       import s.implicits._
+      // Persisted: the shingle frame feeds the inverted index (both join
+      // sides) and the per-doc size lookup — 3 recomputations otherwise.
       val sh = documents(s, d)
         .select($"doc_id", shingles(words($"text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select($"doc_id", explode($"sh").as("shingle"))
       val common = ex.as("a")
         .join(ex.as("b"),
