@@ -17,9 +17,11 @@ object SparkEntry {
     queries("q01_resample_avg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ TimeSeriesQueries.defs ++ DocumentQueries.defs
+    RelationalQueries.defs ++ TimeSeriesQueries.defs ++ DocumentQueries.defs ++
+      NilmQueries.defs
 
   def oracleSql: Map[String, String] =
-    (RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++ DocumentQueries.oracles)
+    (RelationalQueries.oracles ++ TimeSeriesQueries.oracles ++
+      DocumentQueries.oracles ++ NilmQueries.oracles)
       .map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1,0 +1,215 @@
+package graft.nilm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical NILM data model: a narrow `readings` fact table plus a
+  * small `channels` dimension — the Spark-native form of the reference's
+  * `BaseNILMDataset` / `TimeSeriesNILMDataset`
+  * (`UnifiedNILM/UnifiedNILM.py:126-154, 383-491`).
+  *
+  * readings: dataset STRING, house_id BIGINT, channel_id STRING,
+  *           ts TIMESTAMP, power DOUBLE
+  * channels: dataset, house_id, channel_id, raw_label, universal_label,
+  *           unit, data_type, sample_rate_s, manufacturer, model,
+  *           acquisition_device
+  *
+  * Scale design: `readings` is the 100 TB table — partitioned by
+  * (dataset, house_id) on disk, shuffled only on explicit groupBys;
+  * `channels` is dimension-sized and always broadcast. Label/type/device
+  * predicates are applied to the dimension first and reach the fact scan
+  * as a broadcast semi-join (Catalyst pushes the dataset/house equality
+  * predicates into the parquet scan directly).
+  */
+final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
+
+  /** Cross-dataset merge (T4) — schemas are canonical, so `unionByName`
+    * is exact (reference: `channel_utils.py:29-41`). */
+  def union(other: NilmDataset): NilmDataset =
+    NilmDataset(readings.unionByName(other.readings),
+      channels.unionByName(other.channels))
+
+  /** Readings of the channels selected by `dimPred`, optionally sliced
+    * to [start, end] *inclusive* (pandas `.loc` semantics,
+    * `UnifiedNILM.py:397`). The dimension side is broadcast. */
+  def readingsWhere(dimPred: Column,
+                    start: Option[String] = None,
+                    end: Option[String] = None): DataFrame = {
+    val dims = channels.filter(dimPred)
+      .select("dataset", "house_id", "channel_id")
+    val joined = readings.join(broadcast(dims),
+      Seq("dataset", "house_id", "channel_id"))
+    slice(joined, start, end)
+  }
+
+  private def slice(df: DataFrame, start: Option[String], end: Option[String]) = {
+    val s = start.map(x => col("ts") >= lit(x).cast("timestamp"))
+    val e = end.map(x => col("ts") <= lit(x).cast("timestamp"))
+    (s ++ e).foldLeft(df)(_ filter _)
+  }
+
+  /** `get_appliance_power` (`UnifiedNILM.py:385-401`): all channels with
+    * the universal label, case-insensitive, inclusively sliced. */
+  def getAppliancePower(universalLabel: String,
+                        start: Option[String] = None,
+                        end: Option[String] = None): DataFrame =
+    readingsWhere(lower(col("universal_label")) === universalLabel.toLowerCase,
+      start, end)
+
+  /** `get_aggregate` (`UnifiedNILM.py:403-411`): the directly-metered
+    * aggregate channel (raw_label == "aggregate", case-insensitive). */
+  def getAggregate(start: Option[String] = None,
+                   end: Option[String] = None): DataFrame =
+    readingsWhere(lower(col("raw_label")) === "aggregate", start, end)
+
+  /** `get_channels_by_power_type` (`UnifiedNILM.py:414-434`): dimension
+    * rows matching data_type and (optionally) acquisition device. */
+  def getChannelsByPowerType(powerType: String,
+                             acquisitionDevice: Option[String] = None): DataFrame = {
+    val base = channels.filter(lower(col("data_type")) === powerType.toLowerCase)
+    acquisitionDevice.fold(base)(d =>
+      base.filter(lower(col("acquisition_device")) === d.toLowerCase))
+  }
+
+  /** `compute_aggregate_from_appliances` (`UnifiedNILM.py:438-491`):
+    * sum all non-aggregate channels of `powerType` minus the exclusion
+    * sets, aligned on timestamp. The reference full-outer-concats the
+    * series and `fillna(0)`s before a row-wise sum (J1 + A2); on the
+    * narrow layout that is exactly `groupBy(ts).sum(power)` — absent
+    * channels contribute 0 by absence, no N-way join needed. One
+    * map-side-combinable shuffle on (dataset, house_id, ts).
+    *
+    * (The reference's `power_{ch_id}` stale-rename bug at
+    * `UnifiedNILM.py:485` — every column named after the *last* loop
+    * variable — is deliberately not replicated; see SURVEY §7.4.)
+    */
+  def computeAggregateFromAppliances(
+      powerType: String = "active",
+      excludeLabels: Seq[String] = Nil,
+      excludeChannels: Seq[String] = Nil,
+      excludeAcquisitionDevices: Seq[String] = Nil,
+      start: Option[String] = None,
+      end: Option[String] = None): DataFrame = {
+    val exL = excludeLabels.map(_.toLowerCase)
+    val exD = excludeAcquisitionDevices.map(_.toLowerCase)
+    var pred = lower(col("raw_label")) =!= "aggregate" &&
+      lower(col("data_type")) === powerType.toLowerCase
+    if (exL.nonEmpty) pred = pred && !lower(col("universal_label")).isin(exL: _*)
+    if (excludeChannels.nonEmpty) pred = pred && !col("channel_id").isin(excludeChannels: _*)
+    if (exD.nonEmpty) pred = pred && !lower(col("acquisition_device")).isin(exD: _*)
+    readingsWhere(pred, start, end)
+      .groupBy(col("dataset"), col("house_id"), col("ts"))
+      .agg(sum(col("power")).as("aggregate_computed"))
+  }
+
+  /** `get_channels_by_label` (`UnifiedNILM.py:187-195`). */
+  def channelsByLabel(label: String): DataFrame =
+    channels.filter(lower(col("universal_label")) === label.toLowerCase)
+
+  /** `get_common_channels` (`channel_utils.py:7-81`): houses that have
+    * ALL `requiredLabels` (relational division, T2), then the best
+    * channel per (house, label) by (variance, length) descending (W3 +
+    * A12). Returns one row per (dataset, house_id, universal_label) with
+    * the winning channel_id, its sample variance and row count. */
+  def commonChannels(requiredLabels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val req = requiredLabels.map(_.toLowerCase)
+    val cand = channels
+      .filter(lower(col("universal_label")).isin(req: _*))
+    // per-channel score over the fact table
+    val scored = readings.join(
+        broadcast(cand.select("dataset", "house_id", "channel_id",
+          "universal_label")),
+        Seq("dataset", "house_id", "channel_id"))
+      .groupBy("dataset", "house_id", "channel_id", "universal_label")
+      .agg(variance(col("power")).as("variance"),
+        count(lit(1)).as("n"))
+    // division: houses holding every required label
+    val eligible = scored
+      .groupBy("dataset", "house_id")
+      .agg(countDistinct(lower(col("universal_label"))).as("n_labels"))
+      .filter(col("n_labels") === req.size)
+      .select("dataset", "house_id")
+    val w = Window.partitionBy("dataset", "house_id", "universal_label")
+      .orderBy(col("variance").desc, col("n").desc, col("channel_id"))
+    scored.join(eligible, Seq("dataset", "house_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+}
+
+object NilmDataset {
+
+  /** Adapter: the driver's `events` table viewed as a NILM dataset —
+    * house = user_id, channel = (event_type, props.k parity), power =
+    * value. Channel metadata is derived deterministically so every
+    * label-mapping tier, power type, and acquisition device is
+    * represented (the DuckDB oracles re-derive the same dimension).
+    *
+    * raw-label pool: view → "aggregate" (the metered mains channel),
+    * click → "Fridge_Freezer" (tier-1 exact after normalization),
+    * purchase → "washing machine" (tier-1), signup → "big vivarium tank"
+    * (tier-3 universal-name substring), error → "mystery gadget 9000"
+    * (fallback "other").
+    */
+  def fromEvents(spark: SparkSession, sfDir: String): NilmDataset = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("channel_id",
+        concat(col("event_type"), lit("_"), (col("k") % 2).cast("string")))
+    // second-truncated ts so distinct channels actually share timestamps
+    // (the raw event ts is µs-unique, which would make J1 alignment
+    // degenerate); duplicate (channel, ts) seconds are kept — the sum
+    // semantics of compute_aggregate handle them, and pandas concat on
+    // duplicate indexes is a reference behavior we deliberately don't
+    // mirror (it cross-joins).
+    val readings = ev.select(
+      lit("events").as("dataset"),
+      col("user_id").as("house_id"),
+      col("channel_id"),
+      date_trunc("second", col("ts")).as("ts"),
+      col("value").as("power"))
+    val rawLabel =
+      when(col("event_type") === "view", "aggregate")
+        .when(col("event_type") === "click", "Fridge_Freezer")
+        .when(col("event_type") === "purchase", "washing machine")
+        .when(col("event_type") === "signup", "big vivarium tank")
+        .otherwise("mystery gadget 9000")
+    val dims = ev
+      .select(col("user_id").as("house_id"), col("event_type"),
+        col("channel_id"), (col("k") % 2).as("parity"))
+      .distinct()
+      .withColumn("raw_label", rawLabel)
+      .select(
+        lit("events").as("dataset"),
+        col("house_id"),
+        col("channel_id"),
+        col("raw_label"),
+        Labels.universalLabel(col("raw_label")).as("universal_label"),
+        when(col("parity") === 0, "watts").otherwise("VA").as("unit"),
+        when(col("parity") === 0, "active").otherwise("apparent").as("data_type"),
+        lit(8L).as("sample_rate_s"),
+        lit("Unknown").as("manufacturer"),
+        lit("Unknown").as("model"),
+        when(col("event_type").isin("view", "click"), "Shelly")
+          .otherwise("EMONESP").as("acquisition_device"))
+    NilmDataset(readings, dims)
+  }
+
+  /** SQL fragments the DuckDB oracles share with [[fromEvents]]. */
+  object EventsOracle {
+    val kExpr = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    val channelExpr = s"event_type || '_' || CAST($kExpr % 2 AS VARCHAR)"
+    val rawLabelExpr =
+      """CASE event_type WHEN 'view' THEN 'aggregate'
+         WHEN 'click' THEN 'Fridge_Freezer'
+         WHEN 'purchase' THEN 'washing machine'
+         WHEN 'signup' THEN 'big vivarium tank'
+         ELSE 'mystery gadget 9000' END"""
+    val deviceExpr =
+      "CASE WHEN event_type IN ('view','click') THEN 'Shelly' ELSE 'EMONESP' END"
+    val dataTypeExpr =
+      s"CASE WHEN $kExpr % 2 = 0 THEN 'active' ELSE 'apparent' END"
+  }
+}

@@ -91,7 +91,7 @@ object RelationalQueries {
     "q12_union_distinct" -> ((s, d) => {
       import s.implicits._
       customer(s, d).select($"c_nationkey".as("nationkey"))
-        .union(supplier(s, d).select($"s_nationkey".as("nationkey")))
+        .unionByName(supplier(s, d).select($"s_nationkey".as("nationkey")))
         .distinct()
         .join(nation(s, d), $"nationkey" === $"n_nationkey")
         .select($"nationkey", $"n_name")
