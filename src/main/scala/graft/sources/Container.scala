@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.nilm.NilmDataset
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S7/S8: the canonical container — the Parquet replacement for the
+  * reference's HDF5 persistence (`UnifiedNILM.py:314-381` writer,
+  * `205-312` reader).
+  *
+  * Layout:
+  *   `<root>/readings/` — partitioned by (dataset, house_id): partition
+  *     pruning makes per-house queries touch only their files, and the
+  *     100 TB table parallelizes by partition;
+  *   `<root>/channels/` — the dimension table (one small parquet).
+  *
+  * The reference's shared-vs-per-channel timestamp dedup
+  * (`UnifiedNILM.py:358-371`) is storage-level compaction that Parquet's
+  * columnar encoding subsumes; float32 power compaction
+  * (`UnifiedNILM.py:346,367`) is applied on write.
+  */
+object Container {
+
+  def write(ds: NilmDataset, root: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    ds.readings
+      .withColumn("power", col("power").cast("float")) // F13
+      .repartition(col("dataset"), col("house_id"))
+      .write.mode(mode)
+      .partitionBy("dataset", "house_id")
+      .parquet(s"$root/readings")
+    ds.channels.coalesce(1).write.mode(mode).parquet(s"$root/channels")
+  }
+
+  def read(spark: SparkSession, root: String): NilmDataset = {
+    val readings = spark.read.parquet(s"$root/readings")
+      .withColumn("power", col("power").cast("double"))
+      .select("dataset", "house_id", "channel_id", "ts", "power")
+    val channels = spark.read.parquet(s"$root/channels")
+    NilmDataset(readings, channels)
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Postprocess, Resample, Sessionize}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Resample guard, postprocessing (min-duration incl. trailing run,
+  * sliding median even/odd), sessionization, and a ScalaCheck
+  * run-length-reconstruction property. */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def series(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + 8L * i)), v)
+    }.toDF("key", "ts", "value")
+
+  test("downsampleMean refuses to upsample (UnifiedNILM.py:118-120)") {
+    val df = series(Seq(1, 2, 3, 4))
+    val e = intercept[IllegalArgumentException] {
+      Resample.downsampleMean(df, Seq("key"), "ts", $"value", seconds = 4,
+        inferredRateSeconds = Some(8.0))
+    }
+    assert(e.getMessage.contains("refusing to upsample"))
+  }
+
+  test("downsampleMean buckets epoch-aligned, left-closed, mean") {
+    val df = series(Seq(10, 20, 30, 40)) // ts at +0, +8, +16, +24 s
+    val out = Resample.downsampleMean(df, Seq("key"), "ts", $"value",
+        seconds = 16, inferredRateSeconds = Some(8.0))
+      .orderBy("bucket_start")
+      .select("value").as[Double].collect()
+    assert(out.toSeq == Seq(15.0, 35.0)) // [0,16) and [16,32)
+  }
+
+  test("minDurationFilter zeroes short ON runs incl. trailing run") {
+    // states: 1 1 1 | 0 0 | 1 1  with minLen 3 → trailing run of 2 zeroed
+    val df = series(Seq(20, 20, 20, 0, 0, 20, 20))
+    val out = Postprocess.minDurationFilter(df, $"key", Seq($"ts"),
+        Postprocess.threshold($"value", 10.0), minLen = 3)
+      .orderBy("ts")
+      .select("state", "state_filtered")
+      .as[(Int, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 1, 1, 0, 0, 1, 1))
+    assert(out.map(_._2) == Seq(1, 1, 1, 0, 0, 0, 0))
+  }
+
+  test("minDurationFilter keeps OFF runs regardless of length") {
+    val df = series(Seq(0, 20, 0, 20, 20, 20))
+    val out = Postprocess.minDurationFilter(df, $"key", Seq($"ts"),
+        Postprocess.threshold($"value", 10.0), minLen = 2)
+      .orderBy("ts").select("state_filtered").as[Int].collect().toSeq
+    assert(out == Seq(0, 0, 0, 1, 1, 1)) // lone ON zeroed, short OFFs kept
+  }
+
+  test("slidingMedian odd and even frame sizes (quantile_cont semantics)") {
+    val df = series(Seq(1, 9, 5, 7, 3))
+    val out = Postprocess.slidingMedian(df, $"key", Seq($"ts"), $"value", k = 1)
+      .orderBy("ts").select("median_value").as[Double].collect().toSeq
+    // frames: [1,9]→5.0 (even, interpolated), [1,9,5]→5, [9,5,7]→7,
+    // [5,7,3]→5, [7,3]→5.0
+    assert(out == Seq(5.0, 5.0, 7.0, 5.0, 5.0))
+  }
+
+  test("runs produces alternating run-length encoding") {
+    val df = series(Seq(20, 20, 0, 20, 0, 0, 0))
+    val out = Postprocess.runs(df, $"key", Seq($"ts"),
+        Postprocess.threshold($"value", 10.0))
+      .orderBy("run_id").select("state", "run_len")
+      .as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 2L), (0, 1L), (1, 1L), (0, 3L)))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ts = Seq(0L, 10L, 20L, 100L, 110L, 500L)
+    val df = ts.zipWithIndex.map { case (t, i) =>
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + t)), i.toLong)
+    }.toDF("key", "ts", "event_id")
+    val out = Sessionize.sessions(df, $"key", $"ts", gapSeconds = 30)
+      .orderBy("ts").select("session_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L, 1L, 2L, 2L, 3L))
+  }
+
+  test("property: run-length encoding reconstructs the series") {
+    val gen = Gen.listOfN(24, Gen.oneOf(0, 1)).suchThat(_.nonEmpty)
+    val prop = Prop.forAll(gen) { states =>
+      val df = series(states.map(s => if (s == 1) 50.0 else 0.0))
+      val runs = Postprocess.runs(df, $"key", Seq($"ts"),
+          Postprocess.threshold($"value", 10.0))
+        .orderBy("run_id").select("state", "run_len")
+        .as[(Int, Long)].collect().toSeq
+      val reconstructed = runs.flatMap { case (st, len) =>
+        Seq.fill(len.toInt)(st)
+      }
+      val alternates = runs.map(_._1).sliding(2).forall {
+        case Seq(a, b) => a != b
+        case _ => true
+      }
+      reconstructed == states && alternates
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.sources.{Container, MqttSource, RefitSource, UkdaleSource}
+import org.apache.spark.sql.functions._
+
+/** S1/S2/S4/S5/S7/S8 golden E2E over the FIXTURES.md mini-fixtures. */
+class SourcesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("UK-DALE: distributed .dat scan → canonical readings + channels") {
+    val ds = UkdaleSource.load(spark, fixture("ukdale"))
+    val ch = ds.channels.orderBy("house_id", "channel_id").collect()
+
+    // button_press file skipped; 3 channels in house 1, 1 in house 2
+    assert(ch.map(r => (r.getAs[Long]("house_id"), r.getAs[String]("channel_id"))).toSeq ==
+      Seq((1L, "channel_1"), (1L, "channel_2"), (1L, "channel_3"), (2L, "channel_1")))
+
+    val byId = ch.map(r => (r.getAs[Long]("house_id"), r.getAs[String]("channel_id")) -> r).toMap
+    val h1c1 = byId((1L, "channel_1"))
+    assert(h1c1.getAs[String]("raw_label") == "aggregate")
+    assert(h1c1.getAs[String]("universal_label") == "aggregate")
+    assert(h1c1.getAs[String]("data_type") == "apparent") // EcoManagerWholeHouseTx
+    assert(h1c1.getAs[String]("unit") == "VA")
+    assert(h1c1.getAs[Long]("sample_rate_s") == 6L) // median of 6,6,7,5,6
+
+    val h1c2 = byId((1L, "channel_2"))
+    assert(h1c2.getAs[String]("universal_label") == "kettle")
+    assert(h1c2.getAs[String]("data_type") == "active")
+
+    // unknown acquisition device → unknown/unknown (UKDALELoader.py:92-94)
+    val h1c3 = byId((1L, "channel_3"))
+    assert(h1c3.getAs[String]("universal_label") == "washing_machine")
+    assert(h1c3.getAs[String]("data_type") == "unknown")
+    assert(h1c3.getAs[String]("unit") == "unknown")
+
+    // malformed row in channel_2.dat skipped per-row (P9)
+    val counts = ds.readings.groupBy("house_id", "channel_id").count()
+      .orderBy("house_id", "channel_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(counts == Seq((1L, "channel_1", 6L), (1L, "channel_2", 4L),
+      (1L, "channel_3", 3L), (2L, "channel_1", 3L)))
+
+    // deterministic content hash (golden) — decimal sum avoids ANSI
+    // long-overflow on the hash aggregation
+    def contentHash(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64($"dataset", $"house_id", $"channel_id",
+        unix_micros($"ts"), $"power").cast("decimal(38,0)")))
+        .as[java.math.BigDecimal].head()
+    assert(contentHash(ds.readings) ==
+      contentHash(UkdaleSource.load(spark, fixture("ukdale")).readings))
+  }
+
+  test("REFIT: wide csv unpivot, aggregate detection, metadata fallback") {
+    val ds = RefitSource.load(spark, fixture("refit"))
+    val ch = ds.channels.orderBy("channel_id").collect()
+    val byId = ch.map(r => r.getAs[String]("channel_id") -> r).toMap
+
+    // Aggregate column → raw "aggregate"; Appliance1 has metadata →
+    // Fridge; Appliance2 has none → falls back to the column name
+    assert(byId("channel_1").getAs[String]("raw_label") == "aggregate")
+    assert(byId("channel_2").getAs[String]("raw_label") == "Fridge")
+    assert(byId("channel_2").getAs[String]("universal_label") == "fridge")
+    assert(byId("channel_2").getAs[String]("manufacturer") == "LG")
+    assert(byId("channel_3").getAs[String]("raw_label") == "Appliance2")
+    assert(byId("channel_3").getAs[String]("universal_label") == "other")
+
+    // rate: dup timestamp creates a 0 delta which P10 drops → 8S
+    assert(ch.forall(_.getAs[Long]("sample_rate_s") == 8L))
+
+    // 5 csv rows × 3 channels
+    assert(ds.readings.count() == 15)
+    // Time/Issues never leak into the narrow layout
+    assert(ds.readings.columns.toSeq ==
+      Seq("dataset", "house_id", "channel_id", "ts", "power"))
+  }
+
+  test("MQTT: json-lines parse skips malformed, averages duplicates") {
+    val out = MqttSource.load(spark, fixture("mqtt") + "/mqtt.log.*")
+      .orderBy("device", "ts")
+      .select($"device", unix_timestamp($"ts"), $"apower")
+      .as[(String, Long, Double)].collect().toSeq
+    // bad json, non-dict payload, dst without /events, missing apower all
+    // dropped; duplicate (ts, device) averaged (55.5, 44.5 → 50.0)
+    assert(out == Seq(
+      ("shelly-kitchen", 1600000000L, 50.0),
+      ("shelly-kitchen", 1600000010L, 60.0),
+      ("shelly-lamp", 1600000010L, 5.0)))
+  }
+
+  test("MQTT: pivoted wide view fills missing with 0") {
+    val wide = MqttSource.pivoted(MqttSource.load(spark, fixture("mqtt") + "/mqtt.log.*"))
+      .orderBy("ts")
+    assert(wide.columns.toSeq == Seq("ts", "shelly-kitchen", "shelly-lamp"))
+    val rows = wide.select($"`shelly-kitchen`", $"`shelly-lamp`")
+      .as[(Double, Double)].collect().toSeq
+    assert(rows == Seq((50.0, 0.0), (60.0, 5.0)))
+  }
+
+  test("Container: partitioned parquet round-trip preserves content") {
+    val ds = UkdaleSource.load(spark, fixture("ukdale"))
+    val root = java.nio.file.Files.createTempDirectory("graft_container").toString
+    Container.write(ds, root)
+    val back = Container.read(spark, root)
+
+    assert(back.readings.count() == ds.readings.count())
+    assert(back.channels.count() == ds.channels.count())
+    // float32 write then double read: compare at float precision
+    val a = ds.readings
+      .select($"dataset", $"house_id".cast("long"), $"channel_id",
+        unix_micros($"ts"), $"power".cast("float"))
+      .as[(String, Long, String, Long, Float)].collect().toSet
+    val b = back.readings
+      .select($"dataset", $"house_id".cast("long"), $"channel_id",
+        unix_micros($"ts"), $"power".cast("float"))
+      .as[(String, Long, String, Long, Float)].collect().toSet
+    assert(a == b)
+    // partition layout on disk: dataset=ukdale/house_id=N
+    val dirs = new java.io.File(s"$root/readings/dataset=ukdale").list().sorted
+    assert(dirs.count(_.startsWith("house_id=")) == 2)
+  }
+}

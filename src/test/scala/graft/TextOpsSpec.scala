@@ -1,0 +1,73 @@
+package graft
+
+import graft.ext.{TextOps, TextStats}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline primitives: shingles, hashes, similarity, text stats. */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles: fewer than k words → empty set; duplicates deduped") {
+    val out = Seq("a b", "a b c d", "x y x y x y")
+      .toDF("t")
+      .select(TextOps.shingles(TextOps.words($"t")).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(out(0) == Seq.empty)
+    assert(out(1) == Seq("a b c", "b c d"))
+    assert(out(2) == Seq("x y x", "y x y")) // 4 raw grams, 2 distinct
+  }
+
+  test("hash28/hash60 produce bounded non-negative longs") {
+    val (h28, h60) = Seq("hello", "", "καλημέρα")
+      .toDF("t")
+      .select(TextOps.hash28($"t"), TextOps.hash60($"t"))
+      .as[(Long, Long)].collect().toSeq
+      .unzip
+    assert(h28.forall(h => h >= 0 && h < (1L << 28)))
+    assert(h60.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
+  test("minhash signatures agree only on equal shingle sets") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps",
+        "a completely different doc here")
+      .toDF("t")
+      .select(TextOps.shingles(TextOps.words($"t")).as("sh"))
+      .withColumn("ids", transform($"sh", TextOps.hash28 _))
+    val rows = df.select(TextOps.signatureCols($"ids"): _*).collect()
+    assert(rows(0).toSeq == rows(1).toSeq)
+    assert(rows(0).toSeq != rows(2).toSeq)
+  }
+
+  test("dot / l2norm / cosine basics") {
+    val out = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
+        (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
+      .toDF("a", "b")
+      .select(TextOps.dot($"a", $"b"), TextOps.l2norm($"a"),
+        TextOps.cosine($"a", $"b", TextOps.l2norm($"a"), TextOps.l2norm($"b")))
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(out(0) == ((9.0, 3.0, 1.0)))
+    assert(out(1)._1 == 0.0 && out(1)._3 == 0.0)
+  }
+
+  test("language ID picks the profile with most stopword hits") {
+    val out = Seq("the cat sat on the mat and it is happy",
+        "el gato es un animal y la casa es grande",
+        "zzz qqq www")
+      .toDF("t")
+      .select(TextStats.predictLang(TextOps.words($"t")))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "es", "unk"))
+  }
+
+  test("token counters: whitespace vs bpe-ish") {
+    val (ws, bp) = Seq("hello world, this is 42!")
+      .toDF("t")
+      .select(TextStats.whitespaceTokenCount($"t"),
+        TextStats.bpeishTokenCount($"t"))
+      .as[(Long, Long)].collect().head
+    assert(ws == 5L)
+    // bpe-ish: hello, world, ",", this, is, 42, "!"
+    assert(bp == 7L)
+  }
+}
