@@ -177,6 +177,17 @@ object Labels {
     coalesce(tier1, tier2, tier3, lit("other"))
   }
 
+  /** The scale path for label normalization: evaluate [[universalLabel]]
+    * only on the DISTINCT raw labels (vocabulary-sized) and broadcast-join
+    * the mapping back, instead of running the ~380-branch (interpreted)
+    * match expression per fact row. Adds `universal_label`. */
+  def attachUniversal(df: org.apache.spark.sql.DataFrame,
+                      rawCol: String): org.apache.spark.sql.DataFrame = {
+    val mapping = df.select(col(rawCol)).distinct()
+      .withColumn("universal_label", universalLabel(col(rawCol)))
+    df.join(broadcast(mapping), Seq(rawCol))
+  }
+
   /** F1 normalization as a DuckDB SQL expression over `rawExpr`. */
   def normalizeSql(rawExpr: String): String =
     s"regexp_replace(trim(regexp_replace(lower($rawExpr), '[_\\-,]', ' ', 'g')), '\\s+', ' ', 'g')"

@@ -116,7 +116,10 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
     val req = requiredLabels.map(_.toLowerCase)
     val cand = channels
       .filter(lower(col("universal_label")).isin(req: _*))
-    // per-channel score over the fact table
+    // per-channel score over the fact table — persisted: the score
+    // frame is dimension-sized (one row per channel) but feeds both the
+    // division branch and the final ranked join, which would otherwise
+    // each rescan the fact table
     val scored = readings.join(
         broadcast(cand.select("dataset", "house_id", "channel_id",
           "universal_label")),
@@ -124,6 +127,7 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
       .groupBy("dataset", "house_id", "channel_id", "universal_label")
       .agg(variance(col("power")).as("variance"),
         count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // division: houses holding every required label
     val eligible = scored
       .groupBy("dataset", "house_id")
@@ -170,23 +174,28 @@ object NilmDataset {
       col("channel_id"),
       date_trunc("second", col("ts")).as("ts"),
       col("value").as("power"))
-    val rawLabel =
-      when(col("event_type") === "view", "aggregate")
-        .when(col("event_type") === "click", "Fridge_Freezer")
-        .when(col("event_type") === "purchase", "washing machine")
-        .when(col("event_type") === "signup", "big vivarium tank")
-        .otherwise("mystery gadget 9000")
+    // the raw-label pool is a plan-time constant, so the universal
+    // labels resolve at plan time through the Scala mapper — the
+    // ~380-branch match expression never runs per dimension row (it
+    // cost ~1 ms/row interpreted, which dominated every facade query
+    // at sf0.1 before this)
+    def byType(f: String => String) =
+      when(col("event_type") === "view", f("aggregate"))
+        .when(col("event_type") === "click", f("Fridge_Freezer"))
+        .when(col("event_type") === "purchase", f("washing machine"))
+        .when(col("event_type") === "signup", f("big vivarium tank"))
+        .otherwise(f("mystery gadget 9000"))
     val dims = ev
       .select(col("user_id").as("house_id"), col("event_type"),
         col("channel_id"), (col("k") % 2).as("parity"))
       .distinct()
-      .withColumn("raw_label", rawLabel)
+      .withColumn("raw_label", byType(identity))
       .select(
         lit("events").as("dataset"),
         col("house_id"),
         col("channel_id"),
         col("raw_label"),
-        Labels.universalLabel(col("raw_label")).as("universal_label"),
+        byType(Labels.mapLabel).as("universal_label"),
         when(col("parity") === 0, "watts").otherwise("VA").as("unit"),
         when(col("parity") === 0, "active").otherwise("apparent").as("data_type"),
         lit(8L).as("sample_rate_s"),

@@ -1,0 +1,103 @@
+package graft.nilm
+
+import graft.operators.Windowing
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** E2/E3 training-set assembly — the Spark-native
+  * `prepare_nilm_tensors` (`channel_utils.py:144-248`) +
+  * `ConvertToTensor.py:8-92` lifecycle:
+  *
+  *   1. global appliance order: sorted distinct universal labels,
+  *      aggregate excluded (`channel_utils.py:155-162`);
+  *   2. per (dataset, house): the aggregate channel series and one
+  *      series per appliance label (absent label → zeros,
+  *      `channel_utils.py:210-212`);
+  *   3. align series across channels;
+  *   4. stride windows of `seqLen` every `step` rows (W4), partial
+  *      tails dropped;
+  *   5. X = aggregate window `array<float>`, Y = per-window
+  *      `array<array<float>>` in global label order (S10's tensor
+  *      shape `[N, L]` / `[N, L, Z]`, flattened to window rows).
+  *
+  * Deliberate divergences from the reference (SURVEY §7.4): alignment
+  * is BY TIMESTAMP (a pivot over the house's ts axis, missing → 0, J1
+  * semantics) rather than the reference's positional truncate-to-min
+  * (`channel_utils.py:213-220`), which silently pairs values from
+  * different times when series are offset — after resampling to a
+  * common rate the two coincide, and the ts form is the correct one
+  * at scale ([[graft.operators.Windowing.truncateToMin]] still provides
+  * the positional form as an operator). Duplicate (ts, label) readings
+  * sum (the reference's dict insert silently keeps the LAST channel of
+  * a duplicated label, `channel_utils.py:205-207`).
+  *
+  * Houses without an aggregate channel are skipped
+  * (`channel_utils.py:208-209`); houses shorter than `seqLen` yield no
+  * windows. One shuffle keyed (dataset, house_id, window_id) assembles
+  * X and Y together — the X–Y pairing (J5) is a plain equi-join on the
+  * window key, not a positional pairing.
+  *
+  * The label order is a collected scalar (A17 — tiny action feeding the
+  * plan, like the reference's global sort) and the per-house series are
+  * pivoted to label columns before windowing so Y assembly is one pass.
+  */
+object TensorPrep {
+
+  /** Sorted global appliance order, aggregate/empty excluded. */
+  def applianceOrder(ds: NilmDataset): Seq[String] =
+    ds.channels
+      .select(lower(col("universal_label")).as("l"))
+      .filter(col("l") =!= "aggregate" && col("l") =!= "")
+      .distinct().orderBy("l")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Window rows: dataset, house_id, window_id, x array<float>,
+    * y array<array<float>> (label order = [[applianceOrder]]). */
+  def windows(ds: NilmDataset, seqLen: Int, step: Int,
+              labels: Option[Seq[String]] = None): DataFrame = {
+    val order = labels.getOrElse(applianceOrder(ds))
+    // label every reading; aggregate channel keeps its own tag
+    val labeled = ds.readings.join(
+        broadcast(ds.channels.select(
+          col("dataset"), col("house_id"), col("channel_id"),
+          lower(col("universal_label")).as("l"),
+          lower(col("raw_label")).as("rl"))),
+        Seq("dataset", "house_id", "channel_id"))
+      .withColumn("series",
+        when(col("rl") === "aggregate", "aggregate").otherwise(col("l")))
+      .filter(col("series") === "aggregate" ||
+        col("series").isin(order: _*))
+    // houses must have an aggregate series
+    val withAgg = labeled.join(
+      labeled.filter(col("series") === "aggregate")
+        .select("dataset", "house_id").distinct(),
+      Seq("dataset", "house_id"))
+    // wide per-ts frame: aggregate + one column per label; a label with
+    // no channel in a house contributes zeros (na.fill after pivot)
+    val wide = withAgg
+      .groupBy("dataset", "house_id", "ts")
+      .pivot("series", "aggregate" +: order)
+      .agg(sum("power"))
+      .na.fill(0.0, "aggregate" +: order)
+    val em = Windowing.emit(wide,
+      Seq(col("dataset"), col("house_id")), Seq(col("ts")), seqLen, step)
+    val orderedRows =
+      array_sort(collect_list(struct(
+        col("idx"),
+        col("aggregate").cast("float").as("x"),
+        array(order.map(l => col(s"`$l`").cast("float")): _*).as("ys"))))
+    em.groupBy("dataset", "house_id", "window_id")
+      .agg(orderedRows.as("rows"))
+      .select(col("dataset"), col("house_id"), col("window_id"),
+        transform(col("rows"), r => r("x")).as("x"),
+        transform(col("rows"), r => r("ys")).as("y"))
+  }
+
+  /** S10: the tensor sink — parquet with array columns, partitioned by
+    * (dataset, house_id) like the container. */
+  def write(windowsDf: DataFrame, path: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    windowsDf
+      .repartition(col("dataset"), col("house_id"))
+      .write.mode(mode).partitionBy("dataset", "house_id").parquet(path)
+}

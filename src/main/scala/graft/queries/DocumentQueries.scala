@@ -225,20 +225,16 @@ object DocumentQueries {
     }),
 
     // Multimodal column plumbing: text treated as an opaque binary
-    // payload with typed metadata derived deterministically (the decode
-    // step itself is stubbed in graft.ext.Multimodal — no media libs in
-    // this container; the schema/partitioning path here is real).
+    // payload with typed metadata via graft.ext.Multimodal (whose decode
+    // stages are stubbed deterministically — no media libs in this
+    // container; the schema/partitioning path here is real).
     "q33_multimodal_meta" -> ((s, d) => {
       import s.implicits._
-      val media = encode($"text", "UTF-8")
-      val len = length(media).cast("long")
-      documents(s, d)
-        .select($"doc_id",
-          lit("text/plain").as("mime"),
-          len.as("media_len"),
-          (len % 64 + 1).as("width"),
-          (len * 7 % 64 + 1).as("height"),
-          substring(md5($"text"), 1, 16).as("content_id"))
+      val media = documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      graft.ext.Multimodal.withMediaMeta(media, $"media", "text/plain")
+        .select($"doc_id", $"mime", $"media_len", $"width", $"height",
+          $"content_id")
         .orderBy($"doc_id")
     })
   )

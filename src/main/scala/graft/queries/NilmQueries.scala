@@ -42,9 +42,12 @@ object NilmQueries {
       import s.implicits._
       val raw = element_at(typedlit(LabelPool),
         (col("p_partkey") % LabelPool.size + 1).cast("int"))
-      part(s, d)
-        .select($"p_partkey", raw.as("raw_label"))
-        .withColumn("universal_label", Labels.universalLabel($"raw_label"))
+      // attachUniversal = distinct labels → match expression on the
+      // (vocabulary-sized) distinct set → broadcast join back; the
+      // match never runs per fact row
+      Labels.attachUniversal(
+          part(s, d).select($"p_partkey", raw.as("raw_label")), "raw_label")
+        .select($"p_partkey", $"raw_label", $"universal_label")
         .orderBy($"p_partkey")
     }),
 

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.sources.MqttSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2.9): the reference is
+  * batch-only, so this is the designed extension — the batch parse and
+  * bucket-aggregate logic reused verbatim under `readStream`, with
+  * watermarks for late data and within-watermark dedup for duplicates.
+  *
+  * Design rule: the streaming readings schema is identical to the batch
+  * one, so every downstream operator (resample, threshold, sessionize)
+  * applies unchanged; only the source/sink edges differ.
+  */
+object StreamingOps {
+
+  /** S4 as a stream: MQTT JSON-lines files appearing under `path`
+    * (same per-line schema as [[MqttSource]]; a Kafka source would
+    * substitute `readStream.format("kafka")` with the same parse). */
+  def mqttStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .text(path)
+      .select(from_json(col("value"), MqttSource.schema).as("j"))
+      .select(
+        col("j.ts").as("ts_s"),
+        col("j.payload.dst").as("dst"),
+        col("j.payload.params.`switch:0`.apower").as("apower"))
+      .filter(col("ts_s").isNotNull && col("dst").isNotNull &&
+        col("dst").contains("/events") && col("apower").isNotNull)
+      .select(
+        regexp_replace(col("dst"), "/events", "").as("device"),
+        timestamp_seconds(col("ts_s")).as("ts"),
+        col("apower"))
+
+  /** A1/A5 online: event-time bucket mean with a watermark — the
+    * streaming form of resample-mean. Late rows beyond `lateness` are
+    * dropped at the state boundary instead of growing state forever. */
+  def bucketMean(readings: DataFrame, bucket: String,
+                 lateness: String): DataFrame =
+    readings
+      .withWatermark("ts", lateness)
+      .groupBy(col("device"), window(col("ts"), bucket).as("w"))
+      .agg(avg(col("apower")).as("apower"))
+      .select(col("device"), col("w.start").as("bucket_start"),
+        col("apower"))
+
+  /** P11 online: keep-first per (device, ts) with bounded state —
+    * `dropDuplicatesWithinWatermark` is the streaming form of the batch
+    * keep-first dedup. */
+  def dedupKeepFirst(readings: DataFrame, lateness: String): DataFrame =
+    readings
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("device", "ts")
+}

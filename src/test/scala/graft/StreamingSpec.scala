@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** §2.9 — streaming parse/aggregate/dedup against the MQTT fixture via
+  * a file stream + memory sink. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def stageFixtureDir(): String = {
+    val dir = Files.createTempDirectory("graft_stream")
+    val src = Paths.get(new java.net.URI(fixture("mqtt") + "/mqtt.log.20240101"))
+    Files.copy(src, dir.resolve("mqtt.log.20240101"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("mqttStream parses the same rows as the batch source") {
+    val q = StreamingOps.mqttStream(spark, stageFixtureDir())
+      .writeStream.format("memory").queryName("mq_parse")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mq_parse")
+        .orderBy("device", "ts", "apower")
+        .select($"device", unix_timestamp($"ts"), $"apower")
+        .as[(String, Long, Double)].collect().toSeq
+      // 4 valid lines (malformed/no-events/missing-apower dropped);
+      // duplicates NOT averaged at parse stage
+      assert(rows == Seq(
+        ("shelly-kitchen", 1600000000L, 44.5),
+        ("shelly-kitchen", 1600000000L, 55.5),
+        ("shelly-kitchen", 1600000010L, 60.0),
+        ("shelly-lamp", 1600000010L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("bucketMean: event-time windowed mean with watermark") {
+    val q = StreamingOps.bucketMean(
+        StreamingOps.mqttStream(spark, stageFixtureDir()),
+        bucket = "10 seconds", lateness = "30 seconds")
+      .writeStream.format("memory").queryName("mq_bucket")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mq_bucket")
+        .orderBy("device", "bucket_start")
+        .select($"device", unix_timestamp($"bucket_start"), $"apower")
+        .as[(String, Long, Double)].collect().toSeq
+      assert(rows == Seq(
+        ("shelly-kitchen", 1600000000L, 50.0), // mean of 55.5, 44.5
+        ("shelly-kitchen", 1600000010L, 60.0),
+        ("shelly-lamp", 1600000010L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupKeepFirst: within-watermark duplicate drop") {
+    val q = StreamingOps.dedupKeepFirst(
+        StreamingOps.mqttStream(spark, stageFixtureDir()),
+        lateness = "30 seconds")
+      .writeStream.format("memory").queryName("mq_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the two kitchen@t0 readings collapse to one
+      assert(spark.table("mq_dedup").count() == 3)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.nilm.{NilmDataset, TensorPrep}
+import org.apache.spark.sql.functions._
+
+/** E2/E3 tensor prep: label order, ts alignment with zero fill,
+  * aggregate requirement, window shapes, S10 sink round-trip. */
+class TensorPrepSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(i: Int) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + 8L * i))
+
+  /** house 1: aggregate + kettle + fridge on a shared 8-row grid;
+    * house 2: aggregate + kettle only (fridge must zero-fill);
+    * house 3: kettle only (no aggregate → skipped). */
+  private def dataset: NilmDataset = {
+    def rows(h: Long, ch: String, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => ("d1", h, ch, ts(i), v) }
+    val readings = (
+      rows(1L, "agg", Seq(10, 20, 30, 40, 50, 60, 70, 80)) ++
+        rows(1L, "ket", Seq(1, 2, 3, 4, 5, 6, 7, 8)) ++
+        rows(1L, "fri", Seq(5, 5, 5, 5, 5, 5, 5, 5)) ++
+        rows(2L, "agg", Seq(9, 9, 9, 9, 9, 9)) ++
+        rows(2L, "ket", Seq(2, 2, 2, 2, 2, 2)) ++
+        rows(3L, "ket", Seq(7, 7, 7, 7))
+      ).toDF("dataset", "house_id", "channel_id", "ts", "power")
+    val channels = Seq(
+      ("d1", 1L, "agg", "aggregate", "aggregate"),
+      ("d1", 1L, "ket", "kettle", "kettle"),
+      ("d1", 1L, "fri", "fridge", "fridge"),
+      ("d2", 2L, "agg", "aggregate", "aggregate"),
+      ("d2", 2L, "ket", "kettle", "kettle"),
+      ("d3", 3L, "ket", "kettle", "kettle"))
+      .toDF("dataset", "house_id", "channel_id", "raw_label", "universal_label")
+      .withColumn("dataset", lit("d1"))
+      .withColumn("unit", lit("watts"))
+      .withColumn("data_type", lit("active"))
+      .withColumn("sample_rate_s", lit(8L))
+      .withColumn("manufacturer", lit("?"))
+      .withColumn("model", lit("?"))
+      .withColumn("acquisition_device", lit("?"))
+    NilmDataset(readings, channels)
+  }
+
+  test("applianceOrder: sorted distinct labels, aggregate excluded") {
+    assert(TensorPrep.applianceOrder(dataset) == Seq("fridge", "kettle"))
+  }
+
+  test("windows: X/Y content, zero fill, aggregate-less house skipped") {
+    val w = TensorPrep.windows(dataset, seqLen = 4, step = 2)
+      .orderBy("house_id", "window_id")
+      .select($"house_id", $"window_id", $"x", $"y")
+      .as[(Long, Long, Seq[Float], Seq[Seq[Float]])]
+      .collect().toSeq
+
+    // house 1: 8 rows → (8-4)/2+1 = 3 windows; house 2: 6 rows → 2;
+    // house 3 skipped (no aggregate)
+    assert(w.map(r => (r._1, r._2)) ==
+      Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 1L)))
+
+    val h1w0 = w.head
+    assert(h1w0._3 == Seq(10f, 20f, 30f, 40f))
+    // label order (fridge, kettle): per-row [fridge, kettle]
+    assert(h1w0._4 == Seq(Seq(5f, 1f), Seq(5f, 2f), Seq(5f, 3f), Seq(5f, 4f)))
+
+    // house 2 has no fridge channel → zero-filled first component
+    val h2w0 = w(3)
+    assert(h2w0._3 == Seq(9f, 9f, 9f, 9f))
+    assert(h2w0._4 == Seq.fill(4)(Seq(0f, 2f)))
+  }
+
+  test("S10 sink: array-typed parquet round-trip") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tensors").toString
+    val w = TensorPrep.windows(dataset, seqLen = 4, step = 4)
+    TensorPrep.write(w, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == w.count())
+    val row = back.filter($"house_id" === 1 && $"window_id" === 0)
+      .select($"x", $"y")
+      .as[(Seq[Float], Seq[Seq[Float]])].head()
+    assert(row._1 == Seq(10f, 20f, 30f, 40f))
+    assert(row._2.forall(_.size == 2)) // Z = 2 appliances
+  }
+}
