@@ -224,6 +224,28 @@ object DocumentQueries {
         .orderBy($"doc_id")
     }),
 
+    // Embedding-cosine near-dup (the vector member of the dedup family):
+    // LSH buckets propose candidate pairs (same sign-bit bucket, never
+    // all-pairs), exact cosine >= 0.35 confirms. Bucketing recomputation
+    // across the self-join is avoided by persisting the bucketed frame.
+    "q45_embed_neardup" -> ((s, d) => {
+      import s.implicits._
+      val e = embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm($"emb"))
+        .withColumn("bucket", lshBucket($"emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          cosine(col("a.emb"), col("b.emb"),
+            col("a.nrm"), col("b.nrm")).as("cos"))
+        .filter($"cos" >= 0.35)
+        .select($"a_id", $"b_id", round($"cos", 6).as("cosine"))
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // Multimodal column plumbing: text treated as an opaque binary
     // payload with typed metadata via graft.ext.Multimodal (whose decode
     // stages are stubbed deterministically — no media libs in this
@@ -258,6 +280,17 @@ object DocumentQueries {
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Same md5-derived Rademacher-hyperplane bucket as [[TextOps.lshBucket]]. */
+  private val lshBucketSql: String = {
+    def planeProd(j: Int) =
+      s"""list_reduce(list_transform(generate_series(1, len(emb)),
+          i -> emb[i] * ((CAST(concat('0x', substr(md5('plane_${j}_' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
+          (x, y) -> x + y)"""
+    (0 until LshPlanes)
+      .map(j => s"CASE WHEN ${planeProd(j)} > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+  }
 
   private val stopIn = enStop.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -335,17 +368,10 @@ object DocumentQueries {
            round(cos, 6) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
 
-    "q28_lsh_ann" -> {
-      val planeProd = (j: Int) =>
-        s"""list_reduce(list_transform(generate_series(1, len(emb)),
-            i -> emb[i] * ((CAST(concat('0x', substr(md5('plane_${j}_' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
-            (x, y) -> x + y)"""
-      val bucketExpr = (0 until LshPlanes)
-        .map(j => s"CASE WHEN ${planeProd(j)} > 0 THEN '1' ELSE '0' END")
-        .mkString("concat(", ", ", ")")
+    "q28_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
          n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
-           $bucketExpr bucket FROM e),
+           $lshBucketSql bucket FROM e),
          q AS (SELECT vec_id query_id, emb qemb, nrm qnrm, bucket qbucket
            FROM n WHERE vec_id < 20),
          p AS (SELECT query_id, vec_id neighbor_id,
@@ -356,8 +382,17 @@ object DocumentQueries {
            FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            round(cos, 6) AS cosine
-         FROM r WHERE rnk <= 3 ORDER BY query_id, rank"""
-    },
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    "q45_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
+           $lshBucketSql bucket FROM e),
+         p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+           ${dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) cos
+           FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT a_id, b_id, round(cos, 6) AS cosine
+         FROM p WHERE cos >= 0.35 ORDER BY a_id, b_id""",
 
     "q29_text_stats" ->
       """SELECT lang,

@@ -182,6 +182,33 @@ object NilmQueries {
         .orderBy($"event_id")
     }),
 
+    // A14 full form: the Pearson correlation MATRIX across channels
+    // (insights_oladatasets.ipynb cell 3) — all 10 pairs computed in ONE
+    // aggregate pass over the (user, day)-aligned conditional sums, then
+    // unpivoted to long form. No per-pair rescans.
+    "q44_corr_matrix" -> ((s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val sums = types.map(t =>
+        sum(when($"event_type" === t, $"value")).as(t))
+      val daily = events(s, d)
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(sums.head, sums.tail: _*)
+      val pairs = for {
+        i <- types.indices; j <- (i + 1) until types.size
+      } yield (types(i), types(j))
+      val corrAggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+      }
+      daily.agg(corrAggs.head, corrAggs.tail: _*)
+        .select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("type_a"), lit(b).as("type_b"),
+            col(s"${a}__$b").as("corr_val"))
+        }: _*)).as("p"))
+        .select($"p.type_a", $"p.type_b", $"p.corr_val")
+        .orderBy($"type_a", $"type_b")
+    }),
+
     // F2 + F12: `_W/_VA/_Q/_PF` suffix → (data_type, unit) and
     // suffix-stripped base label (OlaLoader.py:77-106 suffix_map).
     "q43_suffix_parse" -> ((s, d) => {
@@ -350,6 +377,23 @@ object NilmQueries {
       s"""SELECT event_id, $kExpr AS k,
          to_json(struct_pack(et := event_type, k := $kExpr)) AS enc
          FROM events ORDER BY event_id LIMIT 200 OFFSET 100""",
+
+    "q44_corr_matrix" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val sums = types.map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN value END) AS \"$t\"")
+        .mkString(", ")
+      val pairs = for {
+        i <- types.indices; j <- (i + 1) until types.size
+      } yield (types(i), types(j))
+      val selects = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS type_a, '$b' AS type_b,
+           round(corr("$a", "$b"), 4) AS corr_val FROM daily"""
+      }.mkString(" UNION ALL ")
+      s"""WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+         $sums FROM events GROUP BY 1, 2)
+         $selects ORDER BY type_a, type_b"""
+    },
 
     "q42_normalize" ->
       """SELECT event_id,
