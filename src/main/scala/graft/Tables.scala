@@ -42,6 +42,34 @@ object Tables {
       case _        => raw
     }
   }
+
+  /** Events with an inclusive [start, end] ts slice that actually pushes
+    * to the parquet scan: filters on the converted `ts` sit above the
+    * ns→µs expression and never reach `PushedFilters`, so the same
+    * bounds are ALSO applied to the raw int64 nanos column below the
+    * conversion (row-group stats pruning at scale). Timestamps are UTC
+    * `yyyy-MM-dd HH:mm:ss` strings. */
+  def eventsSliced(s: SparkSession, d: String,
+                   start: String, end: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def epochS(x: String) =
+      java.time.Instant.from(fmt.parse(x)).getEpochSecond
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .filter(col("ts") >= epochS(start) * 1000000000L &&
+            col("ts") <= epochS(end) * 1000000000L + 999999999L)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          .filter(col("ts").between(
+            lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+      case _ =>
+        raw.filter(col("ts").between(
+          lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

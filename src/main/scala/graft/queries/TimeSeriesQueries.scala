@@ -26,13 +26,12 @@ object TimeSeriesQueries {
     }),
 
     // P3 inclusive time-range slice: pandas `.loc[start:end]` is inclusive
-    // on BOTH ends (UnifiedNILM.py:397,410).
+    // on BOTH ends (UnifiedNILM.py:397,410). eventsSliced pushes the
+    // bounds to the parquet scan as raw int64-nanos predicates (the
+    // converted-ts filter alone never reaches PushedFilters).
     "q02_time_slice" -> ((s, d) => {
       import s.implicits._
-      events(s, d)
-        .filter($"ts".between(
-          lit("2024-01-03 00:00:00").cast("timestamp"),
-          lit("2024-01-04 00:00:00").cast("timestamp")))
+      eventsSliced(s, d, "2024-01-03 00:00:00", "2024-01-04 00:00:00")
         .select($"event_id", $"user_id", $"event_type", $"value")
         .orderBy($"event_id")
     }),
