@@ -136,4 +136,32 @@ object TextOps {
   /** Concatenated sign bits of all LSH planes → bucket key string. */
   def lshBucket(emb: Column): Column =
     concat((0 until LshPlanes).map(j => lshBit(j, emb)): _*)
+
+  /** The scale form of [[lshBucket]]: identical buckets, but computed
+    * as posexplode → broadcast join against a (position, plane-signs)
+    * table → codegen'd grouped sums, instead of the interpreted per-row
+    * higher-order aggregate (~1 ms/row). `df` must carry a unique
+    * `idCol`; adds a `bucket` column. `maxDim` bounds the sign table
+    * (positions beyond the actual embedding width join away). */
+  def withLshBucket(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    embCol: String, maxDim: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val signCols = (0 until LshPlanes).map(j =>
+      ((conv(substring(md5(concat(lit(s"plane_${j}_"), col("id"))), 1, 1), 16, 10)
+        .cast("int").bitwiseAND(lit(1))) * 2 - 1).cast("double").as(s"__s$j"))
+    val signs = spark.range(1, maxDim + 1)
+      .select(col("id").cast("int").as("__i") +: signCols: _*)
+    val ex = df
+      .select(col(idCol).as("__id"), posexplode(col(embCol)).as(Seq("__p", "__v")))
+      .select(col("__id"), (col("__p") + 1).cast("int").as("__i"), col("__v"))
+    val projAggs = (0 until LshPlanes).map(j =>
+      sum(col("__v") * col(s"__s$j")).as(s"__proj$j"))
+    val buckets = ex.join(broadcast(signs), Seq("__i"))
+      .groupBy(col("__id"))
+      .agg(projAggs.head, projAggs.tail: _*)
+      .select(col("__id"),
+        concat((0 until LshPlanes).map(j =>
+          when(col(s"__proj$j") > 0, "1").otherwise("0")): _*).as("bucket"))
+    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
+  }
 }

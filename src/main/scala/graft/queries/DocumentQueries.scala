@@ -230,10 +230,11 @@ object DocumentQueries {
     // across the self-join is avoided by persisting the bucketed frame.
     "q45_embed_neardup" -> ((s, d) => {
       import s.implicits._
-      val e = embeddings(s, d)
-        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-        .withColumn("nrm", l2norm($"emb"))
-        .withColumn("bucket", lshBucket($"emb"))
+      val e = withLshBucket(
+          embeddings(s, d)
+            .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+            .withColumn("nrm", l2norm($"emb")),
+          "vec_id", "emb")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
