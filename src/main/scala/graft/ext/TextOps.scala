@@ -108,8 +108,17 @@ object TextOps {
 
   /** Sequential-order dot product of two equal-length double arrays.
     * Left-to-right accumulation from 0.0 — IEEE-identical to DuckDB's
-    * list_reduce((x,y) -> x+y) over the elementwise products. */
-  def dot(a: Column, b: Column): Column =
+    * list_reduce((x,y) -> x+y) over the elementwise products.
+    *
+    * Resolves to the native codegen'd [[graft.functions.DotProduct]]
+    * (register via [[graft.plans.GraftExtensions]] — the query pack
+    * does this in each entry point); [[dotHof]] is the built-in
+    * composition it replaced (identical values, interpreted ~50×
+    * slower at 128 dims). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The higher-order-function formulation of [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(sequence(lit(1), size(a)), lit(0.0), (acc, i) =>
       acc + element_at(a, i) * element_at(b, i))
 

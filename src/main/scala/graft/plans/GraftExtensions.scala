@@ -1,0 +1,39 @@
+package graft.plans
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: registers graft's native Catalyst functions.
+  *
+  * Two routes, same registrations:
+  *   - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *     build (the SparkSessionExtensions contract), or
+  *   - [[GraftExtensions.register]] on a live session (idempotent) —
+  *     used by the query pack because the driver owns its sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** Idempotent runtime registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -135,6 +135,7 @@ object DocumentQueries {
     // for the LSH variant below.
     "q27_cosine_topk" -> ((s, d) => {
       import s.implicits._
+      graft.plans.GraftExtensions.register(s)
       val e = embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
         .withColumn("nrm", l2norm($"emb"))
@@ -156,6 +157,7 @@ object DocumentQueries {
     // path: bucket-local joins instead of brute force).
     "q28_lsh_ann" -> ((s, d) => {
       import s.implicits._
+      graft.plans.GraftExtensions.register(s)
       val e = embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
         .withColumn("nrm", l2norm($"emb"))
@@ -230,6 +232,7 @@ object DocumentQueries {
     // across the self-join is avoided by persisting the bucketed frame.
     "q45_embed_neardup" -> ((s, d) => {
       import s.implicits._
+      graft.plans.GraftExtensions.register(s)
       val e = withLshBucket(
           embeddings(s, d)
             .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
