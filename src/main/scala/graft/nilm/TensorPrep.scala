@@ -93,6 +93,29 @@ object TensorPrep {
         transform(col("rows"), r => r("ys")).as("y"))
   }
 
+  /** P8 activity mask (`train_bert_single.py:76-78`): keep windows
+    * whose array has more than `minCount` values above `threshold`. */
+  def activityFilter(windows: DataFrame, arr: org.apache.spark.sql.Column,
+                     threshold: Double, minCount: Int = 5): DataFrame =
+    windows.filter(
+      size(filter(arr, v => v > threshold)) > minCount)
+
+  /** A13 + F7 + F8 (`train_bert_single.py:48-53, 68-72`): normalize the
+    * X windows by the 0.99 quantile of all X values and clamp to [0, 1].
+    * The scalar stays in-plan (cross-join of a 1-row agg) — no
+    * driver-side collect. Adds `x_norm`. */
+  def normalizeClip(windows: DataFrame): DataFrame = {
+    val mp = windows
+      .select(explode(col("x")).as("v"))
+      .agg(percentile(col("v"), lit(0.99)).as("__max_power"))
+    windows.crossJoin(mp)
+      .withColumn("x_norm",
+        transform(col("x"), v =>
+          least(greatest(v / col("__max_power"), lit(0.0)), lit(1.0))
+            .cast("float")))
+      .drop("__max_power")
+  }
+
   /** S10: the tensor sink — parquet with array columns, partitioned by
     * (dataset, house_id) like the container. */
   def write(windowsDf: DataFrame, path: String,

@@ -182,6 +182,24 @@ object NilmQueries {
         .orderBy($"event_id")
     }),
 
+    // P8 activity mask over W4 windows: keep windows with > 5 samples
+    // above the threshold (train_bert_single.py:76-78) — the training-set
+    // filter that drops all-idle sequences.
+    "q46_activity_mask" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select($"user_id", $"ts", $"event_id",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      val win = Windowing
+        .emit(ev, Seq($"user_id"), Seq($"ts", $"event_id"), 16, 8)
+        .groupBy($"user_id", $"window_id")
+        .agg(collect_list($"cents").as("w"))
+      win
+        .select($"user_id", $"window_id",
+          size(filter($"w", v => v > 10000L)).as("n_active"))
+        .filter($"n_active" > 5)
+        .orderBy($"user_id", $"window_id")
+    }),
+
     // A14 full form: the Pearson correlation MATRIX across channels
     // (insights_oladatasets.ipynb cell 3) — all 10 pairs computed in ONE
     // aggregate pass over the (user, day)-aligned conditional sums, then
@@ -377,6 +395,21 @@ object NilmQueries {
       s"""SELECT event_id, $kExpr AS k,
          to_json(struct_pack(et := event_type, k := $kExpr)) AS enc
          FROM events ORDER BY event_id LIMIT 200 OFFSET 100""",
+
+    "q46_activity_mask" ->
+      """WITH s AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) cents,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 idx
+           FROM events),
+         nn AS (SELECT user_id, count(*) cnt FROM s GROUP BY 1),
+         w AS (SELECT user_id, unnest(range(0, (cnt - 16) // 8 + 1)) wid
+           FROM nn WHERE cnt >= 16),
+         m AS (SELECT w.user_id, wid,
+           CAST(count(*) FILTER (WHERE s.cents > 10000) AS INT) n_active
+           FROM w JOIN s ON s.user_id = w.user_id
+             AND s.idx BETWEEN wid * 8 AND wid * 8 + 15
+           GROUP BY 1, 2)
+         SELECT user_id, wid AS window_id, n_active
+         FROM m WHERE n_active > 5 ORDER BY user_id, window_id""",
 
     "q44_corr_matrix" -> {
       val types = Seq("click", "error", "purchase", "signup", "view")

@@ -97,6 +97,23 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq((50.0, 0.0), (60.0, 5.0)))
   }
 
+  test("E1 golden composition: raw tree → container → facade query") {
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    Container.write(UkdaleSource.load(spark, fixture("ukdale")), root)
+    val ds = Container.read(spark, root)
+    // compute-aggregate over the restored container: house 1 actives are
+    // kettle (EcoManagerTxPlug); washing machine is 'unknown' type
+    val agg = ds.computeAggregateFromAppliances(powerType = "active")
+      .orderBy("ts")
+    val vals = agg.select($"aggregate_computed").as[Double].collect().toSeq
+    assert(vals == Seq(2000.0, 2100.0, 2050.0, 1990.0)) // kettle series
+    // and the directly-metered aggregate is sliced inclusively
+    val sliced = ds.getAggregate(
+      start = Some("2020-09-13 12:26:46"), end = Some("2020-09-13 12:26:56"))
+    // house1 aggregate ts :46,:52 + house2 ts :48,:56 — end-inclusive
+    assert(sliced.count() == 4)
+  }
+
   test("Container: partitioned parquet round-trip preserves content") {
     val ds = UkdaleSource.load(spark, fixture("ukdale"))
     val root = java.nio.file.Files.createTempDirectory("graft_container").toString

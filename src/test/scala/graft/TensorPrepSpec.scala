@@ -71,6 +71,25 @@ class TensorPrepSpec extends SparkSpec {
     assert(h2w0._4 == Seq.fill(4)(Seq(0f, 2f)))
   }
 
+  test("activityFilter keeps windows with > minCount active samples") {
+    val w = TensorPrep.windows(dataset, seqLen = 4, step = 2)
+    // house 1 x-windows contain values 10..80: threshold 35 → window 0
+    // has 1 active (40), window 1 has 3 (40,50,60), window 2 has 4
+    val kept = TensorPrep.activityFilter(w.filter($"house_id" === 1),
+        $"x", threshold = 35.0, minCount = 2)
+      .select($"window_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("normalizeClip: in-plan 0.99-quantile scaling clamped to [0,1]") {
+    val w = TensorPrep.windows(dataset, seqLen = 4, step = 2)
+    val normed = TensorPrep.normalizeClip(w)
+    val rows = normed.select($"x_norm").as[Seq[Float]].collect()
+    assert(rows.forall(_.forall(v => v >= 0f && v <= 1f)))
+    // max value (80) exceeds the 0.99 quantile → clamps to exactly 1
+    assert(rows.exists(_.contains(1f)))
+  }
+
   test("S10 sink: array-typed parquet round-trip") {
     val out = java.nio.file.Files.createTempDirectory("graft_tensors").toString
     val w = TensorPrep.windows(dataset, seqLen = 4, step = 4)
