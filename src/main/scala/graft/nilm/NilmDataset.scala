@@ -102,6 +102,16 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
       .agg(sum(col("power")).as("aggregate_computed"))
   }
 
+  /** A16: dataset-level sample rate = median of the per-channel rates
+    * (`REFITLoader.py:111-116`). One row per dataset. */
+  def sampleRateSummary: DataFrame =
+    channels
+      .filter(col("sample_rate_s").isNotNull)
+      .groupBy("dataset")
+      .agg(floor(percentile(col("sample_rate_s"), lit(0.5))).cast("long")
+        .as("median_rate_s"),
+        count(lit(1)).as("n_channels"))
+
   /** `get_channels_by_label` (`UnifiedNILM.py:187-195`). */
   def channelsByLabel(label: String): DataFrame =
     channels.filter(lower(col("universal_label")) === label.toLowerCase)

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.sources.MqttSource
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY §2.9): the reference is
   * batch-only, so this is the designed extension — the batch parse and
@@ -52,4 +53,40 @@ object StreamingOps {
     readings
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("device", "ts")
+
+  case class Reading(device: String, ts: java.sql.Timestamp, apower: Double)
+  case class Transition(device: String, ts: java.sql.Timestamp, on: Boolean)
+
+  /** W6/W8 online: per-device ON/OFF transition detection with custom
+    * state — the `flatMapGroupsWithState` form of the batch threshold +
+    * run-length pass (postprocessing.py:32-42 + 5-24's edge detection).
+    * State is one boolean per device (bounded); each micro-batch's rows
+    * are ordered by event time before the scan, so within-batch order
+    * is deterministic (cross-batch late data is the watermark's job in
+    * the enclosing query). Emits one row per state change, including
+    * the initial OFF→ON if the first reading is above threshold. */
+  def onOffTransitions(readings: DataFrame,
+                       threshold: Double): Dataset[Transition] = {
+    implicit val re = Encoders.product[Reading]
+    implicit val te = Encoders.product[Transition]
+    implicit val se = Encoders.scalaBoolean
+    implicit val ke = Encoders.STRING
+    readings.as[Reading]
+      .groupByKey(_.device)
+      .flatMapGroupsWithState[Boolean, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (device: String, rows: Iterator[Reading], state: GroupState[Boolean]) =>
+          var on = state.getOption.getOrElse(false)
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            val nowOn = r.apower >= threshold
+            if (nowOn != on) {
+              out += Transition(device, r.ts, nowOn)
+              on = nowOn
+            }
+          }
+          state.update(on)
+          out.iterator
+      }
+  }
 }

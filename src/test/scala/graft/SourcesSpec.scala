@@ -41,6 +41,12 @@ class SourcesSpec extends SparkSpec {
     assert(counts == Seq((1L, "channel_1", 6L), (1L, "channel_2", 4L),
       (1L, "channel_3", 3L), (2L, "channel_1", 3L)))
 
+    // A16: dataset-level rate = median of channel rates [6,6,8,10] → 7
+    val summary = ds.sampleRateSummary.collect().head
+    assert(summary.getAs[String]("dataset") == "ukdale")
+    assert(summary.getAs[Long]("median_rate_s") == 7L)
+    assert(summary.getAs[Long]("n_channels") == 4L)
+
     // deterministic content hash (golden) — decimal sum avoids ANSI
     // long-overflow on the hash aggregation
     def contentHash(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =

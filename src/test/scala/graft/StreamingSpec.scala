@@ -57,6 +57,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("onOffTransitions: stateful per-device edge detection") {
+    val q = StreamingOps.onOffTransitions(
+        StreamingOps.mqttStream(spark, stageFixtureDir()), threshold = 30.0)
+      .writeStream.format("memory").queryName("mq_onoff")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mq_onoff")
+        .orderBy("device", "ts")
+        .select($"device", unix_timestamp($"ts"), $"on")
+        .as[(String, Long, Boolean)].collect().toSeq
+      // kitchen: 55.5/44.5 at t0 and 60 at t10 all >= 30 → exactly one
+      // OFF→ON edge at t0; lamp: 5.0 stays OFF → no rows
+      assert(rows == Seq(("shelly-kitchen", 1600000000L, true)))
+    } finally q.stop()
+  }
+
   test("dedupKeepFirst: within-watermark duplicate drop") {
     val q = StreamingOps.dedupKeepFirst(
         StreamingOps.mqttStream(spark, stageFixtureDir()),
