@@ -138,9 +138,27 @@ object NilmQueries {
         .filter($"d" > 0)
         .groupBy($"user_id")
         .agg(countDistinct($"d").as("distinct_intervals"),
-          round(avg($"d") / 1e6, 4).as("mean_interval_s"))
+          round(avg($"d") / 1e6, 4).as("mean_interval_s"),
+          // P13 interval cap (visualize_sampling_rate.ipynb): intervals
+          // within 10 minutes only
+          count(when($"d" <= 600e6, 1)).as("n_capped_intervals"))
       span.join(hourly, Seq("user_id")).join(deltas, Seq("user_id"))
         .orderBy($"user_id")
+    }),
+
+    // A6 exact semantics: devices active per day = count of channels
+    // whose DAILY SUM exceeds the threshold (insights_oladatasets.ipynb
+    // cell 1's (daily_power > 0).sum(axis=1), with a non-trivial
+    // threshold since every event value is positive).
+    "q47_active_devices" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(sum($"value").as("daily"))
+        .groupBy($"day")
+        .agg(count(when($"daily" > 40000.0, 1)).as("active_devices"),
+          round(sum($"daily"), 4).as("total_power"))
+        .orderBy($"day")
     }),
 
     // A4 dynamic pivot + F6 fillna: per-user mean power by channel over
@@ -372,15 +390,26 @@ object NilmQueries {
                  FROM events GROUP BY 1, 2) GROUP BY 1),
          dl AS (SELECT user_id,
            CAST(count(DISTINCT d) AS BIGINT) AS distinct_intervals,
-           round(avg(d) / 1e6, 4) AS mean_interval_s
+           round(avg(d) / 1e6, 4) AS mean_interval_s,
+           CAST(count(*) FILTER (WHERE d <= 600000000) AS BIGINT)
+             AS n_capped_intervals
            FROM (SELECT user_id, epoch_us(ts)
                - lag(epoch_us(ts)) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id) d FROM events)
            WHERE d > 0 GROUP BY 1)
          SELECT user_id, span_hours, active_hours, distinct_intervals,
-           mean_interval_s
+           mean_interval_s, n_capped_intervals
          FROM span JOIN hourly USING (user_id) JOIN dl USING (user_id)
          ORDER BY user_id""",
+
+    "q47_active_devices" ->
+      """SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) FILTER (WHERE daily > 40000.0) AS BIGINT)
+           AS active_devices,
+         round(sum(daily), 4) AS total_power
+         FROM (SELECT date_trunc('day', ts) ts, event_type,
+               sum(value) AS daily FROM events GROUP BY 1, 2)
+         GROUP BY 1 ORDER BY day""",
 
     "q40_pivot_fill" ->
       """SELECT user_id,
