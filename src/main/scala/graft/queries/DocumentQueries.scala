@@ -113,6 +113,11 @@ object DocumentQueries {
       val sh = documents(s, d)
         .select($"doc_id", shingles(words($"text")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (A singleton-shingle semi-join prune was measured here and
+      // reverted: this corpus's shingles are drawn from a small word
+      // pool, so nearly all are shared and the prune pass is pure cost.
+      // On natural text — mostly unique shingles — it pays; revisit if
+      // the corpus changes.)
       val ex = sh.select($"doc_id", explode($"sh").as("shingle"))
       val common = ex.as("a")
         .join(ex.as("b"),

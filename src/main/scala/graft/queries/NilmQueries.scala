@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.nilm.{Labels, NilmDataset}
 import graft.nilm.NilmDataset.EventsOracle._
-import graft.operators.{Postprocess, Windowing}
+import graft.operators.{Metrics, Postprocess, Windowing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -218,6 +218,22 @@ object NilmQueries {
         .orderBy($"user_id", $"window_id")
     }),
 
+    // E3 closing step: binary metrics of the postprocessing pipeline —
+    // prediction = sliding-median-smoothed signal thresholded, ground
+    // truth = raw signal thresholded (train_bert_single.py:278-330's
+    // precision/recall/F1/accuracy as ONE confusion aggregate).
+    "q48_metrics" -> ((s, d) => {
+      import s.implicits._
+      val med = Postprocess.slidingMedian(events(s, d), $"user_id",
+        Seq($"ts", $"event_id"), $"value", k = 2)
+      Metrics.binaryMetrics(med, $"value" >= 50, $"median_value" >= 50)
+        .select($"tp", $"fp", $"fn", $"tn",
+          round($"precision", 6).as("precision"),
+          round($"recall", 6).as("recall"),
+          round($"f1", 6).as("f1"),
+          round($"accuracy", 6).as("accuracy"))
+    }),
+
     // A14 full form: the Pearson correlation MATRIX across channels
     // (insights_oladatasets.ipynb cell 3) — all 10 pairs computed in ONE
     // aggregate pass over the (user, day)-aligned conditional sums, then
@@ -401,6 +417,26 @@ object NilmQueries {
            mean_interval_s, n_capped_intervals
          FROM span JOIN hourly USING (user_id) JOIN dl USING (user_id)
          ORDER BY user_id""",
+
+    "q48_metrics" ->
+      """WITH m AS (SELECT value,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) med
+           FROM events),
+         c AS (SELECT
+           CAST(sum(CASE WHEN value >= 50 AND med >= 50 THEN 1 ELSE 0 END) AS BIGINT) tp,
+           CAST(sum(CASE WHEN value < 50 AND med >= 50 THEN 1 ELSE 0 END) AS BIGINT) fp,
+           CAST(sum(CASE WHEN value >= 50 AND med < 50 THEN 1 ELSE 0 END) AS BIGINT) fn,
+           CAST(sum(CASE WHEN value < 50 AND med < 50 THEN 1 ELSE 0 END) AS BIGINT) tn
+           FROM m)
+         SELECT tp, fp, fn, tn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS "precision",
+           round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall,
+           round(2 * (tp / CAST(tp + fp AS DOUBLE)) * (tp / CAST(tp + fn AS DOUBLE))
+             / (tp / CAST(tp + fp AS DOUBLE) + tp / CAST(tp + fn AS DOUBLE)), 6) AS f1,
+           round((tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy
+         FROM c""",
 
     "q47_active_devices" ->
       """SELECT date_trunc('day', ts) AS day,
