@@ -146,7 +146,7 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
       .select("dataset", "house_id")
     val w = Window.partitionBy("dataset", "house_id", "universal_label")
       .orderBy(col("variance").desc, col("n").desc, col("channel_id"))
-    scored.join(eligible, Seq("dataset", "house_id"))
+    scored.join(broadcast(eligible), Seq("dataset", "house_id"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("rk")

@@ -82,6 +82,55 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L, 1L, 1L, 2L, 2L, 3L))
   }
 
+  test("property: bucket means recombine to the global mean (A1)") {
+    val gen = Gen.listOfN(30, Gen.choose(0.0, 1000.0)).suchThat(_.nonEmpty)
+    val prop = Prop.forAll(gen) { vals =>
+      val df = series(vals)
+      // weighted mean of bucket means == global mean
+      val withCounts = df
+        .groupBy(window($"ts", "24 seconds")).agg(
+          avg($"value").as("m"), count(lit(1)).as("c"))
+      val (sumW, n) = withCounts
+        .agg(sum($"m" * $"c"), sum($"c")).as[(Double, Long)].head()
+      math.abs(sumW / n - vals.sum / vals.size) < 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: keep-first dedup is idempotent (P11)") {
+    val gen = Gen.listOfN(20, Gen.choose(0, 5)).suchThat(_.nonEmpty)
+    val prop = Prop.forAll(gen) { tsOffsets =>
+      // duplicate timestamps on purpose: offsets collide mod 5
+      val df = tsOffsets.zipWithIndex.map { case (o, i) =>
+        (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + o)), i.toLong)
+      }.toDF("key", "ts", "ord")
+      import org.apache.spark.sql.expressions.Window
+      def dedup(x: org.apache.spark.sql.DataFrame) = x
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"key", $"ts").orderBy($"ord")))
+        .filter($"rn" === 1).drop("rn")
+      val once = dedup(df).orderBy("ts", "ord").collect().toSeq
+      val twice = dedup(dedup(df)).orderBy("ts", "ord").collect().toSeq
+      once == twice && once.size == tsOffsets.distinct.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("eventsSliced: pushed raw-nanos bounds match the plain filter") {
+    val d = "/root/testdata/sf0.001"
+    val plain = graft.Tables.events(spark, d)
+      .filter($"ts".between(
+        lit("2024-01-03 00:00:00").cast("timestamp"),
+        lit("2024-01-04 00:00:00").cast("timestamp")))
+      .select($"event_id").as[Long].collect().toSet
+    val pushed = graft.Tables
+      .eventsSliced(spark, d, "2024-01-03 00:00:00", "2024-01-04 00:00:00")
+      .select($"event_id").as[Long].collect().toSet
+    assert(pushed == plain && plain.nonEmpty)
+  }
+
   test("property: run-length encoding reconstructs the series") {
     val gen = Gen.listOfN(24, Gen.oneOf(0, 1)).suchThat(_.nonEmpty)
     val prop = Prop.forAll(gen) { states =>
