@@ -131,6 +131,26 @@ class OperatorsSpec extends SparkSpec {
     assert(pushed == plain && plain.nonEmpty)
   }
 
+  test("property: salted aggregation equals direct groupBy (skew path)") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.oneOf(1L, 1L, 1L, 2L), Gen.choose(0.0, 100.0)))
+    val prop = Prop.forAll(gen.suchThat(_.nonEmpty)) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, i.toLong, v) }
+        .toDF("key", "ord", "value")
+      val direct = df.groupBy($"key").agg(sum($"value").as("s"))
+        .orderBy("key").as[(Long, Double)].collect().toSeq
+      val salted = graft.operators.Skew
+        .saltedSum(df, Seq($"key"), $"value", "s", buckets = 8)
+        .orderBy("key").as[(Long, Double)].collect().toSeq
+      direct.map(_._1) == salted.map(_._1) &&
+        direct.zip(salted).forall { case ((_, a), (_, b)) =>
+          math.abs(a - b) < 1e-9
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: run-length encoding reconstructs the series") {
     val gen = Gen.listOfN(24, Gen.oneOf(0, 1)).suchThat(_.nonEmpty)
     val prop = Prop.forAll(gen) { states =>
