@@ -218,6 +218,25 @@ object NilmQueries {
         .orderBy($"user_id", $"window_id")
     }),
 
+    // E2 end-to-end: the tensor-prep composition (adapter → ts-aligned
+    // pivot → W4 windows → X/Y assembly) checked by order-sensitive
+    // hashes of X and of Y's first label component. Values pass through
+    // the float32 tensor cast, then double-promote before scaling so
+    // both engines round identically.
+    "q49_tensor_windows" -> ((s, d) => {
+      import s.implicits._
+      val ds = NilmDataset.fromEvents(s, d)
+      val w = graft.nilm.TensorPrep.windows(ds, seqLen = 32, step = 16)
+      def centsHash(vals: org.apache.spark.sql.Column) =
+        md5(concat_ws(",", transform(vals, v =>
+          round(v.cast("double") * 100, 0).cast("long").cast("string"))))
+      w.select($"house_id", $"window_id",
+          size($"x").as("len"),
+          centsHash($"x").as("xhash"),
+          centsHash(transform($"y", r => element_at(r, 1))).as("y0hash"))
+        .orderBy($"house_id", $"window_id")
+    }),
+
     // E3 closing step: binary metrics of the postprocessing pipeline —
     // prediction = sliding-median-smoothed signal thresholded, ground
     // truth = raw signal thresholded (train_bert_single.py:278-330's
@@ -417,6 +436,34 @@ object NilmQueries {
            mean_interval_s, n_capped_intervals
          FROM span JOIN hourly USING (user_id) JOIN dl USING (user_id)
          ORDER BY user_id""",
+
+    "q49_tensor_windows" ->
+      s"""WITH r AS (SELECT user_id AS house_id, date_trunc('second', ts) tss,
+           CASE event_type WHEN 'view' THEN 'aggregate'
+             WHEN 'click' THEN 'fridge_freezer'
+             WHEN 'purchase' THEN 'washing_machine'
+             WHEN 'signup' THEN 'vivarium' ELSE 'other' END series, value
+           FROM events
+           WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                             WHERE event_type = 'view')),
+         wide AS (SELECT house_id, tss,
+           CAST(coalesce(sum(value) FILTER (WHERE series = 'aggregate'), 0) AS FLOAT) xa,
+           CAST(coalesce(sum(value) FILTER (WHERE series = 'fridge_freezer'), 0) AS FLOAT) y0
+           FROM r GROUP BY 1, 2),
+         ix AS (SELECT *, row_number() OVER (PARTITION BY house_id ORDER BY tss) - 1 idx
+           FROM wide),
+         nn AS (SELECT house_id, count(*) cnt FROM ix GROUP BY 1),
+         w AS (SELECT house_id, unnest(range(0, (cnt - 32) // 16 + 1)) wid
+           FROM nn WHERE cnt >= 32),
+         m AS (SELECT w.house_id, wid, ix.idx,
+           CAST(round(CAST(ix.xa AS DOUBLE) * 100) AS BIGINT) xc,
+           CAST(round(CAST(ix.y0 AS DOUBLE) * 100) AS BIGINT) yc
+           FROM w JOIN ix ON ix.house_id = w.house_id
+             AND ix.idx BETWEEN wid * 16 AND wid * 16 + 31)
+         SELECT house_id, wid AS window_id, CAST(count(*) AS INT) AS len,
+           md5(string_agg(CAST(xc AS VARCHAR), ',' ORDER BY idx)) AS xhash,
+           md5(string_agg(CAST(yc AS VARCHAR), ',' ORDER BY idx)) AS y0hash
+         FROM m GROUP BY 1, 2 ORDER BY house_id, window_id""",
 
     "q48_metrics" ->
       """WITH m AS (SELECT value,
