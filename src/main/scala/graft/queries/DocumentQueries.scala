@@ -231,6 +231,54 @@ object DocumentQueries {
         .orderBy($"doc_id")
     }),
 
+    // IVF-style ANN: 8 deterministic centroids (the first vectors),
+    // every vector assigned to its nearest centroid cell (brute force
+    // vs 8 broadcast centroids — cheap), queries probe their top-2
+    // cells and rank only candidates in those cells. At scale the
+    // centroid count grows ~sqrt(n) and assignment stays one broadcast
+    // pass; the probe join is cell-keyed, never all-pairs.
+    "q50_ivf_ann" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm($"emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cent = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val simToCent = e.join(broadcast(cent))
+        .select($"vec_id", $"cent_id",
+          cosine($"emb", $"cemb", $"nrm", $"cnrm").as("csim"))
+      val wAssign = Window.partitionBy($"vec_id")
+        .orderBy($"csim".desc, $"cent_id")
+      val cells = simToCent
+        .withColumn("rk", row_number().over(wAssign))
+        .filter($"rk" === 1)
+        .select($"vec_id", $"cent_id".as("cell"))
+      val assigned = e.join(cells, "vec_id")
+      // queries probe their 2 nearest cells
+      val probes = simToCent.filter($"vec_id" < 5)
+        .withColumn("rk", row_number().over(wAssign))
+        .filter($"rk" <= 2)
+        .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+      val qvec = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"nrm".as("qnrm"))
+      val scored = assigned
+        .join(broadcast(probes), Seq("cell"))
+        .join(broadcast(qvec), Seq("query_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+        .distinct()
+      val wRank = Window.partitionBy($"query_id")
+        .orderBy($"cos".desc, $"neighbor_id")
+      scored
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Embedding-cosine near-dup (the vector member of the dedup family):
     // LSH buckets propose candidate pairs (same sign-bit bucket, never
     // all-pairs), exact cosine >= 0.35 confirms. Bucketing recomputation
@@ -389,6 +437,34 @@ object DocumentQueries {
          r AS (SELECT query_id, neighbor_id, cos,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
            FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    "q50_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm FROM e),
+         cent AS (SELECT vec_id cent_id, emb cemb, nrm cnrm FROM n
+           WHERE vec_id < 8),
+         sim AS (SELECT vec_id, cent_id,
+           ${dotSql("emb", "cemb")} / (nrm * cnrm) csim,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY ${dotSql("emb", "cemb")} / (nrm * cnrm) DESC, cent_id) rk
+           FROM n, cent),
+         cells AS (SELECT vec_id, cent_id cell FROM sim WHERE rk = 1),
+         probes AS (SELECT vec_id query_id, cent_id cell FROM sim
+           WHERE vec_id < 5 AND rk <= 2),
+         qv AS (SELECT vec_id query_id, emb qemb, nrm qnrm FROM n
+           WHERE vec_id < 5),
+         scored AS (SELECT DISTINCT p.query_id, a.vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM cells c JOIN n a ON a.vec_id = c.vec_id
+             JOIN probes p ON p.cell = c.cell
+             JOIN qv ON qv.query_id = p.query_id
+           WHERE a.vec_id <> p.query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) rnk FROM scored)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            round(cos, 6) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
