@@ -59,7 +59,7 @@ class SourcesSpec extends SparkSpec {
 
   test("REFIT: wide csv unpivot, aggregate detection, metadata fallback") {
     val ds = RefitSource.load(spark, fixture("refit"))
-    val ch = ds.channels.orderBy("channel_id").collect()
+    val ch = ds.channels.filter($"house_id" === 1).orderBy("channel_id").collect()
     val byId = ch.map(r => r.getAs[String]("channel_id") -> r).toMap
 
     // Aggregate column → raw "aggregate"; Appliance1 has metadata →
@@ -74,8 +74,18 @@ class SourcesSpec extends SparkSpec {
     // rate: dup timestamp creates a 0 delta which P10 drops → 8S
     assert(ch.forall(_.getAs[Long]("sample_rate_s") == 8L))
 
-    // 5 csv rows × 3 channels
-    assert(ds.readings.count() == 15)
+    // house 1: 5 csv rows × 3 channels; house 2 (different column
+    // count): 3 rows × 2 channels — per-house schemas are independent
+    val perHouse = ds.readings.groupBy("house_id").count()
+      .orderBy("house_id").as[(Long, Long)].collect().toSeq
+    assert(perHouse == Seq((1L, 15L), (2L, 6L)))
+    val h2 = ds.channels.filter($"house_id" === 2)
+      .select("channel_id", "raw_label").orderBy("channel_id")
+      .as[(String, String)].collect().toSeq
+    assert(h2 == Seq(("channel_1", "aggregate"), ("channel_2", "Appliance1")))
+    // house 2 rate: deltas of 10 s
+    assert(ds.channels.filter($"house_id" === 2)
+      .select("sample_rate_s").distinct().as[Long].head() == 10L)
     // Time/Issues never leak into the narrow layout
     assert(ds.readings.columns.toSeq ==
       Seq("dataset", "house_id", "channel_id", "ts", "power"))
