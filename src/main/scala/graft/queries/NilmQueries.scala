@@ -124,9 +124,14 @@ object NilmQueries {
     "q39_insights" -> ((s, d) => {
       import s.implicits._
       val ev = events(s, d)
-      val span = ev.groupBy($"user_id").agg(
-        round((unix_micros(max($"ts")) - unix_micros(min($"ts"))) / lit(3600e6), 4)
-          .as("span_hours"))
+      // span truncated to whole seconds before the hours division: an
+      // integer-second span can never land on a 4-decimal rounding
+      // boundary (s*50 = 9*(2k+1) has no integer solution), so the two
+      // engines' float round() always agree
+      val span = ev.groupBy($"user_id")
+        .agg((unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("span_us"))
+        .select($"user_id",
+          round(expr("span_us div 1000000") / lit(3600.0), 4).as("span_hours"))
       val hourly = ev
         .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
         .agg(avg($"value").as("m"))
@@ -416,7 +421,7 @@ object NilmQueries {
 
     "q39_insights" ->
       """WITH span AS (SELECT user_id,
-           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000.0, 4)
+           round(((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000) / 3600.0, 4)
              AS span_hours FROM events GROUP BY 1),
          hourly AS (SELECT user_id,
            CAST(sum(CASE WHEN m > 5.0 THEN 1 ELSE 0 END) AS BIGINT)

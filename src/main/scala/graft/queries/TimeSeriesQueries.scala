@@ -58,7 +58,12 @@ object TimeSeriesQueries {
         .withColumn("delta_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
         .filter($"delta_us" > 0)
         .groupBy($"user_id")
-        .agg(round(percentile($"delta_us", lit(0.5)) / 1e6, 4).as("median_delta_s"),
+        // median stays in exact µs: interpolation of integer deltas
+        // yields only .0/.5 doubles, so no rounding is needed — a
+        // round(x/1e6, 4) form hit values like x.xxxx50 where Spark's
+        // BigDecimal HALF_UP and DuckDB's float round() disagree
+        // (surfaced at sf0.1)
+        .agg(percentile($"delta_us", lit(0.5)).as("median_delta_us"),
              round(avg($"delta_us") / 1e6, 4).as("mean_delta_s"),
              count(lit(1)).as("n_deltas"))
         .orderBy($"user_id")
@@ -159,7 +164,7 @@ object TimeSeriesQueries {
 
     "q06_rate_infer" ->
       """SELECT user_id,
-         round(quantile_cont(delta_us, 0.5) / 1e6, 4) AS median_delta_s,
+         quantile_cont(delta_us, 0.5) AS median_delta_us,
          round(avg(delta_us) / 1e6, 4) AS mean_delta_s,
          CAST(count(*) AS BIGINT) AS n_deltas
          FROM (
