@@ -21,7 +21,34 @@ import org.apache.spark.sql.functions._
   * as a broadcast semi-join (Catalyst pushes the dataset/house equality
   * predicates into the parquet scan directly).
   */
+/** Typed row of the canonical readings fact table. */
+final case class Reading(dataset: String, house_id: Long, channel_id: String,
+                         ts: java.sql.Timestamp, power: Double)
+
+/** Typed row of the channels dimension. */
+final case class ChannelMeta(dataset: String, house_id: Long,
+                             channel_id: String, raw_label: String,
+                             universal_label: String, unit: String,
+                             data_type: String,
+                             sample_rate_s: Option[Long],
+                             manufacturer: String, model: String,
+                             acquisition_device: String)
+
 final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
+
+  /** Typed views for call sites that want compile-time schemas
+    * (`Dataset[T]` with case-class encoders); the engine's operators
+    * stay on DataFrame where schemas are dynamic. */
+  def typedReadings: org.apache.spark.sql.Dataset[Reading] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Reading]
+    readings.select("dataset", "house_id", "channel_id", "ts", "power")
+      .as[Reading]
+  }
+
+  def typedChannels: org.apache.spark.sql.Dataset[ChannelMeta] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ChannelMeta]
+    channels.as[ChannelMeta]
+  }
 
   /** Cross-dataset merge (T4) — schemas are canonical, so `unionByName`
     * is exact (reference: `channel_utils.py:29-41`). */

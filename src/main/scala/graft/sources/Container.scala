@@ -32,6 +32,22 @@ object Container {
     ds.channels.coalesce(1).write.mode(mode).parquet(s"$root/channels")
   }
 
+  /** Bucketed variant for co-located joins/aggregations: readings
+    * bucketed AND sorted by (channel_id) within (dataset, house_id)
+    * partitions, registered as a table (bucketing requires the
+    * catalog). Per-channel groupBys and self-joins on the bucket key
+    * then read pre-clustered data — no exchange. The 100 TB layout:
+    * bucket count sized so a bucket's rows fit an executor's memory. */
+  def writeBucketed(ds: NilmDataset, tableName: String,
+                    buckets: Int = 8): Unit =
+    ds.readings
+      .withColumn("power", col("power").cast("float"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "channel_id")
+      .sortBy("channel_id", "ts")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   def read(spark: SparkSession, root: String): NilmDataset = {
     val readings = spark.read.parquet(s"$root/readings")
       .withColumn("power", col("power").cast("double"))

@@ -113,6 +113,20 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq((50.0, 0.0), (60.0, 5.0)))
   }
 
+  test("bucketed container: per-bucket-key aggregation needs no exchange") {
+    val ds = UkdaleSource.load(spark, fixture("ukdale"))
+    Container.writeBucketed(ds, "graft_readings_bucketed", buckets = 4)
+    val agg = spark.table("graft_readings_bucketed")
+      .groupBy("channel_id").agg(sum("power"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed groupBy should not shuffle:\n$plan")
+    assert(agg.count() == 3) // channel_1, channel_2, channel_3
+    // typed views expose the same rows
+    assert(ds.typedReadings.count() == ds.readings.count())
+    assert(ds.typedChannels.filter(_.universal_label == "kettle").count() == 1)
+  }
+
   test("E1 golden composition: raw tree → container → facade query") {
     val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
     Container.write(UkdaleSource.load(spark, fixture("ukdale")), root)
