@@ -67,18 +67,33 @@ object TensorPrep {
         when(col("rl") === "aggregate", "aggregate").otherwise(col("l")))
       .filter(col("series") === "aggregate" ||
         col("series").isin(order: _*))
-    // houses must have an aggregate series
-    val withAgg = labeled.join(
-      labeled.filter(col("series") === "aggregate")
-        .select("dataset", "house_id").distinct(),
-      Seq("dataset", "house_id"))
-    // wide per-ts frame: aggregate + one column per label; a label with
-    // no channel in a house contributes zeros (na.fill after pivot)
-    val wide = withAgg
+    // wide per-ts frame in ONE conditional-agg pass (equivalent to a
+    // fixed-vocabulary pivot + fill): aggregate + one column per label,
+    // absent → 0; an aggregate-reading count rides along so the
+    // houses-must-have-an-aggregate filter (channel_utils.py:208-209)
+    // derives from this (house×ts)-sized frame instead of a second
+    // scan of the fact table.
+    val series = "aggregate" +: order
+    val aggs = series.map(sv =>
+      sum(when(col("series") === sv, col("power"))).as(sv)) :+
+      count(when(col("series") === "aggregate", 1)).as("__n_agg")
+    // persisted: feeds both the house filter and the windowing pass —
+    // one scan of the fact table total; this aligned frame is exactly
+    // what the reference materializes per house (and what a production
+    // pipeline would checkpoint)
+    val wideAll = labeled
       .groupBy("dataset", "house_id", "ts")
-      .pivot("series", "aggregate" +: order)
-      .agg(sum("power"))
-      .na.fill(0.0, "aggregate" +: order)
+      .agg(aggs.head, aggs.tail: _*)
+      .na.fill(0.0, series)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val housesWithAgg = wideAll
+      .groupBy("dataset", "house_id")
+      .agg(sum(col("__n_agg")).as("__na"))
+      .filter(col("__na") > 0)
+      .select("dataset", "house_id")
+    val wide = wideAll
+      .join(broadcast(housesWithAgg), Seq("dataset", "house_id"))
+      .drop("__n_agg")
     val em = Windowing.emit(wide,
       Seq(col("dataset"), col("house_id")), Seq(col("ts")), seqLen, step)
     val orderedRows =
