@@ -26,6 +26,10 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     def runOnce(name: String): Double = {
+      // persist()ed intermediates from a previous run would satisfy this
+      // run's structurally-equal plans via the CacheManager, silently
+      // timing warm-cache cost — every run starts cache-cold
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect() }
       catch { case _: Throwable => return -1.0 }

@@ -40,12 +40,33 @@ object TextOps {
 
   /** Distinct k-word shingles: ["a","b","c","d"] → ["a b c","b c d"].
     * Guarded so < k words yields an empty set (Spark's sequence(1,0)
-    * would otherwise count *down*). */
+    * would otherwise count *down*). Per-row expression form — for
+    * fact-scale work prefer [[shingleRows]] (codegen'd). */
   def shingles(w: Column, k: Int = ShingleK): Column = {
     val grams = transform(sequence(lit(1), size(w) - (k - 1)), i =>
       concat_ws(" ", (0 until k).map(j => element_at(w, i + lit(j))): _*))
     array_distinct(
       when(size(w) >= k, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** The scale form of [[shingles]]: exploded DISTINCT (id, shingle)
+    * rows built from posexplode + codegen'd `lead` windows instead of a
+    * per-row interpreted transform (which cost ~10 s at sf0.1 for the
+    * near-dup queries). Documents with < k words produce no rows (the
+    * empty shingle set). One shuffle keyed by the id. */
+  def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val tok = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+    val leads = (1 until k).map(j => lead(col("__w"), j).over(w).as(s"__w$j"))
+    tok.select(col(idCol) +: col("__w") +: leads: _*)
+      .filter(col(s"__w${k - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", col("__w") +: (1 until k).map(j => col(s"__w$j")): _*)
+          .as("shingle"))
+      .distinct()
   }
 
   /** String → 28-bit positive int64 via the first 7 md5 hex chars —

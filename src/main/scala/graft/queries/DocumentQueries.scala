@@ -51,11 +51,19 @@ object DocumentQueries {
     // would checkpoint before the bucket join.
     "q24_minhash_neardup" -> ((s, d) => {
       import s.implicits._
-      val sh = documents(s, d)
-        .select($"doc_id", shingles(words($"text")).as("sh"))
-      val sig = sh
-        .withColumn("ids", transform($"sh", hash28 _))
-        .select(Seq($"doc_id", $"sh") ++ signatureCols($"ids"): _*)
+      // exploded shingles + 16 codegen'd min-aggregates — the whole
+      // signature computation stays in whole-stage codegen (the per-row
+      // transform/array_min form cost ~10 s at sf0.1); docs with no
+      // shingles drop out, which changes nothing downstream (their
+      // candidate pairs have null/NaN jaccard and never pass the 0.5
+      // gate in either engine)
+      val sr = shingleRows(documents(s, d), "doc_id", "text")
+        .withColumn("id28", hash28($"shingle"))
+      val sigAggs = collect_set($"shingle").as("sh") +:
+        (0 until NumHashes).map(j =>
+          min(($"id28" * hashA(j) + hashB(j)) % MinhashPrime).as(s"m$j"))
+      val sig = sr.groupBy($"doc_id")
+        .agg(sigAggs.head, sigAggs.tail: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = sig
         .select($"doc_id", explode(bandStructs).as("band"))
@@ -108,23 +116,23 @@ object DocumentQueries {
     // threshold keeps only true near-dups.
     "q26_jaccard_pairs" -> ((s, d) => {
       import s.implicits._
-      // Persisted: the shingle frame feeds the inverted index (both join
-      // sides) and the per-doc size lookup — 3 recomputations otherwise.
-      val sh = documents(s, d)
-        .select($"doc_id", shingles(words($"text")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // shingleRows is already the exploded inverted-index input
+      // (codegen'd; the per-row shingles() transform cost ~10 s at
+      // sf0.1) — persisted because it feeds both self-join sides and
+      // the per-doc size lookup.
       // (A singleton-shingle semi-join prune was measured here and
       // reverted: this corpus's shingles are drawn from a small word
       // pool, so nearly all are shared and the prune pass is pure cost.
       // On natural text — mostly unique shingles — it pays; revisit if
       // the corpus changes.)
-      val ex = sh.select($"doc_id", explode($"sh").as("shingle"))
+      val ex = shingleRows(documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val common = ex.as("a")
         .join(ex.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .agg(count(lit(1)).as("common"))
-      val sz = sh.select($"doc_id", size($"sh").as("n"))
+      val sz = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       common
         .join(sz.as("za"), $"a_id" === col("za.doc_id"))
         .join(sz.as("zb"), $"b_id" === col("zb.doc_id"))

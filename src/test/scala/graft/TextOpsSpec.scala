@@ -18,6 +18,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2) == Seq("x y x", "y x y")) // 4 raw grams, 2 distinct
   }
 
+  test("shingleRows matches the expression form on every doc") {
+    val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "x y x y x y"),
+        (4L, "one two three"))
+      .toDF("doc_id", "text")
+    val viaExpr = df
+      .select($"doc_id", explode(TextOps.shingles(TextOps.words($"text"))).as("shingle"))
+      .as[(Long, String)].collect().toSet
+    val viaRows = TextOps.shingleRows(df, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(viaRows == viaExpr)
+    // doc 1 (< k words) absent from both
+    assert(!viaRows.exists(_._1 == 1L))
+  }
+
   test("hash28/hash60 produce bounded non-negative longs") {
     val (h28, h60) = Seq("hello", "", "καλημέρα")
       .toDF("t")
