@@ -129,6 +129,34 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
       .agg(sum(col("power")).as("aggregate_computed"))
   }
 
+  /** `resample_all_channels` (`UnifiedNILM.py:162-185`): bucket-mean
+    * every channel to `seconds`, SKIPPING channels whose current rate
+    * is already coarser (the per-channel no-upsample guard,
+    * `UnifiedNILM.py:118-120` — those pass through unchanged, as in the
+    * reference). Uses the dimension's `sample_rate_s`; channels with an
+    * unknown rate are resampled (the reference infers, then proceeds).
+    * One shuffle for the resampled readings; pass-through channels are
+    * not shuffled at all. */
+  def resampleAllChannels(seconds: Long): NilmDataset = {
+    val keys = Seq("dataset", "house_id", "channel_id")
+    val rateDim = broadcast(
+      channels.select((keys :+ "sample_rate_s").map(col): _*))
+    val tagged = readings.join(rateDim, keys)
+    val tooCoarse = col("sample_rate_s") > seconds
+    val passThrough = tagged.filter(tooCoarse)
+      .select("dataset", "house_id", "channel_id", "ts", "power")
+    val resampled = graft.operators.Resample.bucketAgg(
+        tagged.filter(!tooCoarse || col("sample_rate_s").isNull),
+        "ts", s"$seconds seconds", keys,
+        avg(col("power")).as("power"))
+      .select(col("dataset"), col("house_id"), col("channel_id"),
+        col("bucket_start").as("ts"), col("power"))
+    val newDim = channels.withColumn("sample_rate_s",
+      when(col("sample_rate_s") > seconds, col("sample_rate_s"))
+        .otherwise(lit(seconds)))
+    NilmDataset(resampled.unionByName(passThrough), newDim)
+  }
+
   /** A16: dataset-level sample rate = median of the per-channel rates
     * (`REFITLoader.py:111-116`). One row per dataset. */
   def sampleRateSummary: DataFrame =

@@ -59,6 +59,18 @@ class LabelsSpec extends SparkSpec {
         s"keyword $kw")
   }
 
+  test("attachUniversal (distinct+broadcast path) equals per-row mapping") {
+    import spark.implicits._
+    val df = NilmLabelSamples.all.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "raw_label")
+    val attached = Labels.attachUniversal(df, "raw_label")
+      .select($"id", $"universal_label")
+      .as[(Long, String)].collect().toMap
+    NilmLabelSamples.all.zipWithIndex.foreach { case (s, i) =>
+      assert(attached(i.toLong) == Labels.mapLabel(s), s"label '$s'")
+    }
+  }
+
   test("Column expression agrees with the Scala mapper") {
     import spark.implicits._
     val samples = NilmLabelSamples.all

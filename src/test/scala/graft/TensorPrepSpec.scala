@@ -71,6 +71,30 @@ class TensorPrepSpec extends SparkSpec {
     assert(h2w0._4 == Seq.fill(4)(Seq(0f, 2f)))
   }
 
+  test("resampleAllChannels: bucket-means fine channels, skips coarse ones") {
+    // dataset fixture rates are 8 s; mark the fridge channel as 32 s so
+    // the per-channel no-upsample guard passes it through untouched
+    val ds0 = dataset
+    val ds = ds0.copy(channels = ds0.channels.withColumn("sample_rate_s",
+      when($"channel_id" === "fri", 32L).otherwise($"sample_rate_s")))
+    val out = ds.resampleAllChannels(seconds = 16)
+    val counts = out.readings.filter($"house_id" === 1)
+      .groupBy("channel_id").count().orderBy("channel_id")
+      .as[(String, Long)].collect().toSeq
+    // agg/ket: 8 rows @8s → 4 buckets of 16s; fri (32s) passes through: 8
+    assert(counts == Seq(("agg", 4L), ("fri", 8L), ("ket", 4L)))
+    // bucket means: agg pairs (10,20),(30,40),(50,60),(70,80)
+    val aggVals = out.readings
+      .filter($"house_id" === 1 && $"channel_id" === "agg")
+      .orderBy("ts").select("power").as[Double].collect().toSeq
+    assert(aggVals == Seq(15.0, 35.0, 55.0, 75.0))
+    // dim rates updated only for resampled channels
+    val rates = out.channels.filter($"house_id" === 1)
+      .select("channel_id", "sample_rate_s").as[(String, Long)]
+      .collect().toMap
+    assert(rates("agg") == 16L && rates("fri") == 32L)
+  }
+
   test("activityFilter keeps windows with > minCount active samples") {
     val w = TensorPrep.windows(dataset, seqLen = 4, step = 2)
     // house 1 x-windows contain values 10..80: threshold 35 → window 0
