@@ -223,10 +223,14 @@ object NilmDataset {
     * (fallback "other").
     */
   def fromEvents(spark: SparkSession, sfDir: String): NilmDataset = {
+    // persisted: the JSON-parsed frame feeds BOTH the readings and the
+    // dimension (distinct) branches — one parse scan instead of two per
+    // facade query (get_json_object is regex-priced)
     val ev = graft.Tables.events(spark, sfDir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("channel_id",
         concat(col("event_type"), lit("_"), (col("k") % 2).cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // second-truncated ts so distinct channels actually share timestamps
     // (the raw event ts is µs-unique, which would make J1 alignment
     // degenerate); duplicate (channel, ts) seconds are kept — the sum
