@@ -81,6 +81,19 @@ object NilmQueries {
         .orderBy($"house_id", $"ts", $"channel_id", $"power")
     }),
 
+    // P4 + P3: all channels carrying a universal label, inclusively
+    // sliced (get_appliance_power, UnifiedNILM.py:385-401) — the
+    // label-driven sibling of q36.
+    "q51_appliance_power" -> ((s, d) => {
+      import s.implicits._
+      NilmDataset.fromEvents(s, d)
+        .getAppliancePower("washing_machine",
+          start = Some("2024-01-08 00:00:00"),
+          end = Some("2024-01-15 23:59:59"))
+        .select($"dataset", $"house_id", $"channel_id", $"ts", $"power")
+        .orderBy($"house_id", $"ts", $"channel_id", $"power")
+    }),
+
     // T2 + W3 + A12 as one API call: houses holding ALL required labels
     // (relational division), best channel per (house, label) by
     // (variance, length) — get_common_channels, channel_utils.py:7-81.
@@ -385,6 +398,18 @@ object NilmQueries {
            AND date_trunc('second', ts)
              BETWEEN '2024-01-05 00:00:00' AND '2024-01-10 23:59:59'
          ORDER BY house_id, ts, channel_id, power""",
+
+    "q51_appliance_power" ->
+      s"""SELECT 'events' AS dataset, user_id AS house_id,
+           $channelExpr AS channel_id, date_trunc('second', ts) AS ts,
+           value AS power
+         FROM events
+         WHERE event_type = 'purchase'
+           AND date_trunc('second', ts)
+             BETWEEN '2024-01-08 00:00:00' AND '2024-01-15 23:59:59'
+         ORDER BY house_id, ts, channel_id, power""",
+    // ^ purchase is the only event type whose raw label maps to
+    //   washing_machine (pinned by q34 + LabelsSpec)
 
     "q37_common_channels" ->
       s"""WITH lab AS (SELECT user_id, $channelExpr channel_id, value,
