@@ -53,6 +53,18 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(0).toSeq != rows(2).toSeq)
   }
 
+  test("native graft_dot equals the higher-order-function formulation") {
+    val df = Seq(
+        (Seq(0.1, -2.5, 3.75, 1e-3), Seq(4.0, 0.25, -1.5, 2.0)),
+        (Seq(1.0), Seq(1.0)))
+      .toDF("a", "b")
+    val rows = df.select(TextOps.dot($"a", $"b").as("native"),
+        TextOps.dotHof($"a", $"b").as("hof"))
+      .as[(Double, Double)].collect()
+    // identical left-to-right accumulation → bit-identical doubles
+    rows.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("dot / l2norm / cosine basics") {
     val out = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
         (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
