@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (round-1 verdict "What's wrong #3"): one untimed warm-up
   * pass over every query first (JIT + code cache + parquet footer cache),
-  * then 3 timed iterations per query; reported number is the median. The
+  * then >= 5 timed cache-cold iterations per query; reported number is
+  * the median, with per-query [min, max] spread alongside so regressions
+  * are distinguishable from sampling noise. The
   * sink is `collect()` — it materializes the full result on the driver,
   * so terminal sorts and all projected columns are actually paid for
   * (a `count()` sink lets Catalyst drop both). Result sets are small
@@ -24,11 +26,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q26_jaccard_pairs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     def runOnce(name: String): Double = {
       // persist()ed intermediates from a previous run would satisfy this
       // run's structurally-equal plans via the CacheManager, silently
       // timing warm-cache cost — every run starts cache-cold
+      Caching.release()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect() }
@@ -37,17 +45,26 @@ object Bench {
     }
     // warm-up (untimed)
     names.foreach(runOnce)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // >= 5 timed iterations (round-2 verdict: n=3 made round-over-round
+    // ratios untrustworthy); per-query spread is reported so a regression
+    // can be told apart from sampling noise
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = names.map { name =>
-      val times = (1 to iters).map(_ => runOnce(name)).sorted
-      val median =
-        if (times.contains(-1.0)) -1.0 else times(times.length / 2)
-      name -> median
+      val times = (1 to iters).map(_ => runOnce(name))
+      if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
+      else {
+        val sorted = times.sorted
+        name -> (sorted(sorted.length / 2), sorted.head, sorted.last)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, (_, mn, mx)) =>
+      "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$iters,"spread_min_max":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,36 +3,102 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing (builder brief): image/audio/video as
+/** Multimodal column support (builder brief): image/audio/video as
   * opaque `binary` columns with typed metadata, plus
-  * decode/feature-extract/resize/frame-sample stages.
+  * decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real and tested; the actual media DECODE is stubbed behind
-  * deterministic fakes (clearly marked below): this container has no
-  * image/audio codecs, and on a real cluster the stub body is the only
-  * thing that changes (swap the md5-derived fake for a JNI/pandas-UDF
-  * decoder with the same signature).
+  * Header DECODE is real for the codec-free container formats this
+  * environment can exercise — BMP (width/height from the
+  * BITMAPINFOHEADER) and canonical PCM WAV (sample rate / channel count
+  * / duration from the fmt+data chunks) — implemented as codegen'd
+  * byte-level expressions over the binary payload (hex-dump of the
+  * fixed-size header prefix + little-endian reassembly; no UDF, no
+  * shuffle, no driver involvement). Compressed codecs (JPEG entropy
+  * decode, MP3 frames, video) need native libraries this container does
+  * not ship; for those the FEATURE-extraction stage below stays a
+  * clearly-marked deterministic STUB behind a pluggable
+  * `binary → array<float>` slot, so a real embedding/decoder UDF drops
+  * in without touching any plumbing.
   *
-  * Scale design: per-row map work only — no shuffle, no driver
-  * involvement; binary payloads stay columnar in parquet and are never
-  * collected. Feature vectors are `array<float>` compatible with the
-  * similarity-search operators in [[TextOps]] / `DocumentQueries`.
+  * Scale design: per-row map work only; `hex` is applied to a bounded
+  * 64-byte header slice (never the whole payload), binary payloads stay
+  * columnar in parquet and are never collected. Feature vectors are
+  * `array<float>` compatible with the similarity-search operators in
+  * [[TextOps]] / `DocumentQueries`.
   */
 object Multimodal {
 
-  /** Typed metadata for an opaque media payload: byte length, a 64-bit
-    * content id, and (STUB) fake dimensions derived deterministically
-    * from the length — a real decoder would read the container header
-    * instead. */
+  /** Bytes of header hexed for parsing — covers the 54-byte BMP header
+    * and the 44-byte canonical WAV header. */
+  private val HeaderBytes = 64
+
+  /** Little-endian unsigned integer of `n` bytes at 0-based byte offset
+    * `off` within the hex dump `h` (two hex chars per byte, uppercase —
+    * identical in Spark and DuckDB). */
+  private def leUint(h: Column, off: Int, n: Int): Column =
+    conv(concat(((n - 1) to 0 by -1).map(k =>
+      substring(h, 2 * (off + k) + 1, 2)): _*), 16, 10).cast("long")
+
+  /** Hex chars for byte range [off, off+n) of the header dump. */
+  private def hexAt(h: Column, off: Int, n: Int): Column =
+    substring(h, 2 * off + 1, 2 * n)
+
+  /** Little-endian hex encoding of numeric column `v` in `n` bytes —
+    * the writer-side inverse of [[leUint]] (used by the payload
+    * builders below and by tests that synthesize fixtures). */
+  def leHex(v: Column, n: Int): Column = {
+    val h = lpad(hex(v.cast("long")), 2 * n, "0")
+    concat(((n - 1) to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*)
+  }
+
+  /** Typed metadata for an opaque media payload. Detects the container
+    * format from its magic bytes and parses the REAL header fields:
+    *
+    *   - `fmt`: "bmp" | "wav" | "opaque"
+    *   - BMP (magic "BM", ≥ 54 bytes): `width`, `height` from the
+    *     BITMAPINFOHEADER int32s at byte offsets 18 / 22 (little-endian)
+    *   - canonical PCM WAV ("RIFF"+"WAVE", ≥ 44 bytes, fmt chunk at
+    *     offset 12, data chunk at 36): `sample_rate` (offset 24),
+    *     `n_channels` (offset 22), `duration_ms` = floor(data_size *
+    *     1000 / byte_rate) from offsets 40 / 28
+    *   - non-matching fields are null; every payload gets `mime`,
+    *     `media_len` (bytes) and a 64-bit `content_id` (md5 prefix).
+    *
+    * All pure codegen'd expressions over a 64-byte header slice. */
   def withMediaMeta(df: DataFrame, media: Column, mime: String): DataFrame = {
+    val h = hex(substring(media, 1, HeaderBytes))
     val len = length(media).cast("long")
+    val isBmp = hexAt(h, 0, 2) === "424D" && len >= 54 // "BM"
+    val isWav = hexAt(h, 0, 4) === "52494646" && // "RIFF"
+      hexAt(h, 8, 4) === "57415645" && // "WAVE"
+      hexAt(h, 12, 4) === "666D7420" && len >= 44 // "fmt "
+    val byteRate = leUint(h, 28, 4)
+    val dataSize = leUint(h, 40, 4)
     df.withColumn("mime", lit(mime))
       .withColumn("media_len", len)
-      .withColumn("width", len % 64 + 1) // STUB: header parse
-      .withColumn("height", len * 7 % 64 + 1) // STUB: header parse
+      .withColumn("fmt",
+        when(isBmp, "bmp").when(isWav, "wav").otherwise("opaque"))
+      .withColumn("width", when(isBmp, leUint(h, 18, 4)))
+      .withColumn("height", when(isBmp, leUint(h, 22, 4)))
+      .withColumn("sample_rate", when(isWav, leUint(h, 24, 4)))
+      .withColumn("n_channels", when(isWav, leUint(h, 22, 2)))
+      .withColumn("duration_ms",
+        when(isWav && byteRate > 0,
+          floor(dataSize * lit(1000.0) / byteRate).cast("long")))
       .withColumn("content_id", substring(md5(media), 1, 16))
   }
+
+  /** A feature extractor maps an opaque payload column to a fixed-dim
+    * `array<float>` vector. [[fakeFeatures]] is the stub default. */
+  type FeatureExtractor = (Column, Int) => Column
+
+  /** Attach a feature vector column. The default extractor is the
+    * deterministic STUB below; a production pipeline passes a real
+    * decoder (Pandas-UDF embedding, JNI codec) with the same signature
+    * — nothing else changes. */
+  def withFeatures(df: DataFrame, media: Column, dim: Int,
+                   extractor: FeatureExtractor = fakeFeatures): DataFrame =
+    df.withColumn("features", extractor(media, dim))
 
   /** STUB decode → fixed-dim feature vector. Deterministic fake:
     * feature i = (md5(hex(payload) ++ "_" ++ i) first 4 hex digits)
@@ -49,4 +115,37 @@ object Multimodal {
   def frameOffsets(media: Column, stride: Int): Column =
     sequence(lit(0L), greatest(length(media).cast("long") - 1, lit(0L)),
       lit(stride.toLong))
+
+  // -------------------------------------------------------------------
+  // Writer-side payload builders (fixture synthesis + round-trip tests):
+  // canonical headers assembled as hex and `unhex`ed back to binary.
+  // -------------------------------------------------------------------
+
+  /** A minimal canonical BMP file: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER (24 bpp, no compression) + `pixelData` appended
+    * raw. The parser above recovers `width`/`height` exactly. */
+  def bmpPayload(width: Column, height: Column, pixelData: Column): Column = {
+    val dataLen = length(pixelData).cast("long")
+    unhex(concat(
+      lit("424D"), leHex(dataLen + 54, 4), lit("00000000"), leHex(lit(54), 4),
+      leHex(lit(40), 4), leHex(width, 4), leHex(height, 4),
+      leHex(lit(1), 2), leHex(lit(24), 2), lit("00" * 24),
+      hex(pixelData)))
+  }
+
+  /** A canonical 44-byte-header PCM WAV file (16-bit samples) around
+    * raw `samples` bytes. The parser above recovers `sample_rate`,
+    * `n_channels` and `duration_ms` exactly. */
+  def wavPayload(sampleRate: Column, nChannels: Column,
+                 samples: Column): Column = {
+    val dataLen = length(samples).cast("long")
+    val blockAlign = nChannels * 2
+    val byteRate = sampleRate * blockAlign
+    unhex(concat(
+      lit("52494646"), leHex(dataLen + 36, 4), lit("57415645"),
+      lit("666D7420"), leHex(lit(16), 4), leHex(lit(1), 2),
+      leHex(nChannels, 2), leHex(sampleRate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(lit(16), 2),
+      lit("64617461"), leHex(dataLen, 4), hex(samples)))
+  }
 }

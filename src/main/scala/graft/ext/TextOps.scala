@@ -167,6 +167,91 @@ object TextOps {
   def lshBucket(emb: Column): Column =
     concat((0 until LshPlanes).map(j => lshBit(j, emb)): _*)
 
+  /** Exact n-gram Jaccard pairs (similarity >= tNum/tDen) via an
+    * inverted shingle index with PREFIX FILTERING (the AllPairs/PPJoin
+    * family, Bayardo et al., WWW'07 — public literature): under any
+    * global total order on shingles, two sets with Jaccard >= t must
+    * share a shingle among each one's first `|d| - ceil(t*|d|) + 1`
+    * shingles. Ordering globally by (document frequency ASC, shingle)
+    * therefore lets the self-join index only each document's ~(1-t)
+    * RAREST shingles — the hot/stopword shingles that make a naive
+    * inverted-index join blow up as Σ df(shingle)² sort LAST and almost
+    * never enter the prefix — while candidate generation stays EXACT
+    * (no false negatives; verification recomputes true Jaccard from the
+    * full sets). This replaces a lossy df-threshold cap: same hot-key
+    * protection, zero semantic drift, always on.
+    *
+    * The threshold is a rational tNum/tDen so the prefix length uses
+    * exact integer arithmetic (`ceil(t*n)` in doubles rounds 0.8*5 up
+    * to 5 and silently shortens the prefix → false negatives).
+    *
+    * Scale shape: one groupBy(shingle) for document frequencies
+    * (map-side combinable), one window per doc_id for the prefix rank,
+    * a prefix-only self-join, then a candidate-keyed verify join
+    * against the per-doc shingle sets. Never all-pairs.
+    *
+    * Output: (a_id, b_id, jaccard DOUBLE) with a_id < b_id. */
+  def jaccardPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, tNum: Int, tDen: Int,
+                   k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    // the exploded (doc, shingle) index feeds the df count, the prefix
+    // rank, and the verification sets — persisted via the caller-released
+    // registry (see graft.Caching)
+    val ex = graft.Caching.persisted(shingleRows(docs, idCol, textCol, k))
+    // document frequency via a window over shingle (one shuffle; a
+    // groupBy + re-join would shuffle twice), then prefix rank + doc
+    // size in ONE doc-partitioned pass (both windows share the
+    // partitioning, so Catalyst plans a single exchange)
+    val wSh = Window.partitionBy(col("shingle"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    val wN = Window.partitionBy(col(idCol))
+    // prefix length p = n - ceil(t*n) + 1, in exact integer arithmetic:
+    // ceil(tNum*n/tDen) = (tNum*n + tDen - 1) DIV tDen. Column `/` is
+    // double division; floor() of it is exact here (the true quotient
+    // is a multiple of 1/tDen, far beyond one ulp from the neighboring
+    // integers for any realistic shingle count).
+    val n = count(lit(1)).over(wN)
+    val ceilT = floor((n * tNum + lit(tDen - 1)) / lit(tDen.toDouble)).cast("long")
+    val prefixLen = n - ceilT + lit(1L)
+    val ranked = ex
+      .withColumn("__df", count(lit(1)).over(wSh))
+      .select(col(idCol), col("shingle"),
+        row_number().over(wDoc).as("__rk"),
+        prefixLen.as("__p"), n.as("__n"))
+    val prefix = ranked
+      .filter(col("__rk") <= col("__p"))
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    // verification: exact overlap counts via candidate-keyed joins back
+    // to the full index (row traffic = |cand| * avg set size — candidate
+    // pairs only, never all pairs; cheaper than collecting per-doc
+    // shingle arrays). Per-doc sizes ride out of the ranked frame (one
+    // row per doc at __rk = 1) — no extra shuffle over the index.
+    val sz = ranked.filter(col("__rk") === 1).select(col(idCol), col("__n"))
+    val common = cand
+      .join(ex.as("ea"), col("a_id") === col(s"ea.$idCol"))
+      .join(ex.as("eb"),
+        col("b_id") === col(s"eb.$idCol") &&
+          col("ea.shingle") === col("eb.shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(sz.as("za"), col("a_id") === col(s"za.$idCol"))
+      .join(sz.as("zb"), col("b_id") === col(s"zb.$idCol"))
+      .withColumn("jaccard",
+        col("__common").cast("double")
+          / (col("za.__n") + col("zb.__n") - col("__common")))
+      .filter(col("jaccard") >= lit(tNum.toDouble) / tDen)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** The scale form of [[lshBucket]]: identical buckets, but computed
     * as posexplode → broadcast join against a (position, plane-signs)
     * table → codegen'd grouped sums, instead of the interpreted per-row

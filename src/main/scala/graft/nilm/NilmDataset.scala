@@ -184,15 +184,16 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
     // per-channel score over the fact table — persisted: the score
     // frame is dimension-sized (one row per channel) but feeds both the
     // division branch and the final ranked join, which would otherwise
-    // each rescan the fact table
-    val scored = readings.join(
+    // each rescan the fact table. Registered with graft.Caching: the
+    // caller releases it after the terminal action (see Caching's
+    // contract).
+    val scored = graft.Caching.persisted(readings.join(
         broadcast(cand.select("dataset", "house_id", "channel_id",
           "universal_label")),
         Seq("dataset", "house_id", "channel_id"))
       .groupBy("dataset", "house_id", "channel_id", "universal_label")
       .agg(variance(col("power")).as("variance"),
-        count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("n")))
     // division: houses holding every required label
     val eligible = scored
       .groupBy("dataset", "house_id")
@@ -225,12 +226,12 @@ object NilmDataset {
   def fromEvents(spark: SparkSession, sfDir: String): NilmDataset = {
     // persisted: the JSON-parsed frame feeds BOTH the readings and the
     // dimension (distinct) branches — one parse scan instead of two per
-    // facade query (get_json_object is regex-priced)
-    val ev = graft.Tables.events(spark, sfDir)
+    // facade query (get_json_object is regex-priced). Registered with
+    // graft.Caching — the caller releases after its terminal action.
+    val ev = graft.Caching.persisted(graft.Tables.events(spark, sfDir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("channel_id",
-        concat(col("event_type"), lit("_"), (col("k") % 2).cast("string")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        concat(col("event_type"), lit("_"), (col("k") % 2).cast("string"))))
     // second-truncated ts so distinct channels actually share timestamps
     // (the raw event ts is µs-unique, which would make J1 alignment
     // degenerate); duplicate (channel, ts) seconds are kept — the sum

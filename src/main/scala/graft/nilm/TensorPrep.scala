@@ -80,12 +80,12 @@ object TensorPrep {
     // persisted: feeds both the house filter and the windowing pass —
     // one scan of the fact table total; this aligned frame is exactly
     // what the reference materializes per house (and what a production
-    // pipeline would checkpoint)
-    val wideAll = labeled
+    // pipeline would checkpoint). Registered with graft.Caching — the
+    // caller releases after its terminal action.
+    val wideAll = graft.Caching.persisted(labeled
       .groupBy("dataset", "house_id", "ts")
       .agg(aggs.head, aggs.tail: _*)
-      .na.fill(0.0, series)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .na.fill(0.0, series))
     val housesWithAgg = wideAll
       .groupBy("dataset", "house_id")
       .agg(sum(col("__n_agg")).as("__na"))

@@ -62,9 +62,8 @@ object DocumentQueries {
       val sigAggs = collect_set($"shingle").as("sh") +:
         (0 until NumHashes).map(j =>
           min(($"id28" * hashA(j) + hashB(j)) % MinhashPrime).as(s"m$j"))
-      val sig = sr.groupBy($"doc_id")
-        .agg(sigAggs.head, sigAggs.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = graft.Caching.persisted(
+        sr.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*))
       val bands = sig
         .select($"doc_id", explode(bandStructs).as("band"))
         .select($"doc_id", $"band.bi".as("bi"), $"band.bk".as("bk"))
@@ -111,35 +110,17 @@ object DocumentQueries {
         .orderBy($"doc_id")
     }),
 
-    // Exact n-gram Jaccard pairs via an inverted shingle index (join on
-    // shingle, group by pair) — bucket join, not a cross join; the 0.8
-    // threshold keeps only true near-dups.
+    // Exact n-gram Jaccard pairs via an inverted shingle index with
+    // PREFIX FILTERING (TextOps.jaccardPairs): only each document's
+    // rarest ~(1-t) shingles enter the self-join, so hot/stopword
+    // shingles — the Σ df² blowup of a naive inverted index on natural
+    // text — never generate candidates, while results stay EXACT (the
+    // verify step recomputes true Jaccard from the full sets). Always
+    // on; no semantic drift vs the oracle.
     "q26_jaccard_pairs" -> ((s, d) => {
       import s.implicits._
-      // shingleRows is already the exploded inverted-index input
-      // (codegen'd; the per-row shingles() transform cost ~10 s at
-      // sf0.1) — persisted because it feeds both self-join sides and
-      // the per-doc size lookup.
-      // (A singleton-shingle semi-join prune was measured here and
-      // reverted: this corpus's shingles are drawn from a small word
-      // pool, so nearly all are shared and the prune pass is pure cost.
-      // On natural text — mostly unique shingles — it pays; revisit if
-      // the corpus changes.)
-      val ex = shingleRows(documents(s, d), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val common = ex.as("a")
-        .join(ex.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("common"))
-      val sz = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      common
-        .join(sz.as("za"), $"a_id" === col("za.doc_id"))
-        .join(sz.as("zb"), $"b_id" === col("zb.doc_id"))
-        .withColumn("jac",
-          $"common".cast("double") / (col("za.n") + col("zb.n") - $"common"))
-        .filter($"jac" >= 0.8)
-        .select($"a_id", $"b_id", round($"jac", 6).as("jaccard"))
+      jaccardPairs(documents(s, d), "doc_id", "text", tNum = 4, tDen = 5)
+        .select($"a_id", $"b_id", round($"jaccard", 6).as("jaccard"))
         .orderBy($"a_id", $"b_id")
     }),
 
@@ -167,14 +148,19 @@ object DocumentQueries {
 
     // LSH-bucketed ANN: 4 md5-derived Rademacher hyperplanes → 16 sign
     // buckets; candidates and ranking stay within a bucket (the scale
-    // path: bucket-local joins instead of brute force).
+    // path: bucket-local joins instead of brute force). Bucketing uses
+    // the codegen'd sign-table join (withLshBucket) — identical buckets
+    // to the per-row HOF by construction (parity-tested in
+    // TextOpsSpec), ~1000× cheaper per row; the bucketed frame is
+    // persisted because the query set is a filter of it.
     "q28_lsh_ann" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
-      val e = embeddings(s, d)
-        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-        .withColumn("nrm", l2norm($"emb"))
-        .withColumn("bucket", lshBucket($"emb"))
+      val e = graft.Caching.persisted(withLshBucket(
+        embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb"))
       val q = e.filter($"vec_id" < 20)
         .select($"vec_id".as("query_id"), $"emb".as("qemb"),
           $"nrm".as("qnrm"), $"bucket".as("qbucket"))
@@ -248,10 +234,9 @@ object DocumentQueries {
     "q50_ivf_ann" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
-      val e = embeddings(s, d)
+      val e = graft.Caching.persisted(embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-        .withColumn("nrm", l2norm($"emb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn("nrm", l2norm($"emb")))
       val cent = e.filter($"vec_id" < 8)
         .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
       val simToCent = e.join(broadcast(cent))
@@ -294,12 +279,11 @@ object DocumentQueries {
     "q45_embed_neardup" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
-      val e = withLshBucket(
-          embeddings(s, d)
-            .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-            .withColumn("nrm", l2norm($"emb")),
-          "vec_id", "emb")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.Caching.persisted(withLshBucket(
+        embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb"))
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -311,17 +295,42 @@ object DocumentQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
-    // Multimodal column plumbing: text treated as an opaque binary
-    // payload with typed metadata via graft.ext.Multimodal (whose decode
-    // stages are stubbed deterministically — no media libs in this
-    // container; the schema/partitioning path here is real).
+    // Multimodal columns, opaque path: payloads whose container format
+    // the engine does not recognize get typed metadata (length, format
+    // tag, content id) and null header fields — the real header parse
+    // is exercised end-to-end by q52 below.
     "q33_multimodal_meta" -> ((s, d) => {
       import s.implicits._
       val media = documents(s, d)
         .select($"doc_id", encode($"text", "UTF-8").as("media"))
       graft.ext.Multimodal.withMediaMeta(media, $"media", "text/plain")
-        .select($"doc_id", $"mime", $"media_len", $"width", $"height",
-          $"content_id")
+        .select($"doc_id", $"mime", $"fmt", $"media_len", $"width",
+          $"height", $"content_id")
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal columns, REAL header decode: each document's text
+    // bytes are wrapped in a canonical BMP (even doc_id) or PCM WAV
+    // (odd doc_id) container whose header fields are derived from
+    // doc_id, then Multimodal.withMediaMeta parses the actual bytes
+    // back. The oracle does NOT mirror the parser — it recomputes every
+    // field directly from doc_id arithmetic, so a parse bug (wrong
+    // offset, wrong endianness) breaks the hash. Pure codegen'd
+    // byte-level expressions; per-row map work, no shuffle.
+    "q52_media_header" -> ((s, d) => {
+      import s.implicits._
+      val width = ($"doc_id" % 509 + 1).cast("long")
+      val height = ($"doc_id" * 7 % 509 + 1).cast("long")
+      val rate = (lit(8000L) + ($"doc_id" % 8) * 1000).cast("long")
+      val nch = when($"doc_id" % 4 === 1, 1L).otherwise(2L)
+      val payload = encode($"text", "UTF-8")
+      val media = when($"doc_id" % 2 === 0,
+          graft.ext.Multimodal.bmpPayload(width, height, payload))
+        .otherwise(graft.ext.Multimodal.wavPayload(rate, nch, payload))
+      val mf = documents(s, d).select($"doc_id", media.as("media"))
+      graft.ext.Multimodal.withMediaMeta(mf, $"media", "application/octet-stream")
+        .select($"doc_id", $"fmt", $"media_len", $"width", $"height",
+          $"sample_rate", $"n_channels", $"duration_ms")
         .orderBy($"doc_id")
     })
   )
@@ -529,10 +538,28 @@ object DocumentQueries {
     "q33_multimodal_meta" ->
       """SELECT doc_id,
          'text/plain' AS mime,
+         'opaque' AS fmt,
          CAST(octet_length(encode(text)) AS BIGINT) AS media_len,
-         CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
-         CAST(octet_length(encode(text)) * 7 % 64 + 1 AS BIGINT) AS height,
+         CAST(NULL AS BIGINT) AS width,
+         CAST(NULL AS BIGINT) AS height,
          substr(md5(text), 1, 16) AS content_id
+         FROM documents ORDER BY doc_id""",
+
+    // Independent recomputation from doc_id arithmetic — deliberately
+    // NOT a re-implementation of the byte-level parser, so the two
+    // engines agree only if the Spark side writes and parses real
+    // canonical headers correctly.
+    "q52_media_header" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+         CAST(octet_length(encode(text))
+           + CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END AS BIGINT) AS media_len,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 509 + 1 AS BIGINT) END AS width,
+         CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 7 % 509 + 1 AS BIGINT) END AS height,
+         CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) END AS sample_rate,
+         CASE WHEN doc_id % 2 = 1 THEN CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) END AS n_channels,
+         CASE WHEN doc_id % 2 = 1 THEN CAST(floor(octet_length(encode(text)) * 1000.0
+           / ((8000 + (doc_id % 8) * 1000) * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END) * 2)) AS BIGINT) END AS duration_ms
          FROM documents ORDER BY doc_id"""
   )
 }

@@ -3,38 +3,123 @@ package graft
 import graft.ext.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: metadata derivation, stubbed feature decode
-  * (deterministic, correct shape), frame-offset generator shape. */
+/** Multimodal columns: REAL BMP/WAV header decode (golden byte-literal
+  * fixtures written by hand, not by the library's own builders),
+  * writer/parser round-trip, opaque fallback, pluggable features. */
 class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def media = Seq("hello world", "x").toDF("t")
-    .select($"t", encode($"t", "UTF-8").as("media"))
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
 
-  test("withMediaMeta: typed metadata columns from the binary payload") {
-    val out = Multimodal.withMediaMeta(media, $"media", "image/png")
-      .orderBy("media_len")
-      .select($"mime", $"media_len", $"width", $"height", $"content_id")
-      .as[(String, Long, Long, Long, String)].collect().toSeq
-    assert(out(0) == (("image/png", 1L, 2L, 8L,
-      out(0)._5))) // len 1 → width 1%64+1=2, height 7%64+1=8
-    assert(out(1)._2 == 11L && out(1)._3 == 12L && out(1)._4 == 77L % 64 + 1)
-    assert(out.map(_._5).distinct.size == 2 && out.forall(_._5.length == 16))
+  /** Hand-assembled 54-byte BMP header: width=2, height=3, 24 bpp.
+    * Little-endian fields written out byte-by-byte — if the parser had
+    * the wrong offset or endianness this fixture would catch it. */
+  private val goldenBmp: Array[Byte] = b(
+    0x42, 0x4D, // "BM"
+    0x36, 0x00, 0x00, 0x00, // file size 54
+    0x00, 0x00, 0x00, 0x00, // reserved
+    0x36, 0x00, 0x00, 0x00, // pixel offset 54
+    0x28, 0x00, 0x00, 0x00, // DIB header size 40
+    0x02, 0x00, 0x00, 0x00, // width 2  (offset 18)
+    0x03, 0x00, 0x00, 0x00, // height 3 (offset 22)
+    0x01, 0x00, // planes 1
+    0x18, 0x00, // 24 bpp
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)
+
+  /** Hand-assembled canonical PCM WAV header: 44100 Hz mono 16-bit,
+    * data chunk declares 88200 bytes (= exactly 1 s) + 4 sample bytes. */
+  private val goldenWav: Array[Byte] = b(
+    0x52, 0x49, 0x46, 0x46, // "RIFF"
+    0xAC, 0x58, 0x01, 0x00, // riff size 88200+36 (unused by parser)
+    0x57, 0x41, 0x56, 0x45, // "WAVE"
+    0x66, 0x6D, 0x74, 0x20, // "fmt "
+    0x10, 0x00, 0x00, 0x00, // fmt chunk size 16
+    0x01, 0x00, // PCM
+    0x01, 0x00, // 1 channel (offset 22)
+    0x44, 0xAC, 0x00, 0x00, // 44100 Hz (offset 24)
+    0x88, 0x58, 0x01, 0x00, // byte rate 88200 (offset 28)
+    0x02, 0x00, // block align
+    0x10, 0x00, // 16 bits/sample
+    0x64, 0x61, 0x74, 0x61, // "data"
+    0x88, 0x58, 0x01, 0x00, // data size 88200 (offset 40)
+    0x00, 0x01, 0x02, 0x03) // (first sample bytes)
+
+  test("withMediaMeta parses a hand-written BMP header") {
+    val df = Seq(Tuple1(goldenBmp)).toDF("media")
+    val r = Multimodal.withMediaMeta(df, $"media", "image/bmp")
+      .select($"fmt", $"media_len", $"width", $"height").collect()(0)
+    assert(r.getString(0) == "bmp")
+    assert(r.getLong(1) == 54L)
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 3L)
   }
 
-  test("fakeFeatures: fixed dim, deterministic, bounded") {
-    val f = media.select(Multimodal.fakeFeatures($"media", 8).as("f"))
-      .as[Seq[Float]].collect().toSeq
+  test("withMediaMeta parses a hand-written WAV header") {
+    val df = Seq(Tuple1(goldenWav)).toDF("media")
+    val r = Multimodal.withMediaMeta(df, $"media", "audio/wav")
+      .select($"fmt", $"sample_rate", $"n_channels", $"duration_ms")
+      .collect()(0)
+    assert(r.getString(0) == "wav")
+    assert(r.getLong(1) == 44100L)
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1000L) // 88200 bytes / 88200 B/s = 1.000 s
+  }
+
+  test("builder → parser round-trip recovers BMP and WAV fields") {
+    val df = Seq((1L, "pixelbytespixelbytes"), (2L, "abcdef"))
+      .toDF("id", "payload")
+    val bmp = Multimodal.withMediaMeta(
+      df.select($"id", Multimodal.bmpPayload(
+        $"id" + 10, $"id" * 3, encode($"payload", "UTF-8")).as("media")),
+      $"media", "image/bmp")
+      .select($"id", $"fmt", $"width", $"height", $"media_len")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bmp == Seq((1L, "bmp", 11L, 3L, 74L), (2L, "bmp", 12L, 6L, 60L)))
+    val wav = Multimodal.withMediaMeta(
+      df.select($"id", Multimodal.wavPayload(
+        lit(8000), lit(2), encode($"payload", "UTF-8")).as("media")),
+      $"media", "audio/wav")
+      .select($"id", $"fmt", $"sample_rate", $"n_channels", $"duration_ms")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // byte rate 8000*2*2 = 32000 B/s → 20 bytes = 0 ms, 6 bytes = 0 ms
+    assert(wav == Seq((1L, "wav", 8000L, 2L, 0L), (2L, "wav", 8000L, 2L, 0L)))
+  }
+
+  test("unrecognized payloads fall back to opaque with null header fields") {
+    val df = Seq("just some text", "BM but too short").toDF("t")
+      .select(encode($"t", "UTF-8").as("media"))
+    val rows = Multimodal.withMediaMeta(df, $"media", "text/plain")
+      .select($"fmt", $"width", $"sample_rate", $"content_id").collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == "opaque")
+      assert(r.isNullAt(1) && r.isNullAt(2))
+      assert(r.getString(3).length == 16)
+    }
+  }
+
+  test("withFeatures: stub default is deterministic; extractor is pluggable") {
+    val df = Seq("hello world", "x").toDF("t")
+      .select(encode($"t", "UTF-8").as("media"))
+    val f = Multimodal.withFeatures(df, $"media", 8)
+      .select($"features").as[Seq[Float]].collect().toSeq
     assert(f.forall(_.size == 8))
     assert(f.forall(_.forall(v => v >= -0.5f && v <= 0.5f)))
-    val f2 = media.select(Multimodal.fakeFeatures($"media", 8).as("f"))
-      .as[Seq[Float]].collect().toSeq
-    assert(f == f2)
+    val f2 = Multimodal.withFeatures(df, $"media", 8)
+      .select($"features").as[Seq[Float]].collect().toSeq
+    assert(f == f2) // deterministic
     assert(f(0) != f(1)) // different payloads → different vectors
+    // a custom extractor (here: constant vector) slots in unchanged
+    val custom = Multimodal.withFeatures(df, $"media", 3,
+        (_, dim) => array((0 until dim).map(i => lit(i.toFloat)): _*))
+      .select($"features").as[Seq[Float]].collect().toSeq
+    assert(custom.forall(_ == Seq(0f, 1f, 2f)))
   }
 
   test("frameOffsets: one offset per stride step") {
+    val media = Seq("hello world", "x").toDF("t")
+      .select($"t", encode($"t", "UTF-8").as("media"))
     val out = media.select(Multimodal.frameOffsets($"media", 4).as("o"))
       .orderBy(size($"o"))
       .as[Seq[Long]].collect().toSeq

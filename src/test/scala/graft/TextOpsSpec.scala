@@ -76,6 +76,62 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1)._1 == 0.0 && out(1)._3 == 0.0)
   }
 
+  test("withLshBucket equals the per-row lshBucket HOF bit-for-bit") {
+    // deterministic pseudo-embeddings spanning several buckets
+    val rnd = new scala.util.Random(123)
+    val df = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "emb")
+    val viaHof = df.select($"vec_id", TextOps.lshBucket($"emb").as("bucket"))
+      .as[(Long, String)].collect().toMap
+    val viaJoin = TextOps.withLshBucket(df, "vec_id", "emb")
+      .select($"vec_id", $"bucket")
+      .as[(Long, String)].collect().toMap
+    assert(viaJoin == viaHof)
+    assert(viaHof.values.toSet.size > 1) // fixture actually spans buckets
+  }
+
+  test("jaccardPairs (prefix filter) equals the naive inverted-index join") {
+    // skewed fixture: a hot stopword run shared by every doc (so hot
+    // shingles exist and the prefix must exclude them), plus rare tails;
+    // docs 1/2 and 3/4 are near-dups, 5 is unrelated
+    val hot = "the of and to in a is was"
+    val df = Seq(
+      (1L, s"$hot alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$hot alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, s"$hot red green blue cyan magenta yellow black white"),
+      (4L, s"$hot red green blue cyan magenta yellow black grey"),
+      (5L, "completely unrelated words nothing shared at all here now"),
+      (6L, "tiny doc"), // < k words → no shingles
+      (7L, s"$hot alpha beta gamma delta epsilon zeta eta theta")) // dup of 1
+      .toDF("doc_id", "text")
+    def naive(t: Double): Set[(Long, Long, Double)] = {
+      val ex = TextOps.shingleRows(df, "doc_id", "text")
+      val common = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("common"))
+      val sz = ex.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      common.join(sz.as("za"), $"a_id" === col("za.doc_id"))
+        .join(sz.as("zb"), $"b_id" === col("zb.doc_id"))
+        .withColumn("jac", $"common".cast("double") / (col("za.n") + col("zb.n") - $"common"))
+        .filter($"jac" >= t)
+        .select($"a_id", $"b_id", $"jac")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    for ((tn, td) <- Seq((4, 5), (1, 2), (1, 4), (1, 1))) {
+      val pref = TextOps.jaccardPairs(df, "doc_id", "text", tn, td)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == naive(tn.toDouble / td),
+        s"mismatch at threshold $tn/$td")
+      Caching.release()
+    }
+    // the exact duplicate pair must be found at every threshold
+    assert(TextOps.jaccardPairs(df, "doc_id", "text", 1, 1)
+      .as[(Long, Long, Double)].collect().toSet.contains((1L, 7L, 1.0)))
+    Caching.release()
+  }
+
   test("language ID picks the profile with most stopword hits") {
     val out = Seq("the cat sat on the mat and it is happy",
         "el gato es un animal y la casa es grande",
