@@ -101,4 +101,53 @@ object Postprocess {
       .otherwise(lit(null))
     df.withColumn("median_value", med)
   }
+
+  /** Sliding median with EXACT `scipy.ndimage.median_filter` semantics
+    * (the reference's smoothing, postprocessing.py:27-30) — for users
+    * replicating the reference's published numbers bit-for-bit, where
+    * [[slidingMedian]]'s quantile_cont semantics (shrinking edge frames,
+    * interpolation) differ at partition boundaries and even sizes.
+    *
+    * scipy's median_filter is a rank filter: window of `size` samples
+    * spanning offsets [-size/2, (size-1)/2], boundary mode 'reflect'
+    * (edge-duplicating pad: d c b a | a b c d | d c b a), and the
+    * selected value is the sorted window's element at 0-based index
+    * size/2 — NO interpolation for even sizes.
+    *
+    * Distributed form: the in-bounds frame comes from codegen'd
+    * lag/lead columns; the reflected pad values are recovered from that
+    * same frame (for a row within size/2 of the partition edge, the
+    * reflected samples are exactly the first/last in-bounds frame
+    * elements — a median only needs the multiset, not pad order), so no
+    * second pass and no per-partition collect is needed. Precondition:
+    * each partition has at least `size` rows (same as a meaningful
+    * scipy call) and `value` is non-null. Adds `median_value`. */
+  def slidingMedianScipy(df: DataFrame, key: Column, orderCols: Seq[Column],
+                         value: Column, size: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    val kl = size / 2 // extent left of center (also the rank index)
+    val kr = (size - 1) / 2 // extent right of center
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    val neighbors = (-kl to kr).map {
+      case 0 => value
+      case i if i < 0 => lag(value, -i).over(w)
+      case i => lead(value, i).over(w)
+    }
+    // ordered in-bounds window [x_max(1,i-kl) .. x_min(N,i+kr)]
+    val arrIn = filter(array(neighbors: _*), v => v.isNotNull)
+    val rn = row_number().over(w)
+    val cnt = count(lit(1)).over(Window.partitionBy(key))
+    // how many pad values are missing on each side
+    val ml = greatest(lit(0), lit(kl) - (rn - 1))
+    val mr = greatest(lit(0), lit(kr) - (cnt - rn))
+    // reflect pad x[1..ml] / x[N-mr+1..N] == the first ml / last mr
+    // in-bounds elements (slice with length 0 yields an empty array)
+    val nIn = org.apache.spark.sql.functions.size(arrIn) // (`size` is the param)
+    val padded = concat(
+      slice(arrIn, lit(1), ml),
+      arrIn,
+      slice(arrIn, nIn - mr + 1, mr))
+    df.withColumn("median_value",
+      element_at(array_sort(padded), kl + 1))
+  }
 }

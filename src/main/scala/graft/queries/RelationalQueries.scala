@@ -132,14 +132,22 @@ object RelationalQueries {
     }),
 
     // A13 exact quantile (train_bert_single.py:48-53 uses 0.99-quantile
-    // normalization): 0.99 quantile of order totals per status.
+    // normalization): 0.99 quantile of order totals per status. Exact
+    // `percentile` buffers each group's values (o_totalprice is
+    // high-cardinality — the buffer is the scale caveat); kept exact
+    // here because DuckDB's quantile_cont is exact. The engine API for
+    // non-oracle use is Quantiles.quantile(..., approx = true)
+    // (fixed-size sketch state; see QuantilesSpec for the error bound).
     "q16_quantile" -> ((s, d) => {
       import s.implicits._
+      import graft.operators.Quantiles
       orders(s, d)
         .groupBy($"o_orderstatus")
         .agg(
-          round(percentile($"o_totalprice", lit(0.99)), 4).as("p99_total"),
-          round(percentile($"o_totalprice", lit(0.5)), 4).as("median_total"))
+          round(Quantiles.quantile($"o_totalprice", 0.99, approx = false), 4)
+            .as("p99_total"),
+          round(Quantiles.quantile($"o_totalprice", 0.5, approx = false), 4)
+            .as("median_total"))
         .orderBy($"o_orderstatus")
     }),
 

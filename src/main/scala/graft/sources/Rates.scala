@@ -16,15 +16,23 @@ object Rates {
   /** Per-key inferred rate: keys... , `rate_s` (LONG, null when no
     * positive delta exists) and `sample_rate` (`"{n}S"` or "unknown").
     * Deltas ≤ 0 (duplicate timestamps) are dropped before the median
-    * (P10, `REFITLoader.py:84`). */
-  def inferPerKey(df: DataFrame, keys: Seq[Column], ts: Column): DataFrame = {
+    * (P10, `REFITLoader.py:84`).
+    *
+    * `approx = false` (default) keeps the exact median for oracle /
+    * reference parity — safe here even at scale because deltas are
+    * quantized to a few distinct values per channel, so the exact
+    * percentile buffer stays tiny. `approx = true` switches to the
+    * sketch-based quantile ([[graft.operators.Quantiles]]) for inputs
+    * where that assumption fails (e.g. high-jitter event streams). */
+  def inferPerKey(df: DataFrame, keys: Seq[Column], ts: Column,
+                  approx: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(ts)
     val d = unix_micros(ts) - lag(unix_micros(ts), 1).over(w)
     df.withColumn("__delta_us", d)
       .filter(col("__delta_us") > 0)
       .groupBy(keys: _*)
-      .agg(floor(percentile(col("__delta_us"), lit(0.5)) / 1e6).cast("long")
-        .as("rate_s"))
+      .agg(floor(graft.operators.Quantiles.quantile(col("__delta_us"), 0.5, approx) / 1e6)
+        .cast("long").as("rate_s"))
       .withColumn("sample_rate",
         when(col("rate_s").isNotNull, concat(col("rate_s"), lit("S")))
           .otherwise("unknown"))

@@ -57,35 +57,52 @@ object StreamingOps {
   case class Reading(device: String, ts: java.sql.Timestamp, apower: Double)
   case class Transition(device: String, ts: java.sql.Timestamp, on: Boolean)
 
+  /** Per-device transition-detector state: current ON/OFF plus the
+    * max event time already processed — the event-time guard that
+    * makes cross-batch ordering sound (a bare boolean state would let
+    * a late row in a later micro-batch emit a transition that travels
+    * BACKWARD in event time). */
+  case class OnOffState(on: Boolean, maxTsMs: Long)
+
   /** W6/W8 online: per-device ON/OFF transition detection with custom
     * state — the `flatMapGroupsWithState` form of the batch threshold +
     * run-length pass (postprocessing.py:32-42 + 5-24's edge detection).
-    * State is one boolean per device (bounded); each micro-batch's rows
-    * are ordered by event time before the scan, so within-batch order
-    * is deterministic (cross-batch late data is the watermark's job in
-    * the enclosing query). Emits one row per state change, including
-    * the initial OFF→ON if the first reading is above threshold. */
+    * State is (boolean, max-event-ts) per device — bounded. Each
+    * micro-batch's rows are ordered by event time before the scan, and
+    * rows at-or-before the state's max-seen event time are DROPPED:
+    * they arrived after a newer reading was already processed, and
+    * emitting their transition now would be out of event-time order
+    * (the enclosing query's watermark bounds how long such late rows
+    * can keep arriving; this guard makes the operator itself safe
+    * regardless). Emits one row per state change, including the
+    * initial OFF→ON if the first reading is above threshold. */
   def onOffTransitions(readings: DataFrame,
                        threshold: Double): Dataset[Transition] = {
     implicit val re = Encoders.product[Reading]
     implicit val te = Encoders.product[Transition]
-    implicit val se = Encoders.scalaBoolean
+    implicit val se = Encoders.product[OnOffState]
     implicit val ke = Encoders.STRING
     readings.as[Reading]
       .groupByKey(_.device)
-      .flatMapGroupsWithState[Boolean, Transition](
+      .flatMapGroupsWithState[OnOffState, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (device: String, rows: Iterator[Reading], state: GroupState[Boolean]) =>
-          var on = state.getOption.getOrElse(false)
+        (device: String, rows: Iterator[Reading], state: GroupState[OnOffState]) =>
+          val st = state.getOption.getOrElse(OnOffState(on = false, Long.MinValue))
+          var on = st.on
+          var maxTs = st.maxTsMs
           val out = scala.collection.mutable.ArrayBuffer[Transition]()
           rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
-            val nowOn = r.apower >= threshold
-            if (nowOn != on) {
-              out += Transition(device, r.ts, nowOn)
-              on = nowOn
+            val t = r.ts.getTime
+            if (t > maxTs) { // late (<= max-seen) rows are dropped
+              val nowOn = r.apower >= threshold
+              if (nowOn != on) {
+                out += Transition(device, r.ts, nowOn)
+                on = nowOn
+              }
+              maxTs = t
             }
           }
-          state.update(on)
+          state.update(OnOffState(on, maxTs))
           out.iterator
       }
   }

@@ -63,6 +63,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(5.0, 5.0, 7.0, 5.0, 5.0))
   }
 
+  test("slidingMedianScipy matches precomputed scipy.ndimage.median_filter vectors") {
+    // golden vectors for x = [5,1,4,2,8,3,9,7,6,0] computed from
+    // median_filter's documented semantics (mode='reflect' pad,
+    // rank size//2 selection — it is rank_filter(size//2), no
+    // interpolation); boundary values hand-checked: size=3 first
+    // window is reflect-pad [5|5,1] → sorted [1,5,5][1] = 5
+    val x = Seq(5.0, 1, 4, 2, 8, 3, 9, 7, 6, 0)
+    val golden = Map(
+      3 -> Seq(5.0, 4, 2, 4, 3, 8, 7, 7, 6, 0),
+      4 -> Seq(5.0, 5, 4, 4, 4, 8, 8, 7, 7, 6),
+      5 -> Seq(4.0, 4, 4, 3, 4, 7, 7, 6, 6, 6))
+    val df = series(x.map(_.toInt))
+    for ((sz, want) <- golden) {
+      val out = Postprocess.slidingMedianScipy(df, $"key", Seq($"ts"), $"value", sz)
+        .orderBy("ts").select("median_value").as[Double].collect().toSeq
+      assert(out == want, s"size=$sz")
+    }
+  }
+
+  test("slidingMedianScipy is partition-local (keys do not bleed)") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 0.0), ("a", 3, 10.0),
+        ("b", 1, 99.0), ("b", 2, 99.0), ("b", 3, 99.0))
+      .toDF("key", "ts", "value")
+    val out = Postprocess.slidingMedianScipy(df, $"key", Seq($"ts"), $"value", 3)
+      .orderBy("key", "ts").select("median_value").as[Double].collect().toSeq
+    // a: [10|10,0]→10, [10,0,10]→10, [0,10|10]→10 ; b: all 99
+    assert(out == Seq(10.0, 10.0, 10.0, 99.0, 99.0, 99.0))
+  }
+
   test("runs produces alternating run-length encoding") {
     val df = series(Seq(20, 20, 0, 20, 0, 0, 0))
     val out = Postprocess.runs(df, $"key", Seq($"ts"),

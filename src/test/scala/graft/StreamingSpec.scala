@@ -74,6 +74,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("onOffTransitions: cross-batch late rows cannot emit out-of-order transitions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val readings = mem.toDS().toDF("device", "ts_s", "apower")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+    val q = StreamingOps.onOffTransitions(readings, threshold = 30.0)
+      .writeStream.format("memory").queryName("mq_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: ON at t=100, OFF at t=200
+      mem.addData(("dev", 100L, 50.0), ("dev", 200L, 5.0))
+      q.processAllAvailable()
+      // batch 2: a LATE above-threshold row at t=150 — without the
+      // max-event-ts guard it would emit ON@150 *after* OFF@200 was
+      // already output (event-time travel backwards) — plus a genuinely
+      // new row at t=300
+      mem.addData(("dev", 150L, 80.0), ("dev", 300L, 45.0))
+      q.processAllAvailable()
+      val rows = spark.table("mq_late")
+        .orderBy("ts")
+        .select($"device", unix_timestamp($"ts"), $"on")
+        .as[(String, Long, Boolean)].collect().toSeq
+      assert(rows == Seq(
+        ("dev", 100L, true),
+        ("dev", 200L, false),
+        ("dev", 300L, true))) // late t=150 dropped, no out-of-order edge
+    } finally q.stop()
+  }
+
   test("dedupKeepFirst: within-watermark duplicate drop") {
     val q = StreamingOps.dedupKeepFirst(
         StreamingOps.mqttStream(spark, stageFixtureDir()),
