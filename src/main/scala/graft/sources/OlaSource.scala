@@ -13,11 +13,13 @@ import org.apache.spark.sql.expressions.Window
   * (`OlaLoader.py:108-149`).
   *
   * Spark has no native HDF5 source (SURVEY §2.1 S3), so the `.h5`
-  * containers are converted once to parquet by the driver-side dev tool
-  * `tools/h5_to_parquet.py`; this module consumes the converted wide
-  * frames (or any DataFrame of the same shape — the tests feed
-  * in-memory frames). Suffix parsing is F2; keep-first dedup is
-  * P11/W2; the row-sum is J1+A2 on the narrow layout.
+  * containers are converted to parquet by the driver-side dev tool
+  * `tools/h5_to_parquet.py` — parallel across (file, row-chunk) tasks,
+  * emitting a directory-of-parts dataset with an explicit [[RowIdxCol]]
+  * ingest-order column; this module consumes the converted wide frames
+  * (or any DataFrame of the same shape — the tests feed in-memory
+  * frames and multi-part directories). Suffix parsing is F2; keep-first
+  * dedup is P11/W2; the row-sum is J1+A2 on the narrow layout.
   */
 object OlaSource {
 
@@ -29,14 +31,28 @@ object OlaSource {
     "_Q" -> (("reactive", "VA")),
     "_PF" -> (("pf", "unitless")))
 
+  /** Explicit ingest-order column written by the parallel converter
+    * (`tools/h5_to_parquet.py`): global row index within the source
+    * file. Makes keep-first dedup exact regardless of how the
+    * directory-of-parts parquet is listed or partitioned. */
+  val RowIdxCol = "row_idx"
+
   private def narrow(wide: DataFrame, tsCol: String,
-                     cols: Seq[String]): DataFrame =
-    wide
-      .withColumn("__ord", monotonically_increasing_id())
+                     cols: Seq[String]): DataFrame = {
+    // prefer the converter's explicit order; monotonically_increasing_id
+    // is the fallback for ad-hoc frames and is only order-stable when
+    // the input is a single ordered source (single in-memory frame or
+    // one-file scan)
+    val ordered =
+      if (wide.columns.contains(RowIdxCol))
+        wide.withColumn("__ord", col(RowIdxCol))
+      else wide.withColumn("__ord", monotonically_increasing_id())
+    ordered
       .withColumn("ts", timestamp_seconds(col(tsCol).cast("double")))
       .unpivot(Array(col("ts"), col("__ord")),
         cols.map(c => col(s"`$c`").cast("double").as(c)).toArray,
         "col_name", "power")
+  }
 
   /** Keep-first per (col_name, ts) in ingest order (OlaLoader.py:117). */
   private def dedupKeepFirst(df: DataFrame): DataFrame = {
@@ -60,12 +76,11 @@ object OlaSource {
           Seq(col("k")), col("ts"))
         .collect().headOption.flatMap(r => Option(r.getAs[Long]("rate_s")))
 
-    val shellyCols =
-      if (shellyWide == null) Seq.empty[String]
-      else shellyWide.columns.filter(_ != tsCol).toSeq
-    val emonCols =
-      if (emonWide == null) Seq.empty[String]
-      else emonWide.columns.filter(_ != tsCol).toSeq
+    def dataCols(df: DataFrame): Seq[String] =
+      if (df == null) Seq.empty[String]
+      else df.columns.filter(c => c != tsCol && c != RowIdxCol).toSeq
+    val shellyCols = dataCols(shellyWide)
+    val emonCols = dataCols(emonWide)
     // EMONESP columns must carry a known suffix; others are ignored
     // (OlaLoader.py:86-106 `break` on first suffix hit)
     val emonMatched = emonCols.flatMap { c =>

@@ -71,6 +71,46 @@ class OlaSourceSpec extends SparkSpec {
     assert(rates("aggregate") == 10L)
   }
 
+  test("multi-part converted dataset: row_idx keeps ingest order across parts") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    // simulate the parallel converter's directory-of-parts output, with
+    // part FILENAMES deliberately ordered so that file-listing order
+    // contradicts ingest order: the later chunk (row_idx 2..3, holding
+    // the duplicate-ts row that must LOSE keep-first) gets the
+    // alphabetically-first part name. monotonically_increasing_id would
+    // crown the wrong row; the explicit row_idx must not.
+    val base = Files.createTempDirectory("ola_conv")
+    val dsDir = base.resolve("shelly_data.parquet")
+    Files.createDirectories(dsDir)
+    def writePart(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("ola_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, dsDir.resolve(name))
+    }
+    val chunkA = Seq( // ingest rows 0..1
+      (1600000000L, 100.0, 10.0, 0L),
+      (1600000010L, 110.0, 11.0, 1L))
+      .toDF("timestamp", "kitchen", "lamp", "row_idx")
+    val chunkB = Seq( // ingest rows 2..3 (dup ts 1600000010 must lose)
+      (1600000010L, 999.0, 999.0, 2L),
+      (1600000020L, 120.0, 12.0, 3L))
+      .toDF("timestamp", "kitchen", "lamp", "row_idx")
+    writePart(chunkB, "part-00000.parquet") // listing-first, ingest-last
+    writePart(chunkA, "part-00001.parquet")
+    val ds = OlaSource.loadConverted(spark, base.toString)
+    // row_idx must not surface as a channel
+    assert(!ds.channels.select("channel_id").as[String].collect()
+      .exists(_.contains("row_idx")))
+    val agg = ds.readings.filter($"channel_id" === "aggregate")
+      .orderBy("ts").select(unix_timestamp($"ts"), $"power")
+      .as[(Long, Double)].collect().toSeq
+    assert(agg == Seq(
+      (1600000000L, 110.0), (1600000010L, 121.0), (1600000020L, 132.0)))
+  }
+
   test("missing emon frame: shelly-only load still works") {
     val ds = OlaSource.load(spark, shelly, null)
     assert(ds.channels.count() == 3) // 2 shelly + aggregate
