@@ -25,7 +25,13 @@ object Container {
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     ds.readings
       .withColumn("power", col("power").cast("float")) // F13
-      .repartition(col("dataset"), col("house_id"))
+      // shuffle by (partition cols, channel): each task writes whole
+      // channels into its house's partition dir. Repartitioning by
+      // (dataset, house_id) alone would cap write parallelism at the
+      // house count and emit one arbitrarily-large file per house —
+      // a year of one house doesn't fit one write task at 100 TB.
+      // Channel files stay internally ts-clustered (source order).
+      .repartition(col("dataset"), col("house_id"), col("channel_id"))
       .write.mode(mode)
       .partitionBy("dataset", "house_id")
       .parquet(s"$root/readings")
