@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an `array<double>` embedding column
+  * — the production centroid source for IVF-style ANN
+  * (`DocumentQueries` q50 uses a deterministic first-k selection so the
+  * DuckDB oracle can replicate it bit-for-bit; real corpora want
+  * data-dependent centroids, which float-summation order makes
+  * non-oracle-reproducible — hence a library operator with its own
+  * spec rather than an oracle query).
+  *
+  * Scale shape per iteration:
+  *   - assignment: centroids are a k×dim broadcast (k ~ sqrt(n) stays
+  *     dimension-sized); each vector computes its nearest centroid in
+  *     one codegen'd pass — no shuffle;
+  *   - update: posexplode to (cluster, dim_pos, value) and one
+  *     map-side-combinable groupBy average — a single shuffle of
+  *     n×dim skinny rows per iteration.
+  *
+  * Initialization is deterministic: the k vectors with the smallest
+  * `md5(id)` — a reproducible pseudo-random spread (the k-means||
+  * oversampling refinement would drop in here; for IVF cell quality a
+  * hash-spread init + a few Lloyd rounds is the standard trade).
+  * Empty clusters keep their previous centroid. */
+object VectorKMeans {
+
+  /** One fitted model: centroids indexed 0..k-1. */
+  final case class Model(centroids: Array[(Int, Array[Double])]) {
+    def k: Int = centroids.length
+
+    /** Column expr: squared L2 distance from `emb` to centroid `c`. */
+    private def dist2(emb: Column, c: Array[Double]): Column =
+      c.zipWithIndex.map { case (v, i) =>
+        val d = element_at(emb, i + 1) - lit(v)
+        d * d
+      }.reduce(_ + _)
+
+    /** Nearest-centroid id for each row — broadcast-free codegen'd
+      * expression (the centroids are plan literals). */
+    def assignExpr(emb: Column): Column = {
+      val scored = centroids.map { case (cid, c) =>
+        struct(dist2(emb, c).as("d"), lit(cid).as("c"))
+      }
+      array_min(array(scored: _*))("c")
+    }
+
+    /** Adds `cluster` to `df`. */
+    def assign(df: DataFrame, embCol: String): DataFrame =
+      df.withColumn("cluster", assignExpr(col(embCol)))
+  }
+
+  /** Deterministic init: k distinct vectors with smallest md5(id). */
+  def init(df: DataFrame, idCol: String, embCol: String, k: Int): Model = {
+    val rows = df
+      .select(col(idCol), col(embCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .collect()
+    Model(rows.zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Any](1).map(_.toString.toDouble).toArray
+    })
+  }
+
+  /** `iters` Lloyd rounds from the deterministic init. */
+  def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
+          iters: Int): Model = {
+    var model = init(df, idCol, embCol, k)
+    for (_ <- 0 until iters) {
+      val assigned = model.assign(df, embCol)
+      // element-wise mean per cluster: skinny explode + one shuffle
+      val means = assigned
+        .select(col("cluster"), posexplode(col(embCol)).as(Seq("__p", "__v")))
+        .groupBy(col("cluster"), col("__p"))
+        .agg(avg(col("__v")).as("__m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+          e => e("__m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).toArray)
+        .toMap
+      model = Model(model.centroids.map { case (cid, prev) =>
+        cid -> means.getOrElse(cid, prev) // empty cluster keeps centroid
+      })
+    }
+    model
+  }
+
+  /** Within-cluster sum of squared distances (convergence metric). */
+  def cost(model: Model, df: DataFrame, embCol: String): Double = {
+    val scored = model.centroids.map { case (_, c) =>
+      c.zipWithIndex.map { case (v, i) =>
+        val d = element_at(col(embCol), i + 1) - lit(v)
+        d * d
+      }.reduce(_ + _)
+    }
+    df.select(least(scored.toIndexedSeq: _*).as("d"))
+      .agg(sum(col("d"))).collect()(0).getDouble(0)
+  }
+}

@@ -230,7 +230,11 @@ object DocumentQueries {
     // vs 8 broadcast centroids — cheap), queries probe their top-2
     // cells and rank only candidates in those cells. At scale the
     // centroid count grows ~sqrt(n) and assignment stays one broadcast
-    // pass; the probe join is cell-keyed, never all-pairs.
+    // pass; the probe join is cell-keyed, never all-pairs. The
+    // first-k centroid choice exists so the DuckDB oracle replicates
+    // cells bit-for-bit; the production centroid source is
+    // graft.ext.VectorKMeans (distributed Lloyd's, spec-verified),
+    // whose float-mean centroids are inherently not oracle-stable.
     "q50_ivf_ann" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
