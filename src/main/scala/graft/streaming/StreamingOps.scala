@@ -57,6 +57,48 @@ object StreamingOps {
   case class Reading(device: String, ts: java.sql.Timestamp, apower: Double)
   case class Transition(device: String, ts: java.sql.Timestamp, on: Boolean)
 
+  case class SessionRow(device: String, ts: java.sql.Timestamp,
+                        apower: Double, session_id: Long)
+
+  /** Per-device sessionizer state: running session counter + max event
+    * time processed (same late-row guard as [[OnOffState]]). */
+  case class SessionState(sessionId: Long, maxTsMs: Long)
+
+  /** The streaming form of [[graft.operators.Sessionize]]: gap-based
+    * session assignment with `flatMapGroupsWithState` — a reading more
+    * than `gapSeconds` after the previous one starts a new session.
+    * State per device is two longs (bounded); rows are processed in
+    * event-time order within a batch and late rows (at-or-before the
+    * max seen event time) are dropped, so session ids never travel
+    * backward across micro-batches. Ids are 1-based per device,
+    * consistent with the batch operator. */
+  def sessionize(readings: DataFrame, gapSeconds: Long): Dataset[SessionRow] = {
+    implicit val re = Encoders.product[Reading]
+    implicit val oe = Encoders.product[SessionRow]
+    implicit val se = Encoders.product[SessionState]
+    implicit val ke = Encoders.STRING
+    readings.as[Reading]
+      .groupByKey(_.device)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (device: String, rows: Iterator[Reading], state: GroupState[SessionState]) =>
+          val st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var sid = st.sessionId
+          var maxTs = st.maxTsMs
+          val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            val t = r.ts.getTime
+            if (t > maxTs) {
+              if (sid == 0L || t - maxTs > gapSeconds * 1000L) sid += 1
+              out += SessionRow(device, r.ts, r.apower, sid)
+              maxTs = t
+            }
+          }
+          state.update(SessionState(sid, maxTs))
+          out.iterator
+      }
+  }
+
   /** Per-device transition-detector state: current ON/OFF plus the
     * max event time already processed — the event-time guard that
     * makes cross-batch ordering sound (a bare boolean state would let

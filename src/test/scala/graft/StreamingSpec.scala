@@ -104,6 +104,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: gap sessions across micro-batches match the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val readings = mem.toDS().toDF("device", "ts_s", "apower")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+    val q = StreamingOps.sessionize(readings, gapSeconds = 60)
+      .writeStream.format("memory").queryName("mq_sess")
+      .outputMode("append").start()
+    try {
+      mem.addData(("dev", 100L, 1.0), ("dev", 110L, 2.0), ("dev", 300L, 3.0))
+      q.processAllAvailable()
+      // batch 2: late duplicate-era row (dropped) + session-2 tail + a
+      // gap opening session 3
+      mem.addData(("dev", 105L, 9.0), ("dev", 310L, 4.0), ("dev", 500L, 5.0))
+      q.processAllAvailable()
+      val got = spark.table("mq_sess")
+        .orderBy("ts")
+        .select(unix_timestamp($"ts"), $"session_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((100L, 1L), (110L, 1L), (300L, 2L),
+        (310L, 2L), (500L, 3L)))
+      // equivalence with the batch operator on the same (non-late) rows
+      val batch = graft.operators.Sessionize.assignSessions(
+          Seq(("dev", 100L), ("dev", 110L), ("dev", 300L), ("dev", 310L),
+            ("dev", 500L)).toDF("device", "ts_s")
+            .select($"device", timestamp_seconds($"ts_s").as("ts")),
+          $"device", $"ts", Nil, gapSeconds = 60)
+        .orderBy("ts").select(unix_timestamp($"ts"), $"session_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("dedupKeepFirst: within-watermark duplicate drop") {
     val q = StreamingOps.dedupKeepFirst(
         StreamingOps.mqttStream(spark, stageFixtureDir()),
