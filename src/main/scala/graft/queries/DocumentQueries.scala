@@ -31,7 +31,11 @@ object DocumentQueries {
 
   private val enStop = TextStats.StopwordProfiles.head._2
 
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy: defsA/defsB are declared below (forward reference)
+  lazy val defs: Map[String, (SparkSession, String) => DataFrame] =
+    defsA ++ defsB
+
+  private val defsA: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on full text, keep-first (min doc_id).
     // Map-side combinable; at 100 TB this is one shuffle on a 128-bit key.
@@ -50,6 +54,34 @@ object DocumentQueries {
     // scale the signature table is exactly what a production pipeline
     // would checkpoint before the bucket join.
     "q24_minhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      minhashPairs(s, d)
+        .select($"a_id", $"b_id", round($"jac", 6).as("jaccard"), $"est_jac")
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // Dedup-cluster assignment: connected components over the q24
+    // near-dup pair graph — every document labeled with the min doc_id
+    // of its duplicate cluster (the keep-one-representative step that
+    // follows near-dup detection in a training-data pipeline). Spark
+    // computes the fixpoint by iterative min-label propagation
+    // (ext/DedupClusters); the oracle reaches the same labels through a
+    // recursive-CTE transitive closure — two independent algorithms
+    // agreeing on the result.
+    "q53_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val pairs = minhashPairs(s, d).select($"a_id", $"b_id")
+      graft.ext.DedupClusters
+        .connectedComponents(documents(s, d), "doc_id", pairs)
+        .orderBy($"doc_id")
+    })
+  )
+
+  /** The q24 banded-MinHash near-dup pair set (a_id < b_id, exact
+    * jaccard `jac` >= 0.5, signature agreement estimate `est_jac`).
+    * Shared by q24 and the q53 cluster assignment. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    {
       import s.implicits._
       // exploded shingles + 16 codegen'd min-aggregates — the whole
       // signature computation stays in whole-stage codegen (the per-row
@@ -82,11 +114,13 @@ object DocumentQueries {
         .map(j => when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
         .reduce(_ + _)
       withSig
-        .select($"a_id", $"b_id", jac.as("jac"), round(est / lit(16.0), 4).as("est_jac"))
+        .select($"a_id", $"b_id", jac.as("jac"),
+          round(est / lit(16.0), 4).as("est_jac"))
         .filter($"jac" >= 0.5)
-        .select($"a_id", $"b_id", round($"jac", 6).as("jaccard"), $"est_jac")
-        .orderBy($"a_id", $"b_id")
-    }),
+    }
+  }
+
+  private val defsB: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 60-bit SimHash fingerprint per document (frequency-weighted token
     // votes). Formulated as explode → 60 codegen'd conditional sums →
@@ -387,6 +421,35 @@ object DocumentQueries {
          CAST(count(*) AS BIGINT) AS n_copies,
          CAST(min(doc_id) AS BIGINT) AS keep_doc
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+
+    // Same labels as Spark's min-label propagation, reached by a
+    // different algorithm: recursive-CTE transitive closure over the
+    // q24 pair graph, then min(reachable ∪ self) per document.
+    "q53_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         ids AS (SELECT doc_id, s,
+           list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
+           FROM sh),
+         sig AS (SELECT doc_id, s, $sigExprs m FROM ids),
+         bands AS (SELECT doc_id, bi,
+           concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
+           FROM sig, range(0, 4) t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+           FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         pr AS (SELECT a_id, b_id FROM cand
+           JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id
+           WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+         edges AS (SELECT a_id src, b_id dst FROM pr
+           UNION ALL SELECT b_id, a_id FROM pr),
+         reach(src, dst) AS (SELECT src, dst FROM edges
+           UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         mn AS (SELECT src, min(dst) m FROM reach GROUP BY src)
+         SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(mn.m, d.doc_id)) AS BIGINT) AS cluster_rep
+         FROM documents d LEFT JOIN mn ON d.doc_id = mn.src
+         ORDER BY d.doc_id""",
 
     "q24_minhash_neardup" ->
       s"""WITH $shingleCte,
