@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data selection operators (builder brief: the operations a
+  * large-scale training pipeline needs beyond the reference surface):
+  * deterministic sampling and token-budget mixture assembly.
+  *
+  * Sampling uses md5-derived hash buckets, NOT `rand()`: the decision
+  * for a row is a pure function of (salt, id), so samples are
+  * reproducible across runs/engines, stable under repartitioning and
+  * retries (a failed task resampling different rows is a classic
+  * silent-corruption bug at scale), and exactly replicable by the
+  * DuckDB oracle. All per-row map work — no shuffle. */
+object Sampling {
+
+  /** 16-bit hash bucket (0..65535) of (salt, id) — the sampling coin. */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def deterministicSample(df: DataFrame, id: Column, fraction: Double,
+                          salt: String): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction")
+    df.filter(hashBucket(id, salt) < math.floor(fraction * 65536).toLong)
+  }
+
+  /** Stratified variant: per-stratum keep fractions (e.g. down-weight
+    * over-represented languages/sources), `default` for strata not in
+    * the map. One codegen'd CASE — no shuffle, no per-stratum pass. */
+  def stratified(df: DataFrame, strata: Column, id: Column,
+                 fractions: Map[String, Double], default: Double,
+                 salt: String): DataFrame = {
+    val threshold = fractions.foldLeft(lit(math.floor(default * 65536))) {
+      case (acc, (value, f)) =>
+        when(strata === value, lit(math.floor(f * 65536))).otherwise(acc)
+    }
+    df.filter(hashBucket(id, salt) < threshold)
+  }
+
+  /** Greedy token-budget selection (data-mixture assembly): within each
+    * group, rows in `ord` order are kept while the RUNNING token total
+    * stays within `budget` (the row that crosses the budget is
+    * dropped, as are all later rows with any ordering — the running sum
+    * is monotone only for non-negative token counts, which token
+    * counters guarantee). Adds `cum_tokens`. One window shuffle keyed
+    * by the group — the same shape as any per-source ordered scan. */
+  def tokenBudget(df: DataFrame, group: Seq[Column], ord: Seq[Column],
+                  tokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(group: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -333,6 +333,33 @@ object DocumentQueries {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // Deterministic stratified sampling: keep 50% of English docs and
+    // 25% of every other language, decided by an md5 hash of
+    // (salt, doc_id) — reproducible across runs/engines and stable
+    // under repartitioning (rand()-based sampling is neither). Pure
+    // per-row map work.
+    "q54_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Sampling.stratified(documents(s, d), $"lang", $"doc_id",
+          Map("en" -> 0.5), default = 0.25, salt = "q54")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // Greedy token-budget selection (data-mixture assembly): per
+    // source, take documents in doc_id order while the running
+    // whitespace-token total stays within 2000 tokens.
+    "q55_token_budget" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Sampling.tokenBudget(
+          documents(s, d)
+            .select($"doc_id", $"source",
+              TextStats.whitespaceTokenCount($"text").as("tok")),
+          Seq($"source"), Seq($"doc_id"), $"tok", budget = 700L)
+        .select($"doc_id", $"source", $"cum_tokens")
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal columns, opaque path: payloads whose container format
     // the engine does not recognize get typed metadata (length, format
     // tag, content id) and null header fields — the real header parse
@@ -601,6 +628,22 @@ object DocumentQueries {
              (h, c) -> (h * 31 + c) % $FingerprintPrime)
          ELSE 0 END AS fingerprint
          FROM documents ORDER BY doc_id""",
+
+    "q54_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(concat('0x', substr(md5('q54' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           < (CASE WHEN lang = 'en' THEN 32768 ELSE 16384 END)
+         ORDER BY doc_id""",
+
+    "q55_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) tok
+           FROM documents),
+         c AS (SELECT doc_id, source,
+           sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) cum FROM t)
+         SELECT doc_id, source, CAST(cum AS BIGINT) AS cum_tokens
+         FROM c WHERE cum <= 700 ORDER BY doc_id""",
 
     "q33_multimodal_meta" ->
       """SELECT doc_id,
