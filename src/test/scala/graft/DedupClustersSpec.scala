@@ -23,6 +23,22 @@ class DedupClustersSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
   }
 
+  test("distributed propagation path agrees with driver union-find") {
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("a_id", "b_id")
+    // driverMaxEdges = 0 forces the min-label propagation loop
+    val dist = DedupClusters.connectedComponents(docs, "doc_id", pairs,
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val drv = DedupClusters.connectedComponents(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    Caching.release()
+    assert(dist == drv)
+    assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
   test("label order independence: reversed pair direction, same fixpoint") {
     val docs = (1L to 4L).toDF("doc_id")
     val pairs = Seq((3L, 4L), (2L, 3L), (1L, 2L)).toDF("a_id", "b_id")
