@@ -45,29 +45,43 @@ object DedupClusters {
                           pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
                           maxIters: Int = 50,
-                          driverMaxEdges: Long = 1000000L): DataFrame = {
-    // persisted: the edge list is re-read every propagation round (or
-    // twice for count+collect on the driver path) — without this the
-    // possibly-expensive pair-detection subplan would re-execute
-    val edges = graft.Caching.persisted(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+                          driverMaxEdges: Int = 1000000): DataFrame = {
+    val spark = allDocs.sparkSession
     val longIds = allDocs.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    val labels =
-      if (longIds && edges.count() <= driverMaxEdges)
-        unionFindLabels(allDocs.sparkSession, edges)
-      else propagateLabels(edges, maxIters)
+    // probe the driver path with ONE bounded action: collect at most
+    // driverMaxEdges + 1 pairs — if they all fit, union-find locally;
+    // the sentinel row past the limit proves the graph is too big and
+    // we fall back without having buffered it
+    val collected =
+      if (longIds)
+        Some(pairs
+          .select(col(aCol).cast("long"), col(bCol).cast("long"))
+          .limit(driverMaxEdges + 1)
+          .collect())
+        .filter(_.length <= driverMaxEdges)
+      else None
+    val labels = collected match {
+      case Some(rows) =>
+        val mapping = unionFind(rows.map(r => (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        mapping.toSeq.toDF("node", "rep")
+      case None =>
+        // persisted: the edge list is re-joined every propagation round
+        val edges = graft.Caching.persisted(
+          pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+            .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+        propagateLabels(edges, maxIters)
+    }
     allDocs.select(col(idCol))
       .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("rep"), col(idCol)).as("cluster_rep"))
   }
 
-  /** Driver path: collect the (small) edge list, union-find with
-    * min-id roots, return the node→rep mapping as a frame. */
-  private def unionFindLabels(spark: org.apache.spark.sql.SparkSession,
-                              edges: DataFrame): DataFrame = {
+  /** Driver path: union-find with min-id roots and path compression
+    * over an undirected pair list. Returns node → component-min. */
+  private def unionFind(es: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -78,16 +92,13 @@ object DedupClusters {
       }
       r
     }
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect().foreach { r =>
-        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
-        if (a != b) { // min id becomes the root
-          if (a < b) parent(b) = a else parent(a) = b
-        } else parent.getOrElseUpdate(a, a)
-      }
-    val mapping = parent.keys.map(n => (n, find(n))).toSeq
-    import spark.implicits._
-    mapping.toDF("node", "rep")
+    es.foreach { case (x, y) =>
+      val (a, b) = (find(x), find(y))
+      if (a != b) { // min id becomes the root
+        if (a < b) parent(b) = a else parent(a) = b
+      } else parent.getOrElseUpdate(a, a)
+    }
+    parent.keys.map(n => (n, find(n))).toMap
   }
 
   /** Distributed path: iterative min-label propagation to fixpoint

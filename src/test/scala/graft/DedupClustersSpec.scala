@@ -29,7 +29,7 @@ class DedupClustersSpec extends SparkSpec {
       .toDF("a_id", "b_id")
     // driverMaxEdges = 0 forces the min-label propagation loop
     val dist = DedupClusters.connectedComponents(docs, "doc_id", pairs,
-        driverMaxEdges = 0L)
+        driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap
     val drv = DedupClusters.connectedComponents(docs, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
