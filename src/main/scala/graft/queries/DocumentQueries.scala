@@ -224,18 +224,39 @@ object DocumentQueries {
         .orderBy($"lang")
     }),
 
-    // Per-doc quality scoring + stopword-profile language ID.
+    // Per-doc quality scoring + stopword-profile language ID. Explode +
+    // codegen'd conditional sums (the SimHash recipe): the per-row
+    // filter/aggregate HOF form is interpreted AND re-evaluates each
+    // profile's hit count in the argmax CASE — ~12 array walks per row.
+    // Here every profile is one map-side-combinable sum over the
+    // exploded tokens; the argmax/quality math runs on 6 scalar columns.
     "q30_quality_langid" -> ((s, d) => {
       import s.implicits._
-      val w = words($"text")
-      val stopRatio = TextStats.stopwordHits(w, enStop).cast("double") / size(w)
-      documents(s, d)
-        .select($"doc_id",
-          TextStats.whitespaceTokenCount($"text").as("n_tokens"),
-          round(TextStats.meanWordLen(w), 4).as("mean_word_len"),
+      val tok = documents(s, d)
+        .select($"doc_id", explode(words($"text")).as("w"))
+      val hitCols = TextStats.StopwordProfiles.map { case (l, stop) =>
+        sum(when($"w".isin(stop.map(x => x: Any): _*), 1L).otherwise(0L))
+          .as(s"__h_$l")
+      }
+      val aggs = Seq(count(lit(1)).as("n_tokens"),
+        sum(length($"w")).as("__len")) ++ hitCols
+      val perDoc = tok.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      val n = $"n_tokens".cast("double")
+      val stopRatio = col(s"__h_en").cast("double") / n
+      val best = TextStats.StopwordProfiles
+        .map { case (l, _) => col(s"__h_$l") }.reduce(greatest(_, _))
+      val predLang = TextStats.StopwordProfiles
+        .foldRight(lit("unk"): org.apache.spark.sql.Column) {
+          case ((l, _), els) =>
+            when(col(s"__h_$l") > 0 && col(s"__h_$l") === best, lit(l))
+              .otherwise(els)
+        }
+      perDoc
+        .select($"doc_id", $"n_tokens",
+          round($"__len".cast("double") / n, 4).as("mean_word_len"),
           round(stopRatio, 4).as("stop_ratio"),
-          TextStats.predictLang(w).as("pred_lang"),
-          TextStats.qualityScore(size(w), stopRatio).as("quality"))
+          predLang.as("pred_lang"),
+          TextStats.qualityScore($"n_tokens", stopRatio).as("quality"))
         .orderBy($"doc_id")
     }),
 
