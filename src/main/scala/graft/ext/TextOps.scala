@@ -113,12 +113,22 @@ object TextOps {
 
   /** Order-sensitive rolling document fingerprint:
     * h := (h*31 + codepoint) mod P over the characters, h0 = 0.
-    * DuckDB parity: list_reduce's implicit seed (the first element)
-    * equals our first step (0*31 + c1) mod P = c1.
-    * Characters come from `split(text, "")` (with the regex-split empty
-    * artifacts filtered out) rather than per-index `substr`, which is
-    * O(i) per call on UTF8String and made the walk quadratic. */
-  def rollingFingerprint(text: Column): Column = {
+    * Resolves to the native codegen'd
+    * [[graft.functions.RollingFingerprint]] (register via
+    * [[graft.plans.GraftExtensions]]); [[rollingFingerprintHof]] is the
+    * built-in composition it replaced (identical values on BMP text,
+    * parity-tested; the HOF form additionally split supplementary-plane
+    * chars into surrogate halves — the native form hashes true code
+    * points, matching the oracle for all of Unicode). */
+  def rollingFingerprint(text: Column): Column =
+    call_function("graft_fingerprint", text)
+
+  /** The higher-order-function formulation of [[rollingFingerprint]]:
+    * characters from `split(text, "")` (empty regex artifacts filtered)
+    * folded with `aggregate` — interpreted, kept for parity testing.
+    * DuckDB parity note: list_reduce's implicit seed (the first
+    * element) equals the first step (0*31 + c1) mod P = c1. */
+  def rollingFingerprintHof(text: Column): Column = {
     val chars = transform(
       filter(split(text, ""), c => length(c) > 0),
       c => ascii(c).cast("long"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, RollingFingerprint}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,6 +29,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_dot(arrayA, arrayB)")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_fingerprint(str)")
+        RollingFingerprint(args.head)
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -272,9 +272,11 @@ object DocumentQueries {
         .orderBy($"source")
     }),
 
-    // Order-sensitive rolling-hash document fingerprint.
+    // Order-sensitive rolling-hash document fingerprint (native
+    // codegen'd expression; the interpreted HOF fold cost ~2× at sf0.1).
     "q32_fingerprint" -> ((s, d) => {
       import s.implicits._
+      graft.plans.GraftExtensions.register(s)
       documents(s, d)
         .select($"doc_id", rollingFingerprint($"text").as("fingerprint"))
         .orderBy($"doc_id")

@@ -65,6 +65,20 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach { case (n, h) => assert(n == h) }
   }
 
+  test("native graft_fingerprint equals the HOF formulation") {
+    val df = Seq("hello world", "", "a", "Zürich straße", "same same same")
+      .toDF("t")
+    val rows = df.select(
+        TextOps.rollingFingerprint($"t").as("native"),
+        TextOps.rollingFingerprintHof($"t").as("hof"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    // order sensitivity: permuted text → different fingerprint
+    val fp = Seq("ab", "ba").toDF("t")
+      .select(TextOps.rollingFingerprint($"t")).as[Long].collect()
+    assert(fp(0) != fp(1))
+  }
+
   test("dot / l2norm / cosine basics") {
     val out = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
         (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
