@@ -26,12 +26,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // optional comma-separated subset for local iteration
-    // (e.g. SPARK_GRAFT_BENCH_ONLY=q26_jaccard_pairs)
+    // optional comma-separated subset for local iteration; entries
+    // match by prefix so both q26 and q26_jaccard_pairs select it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.exists(n.startsWith)))
+    only.filter(_ => names.isEmpty).foreach { o =>
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY=$o matched no query")
+    }
     def runOnce(name: String): Double = {
       // persist()ed intermediates from a previous run would satisfy this
       // run's structurally-equal plans via the CacheManager, silently

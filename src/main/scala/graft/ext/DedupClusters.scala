@@ -49,14 +49,17 @@ object DedupClusters {
     val spark = allDocs.sparkSession
     val longIds = allDocs.schema(idCol).dataType ==
       org.apache.spark.sql.types.LongType
-    // probe the driver path with ONE bounded action: collect at most
-    // driverMaxEdges + 1 pairs — if they all fit, union-find locally;
-    // the sentinel row past the limit proves the graph is too big and
-    // we fall back without having buffered it
+    // pay the (possibly expensive) pair-detection pipeline ONCE: persist
+    // the plain pair frame, then probe it with a single bounded collect
+    // — if everything fits the driver buffer, union-find locally; the
+    // sentinel row past the limit proves the graph is too big and the
+    // distributed loop re-reads the same cached frame instead of
+    // recomputing the pipeline
+    val p = graft.Caching.persisted(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val collected =
       if (longIds)
-        Some(pairs
-          .select(col(aCol).cast("long"), col(bCol).cast("long"))
+        Some(p.select(col("src").cast("long"), col("dst").cast("long"))
           .limit(driverMaxEdges + 1)
           .collect())
         .filter(_.length <= driverMaxEdges)
@@ -67,10 +70,8 @@ object DedupClusters {
         import spark.implicits._
         mapping.toSeq.toDF("node", "rep")
       case None =>
-        // persisted: the edge list is re-joined every propagation round
-        val edges = graft.Caching.persisted(
-          pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-            .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+        val edges = p.union(
+          p.select(col("dst").as("src"), col("src").as("dst")))
         propagateLabels(edges, maxIters)
     }
     allDocs.select(col(idCol))

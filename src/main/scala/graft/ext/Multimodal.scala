@@ -56,9 +56,12 @@ object Multimodal {
     *
     *   - `fmt`: "bmp" | "wav" | "opaque"
     *   - BMP (magic "BM", ≥ 54 bytes): `width`, `height` from the
-    *     BITMAPINFOHEADER int32s at byte offsets 18 / 22 (little-endian)
-    *   - canonical PCM WAV ("RIFF"+"WAVE", ≥ 44 bytes, fmt chunk at
-    *     offset 12, data chunk at 36): `sample_rate` (offset 24),
+    *     BITMAPINFOHEADER int32s at byte offsets 18 / 22 (little-endian;
+    *     height is signed — top-down bitmaps store it negative — and is
+    *     reported as the absolute pixel dimension)
+    *   - canonical PCM WAV ("RIFF"+"WAVE"+"fmt "+"data" magics, ≥ 44
+    *     bytes, fmt chunk at offset 12, data chunk at 36; extensible /
+    *     extra-chunk layouts fall to opaque): `sample_rate` (offset 24),
     *     `n_channels` (offset 22), `duration_ms` = floor(data_size *
     *     1000 / byte_rate) from offsets 40 / 28
     *   - non-matching fields are null; every payload gets `mime`,
@@ -69,17 +72,28 @@ object Multimodal {
     val h = hex(substring(media, 1, HeaderBytes))
     val len = length(media).cast("long")
     val isBmp = hexAt(h, 0, 2) === "424D" && len >= 54 // "BM"
+    // canonical PCM layout only: fmt chunk at 12 AND data chunk at 36 —
+    // without the "data" magic check, WAVE_FORMAT_EXTENSIBLE / LIST
+    // files would pass and offset 40 would read a garbage "size" from
+    // inside the fmt chunk; non-canonical files fall to opaque instead
     val isWav = hexAt(h, 0, 4) === "52494646" && // "RIFF"
       hexAt(h, 8, 4) === "57415645" && // "WAVE"
-      hexAt(h, 12, 4) === "666D7420" && len >= 44 // "fmt "
+      hexAt(h, 12, 4) === "666D7420" && // "fmt "
+      hexAt(h, 36, 4) === "64617461" && len >= 44 // "data"
     val byteRate = leUint(h, 28, 4)
     val dataSize = leUint(h, 40, 4)
+    // BITMAPINFOHEADER height is SIGNED int32 (negative = top-down row
+    // order); the pixel dimension is its absolute value
+    val rawHeight = leUint(h, 22, 4)
+    val signedHeight =
+      when(rawHeight >= 2147483648L, rawHeight - 4294967296L)
+        .otherwise(rawHeight)
     df.withColumn("mime", lit(mime))
       .withColumn("media_len", len)
       .withColumn("fmt",
         when(isBmp, "bmp").when(isWav, "wav").otherwise("opaque"))
       .withColumn("width", when(isBmp, leUint(h, 18, 4)))
-      .withColumn("height", when(isBmp, leUint(h, 22, 4)))
+      .withColumn("height", when(isBmp, abs(signedHeight)))
       .withColumn("sample_rate", when(isWav, leUint(h, 24, 4)))
       .withColumn("n_channels", when(isWav, leUint(h, 22, 2)))
       .withColumn("duration_ms",

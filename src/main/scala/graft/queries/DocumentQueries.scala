@@ -240,7 +240,12 @@ object DocumentQueries {
       }
       val aggs = Seq(count(lit(1)).as("n_tokens"),
         sum(length($"w")).as("__len")) ++ hitCols
-      val perDoc = tok.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      // left join back to the doc universe: explode emits no rows for a
+      // null text, but the oracle (and the per-row form this replaced)
+      // emit one row of null stats per document
+      val perDoc = documents(s, d).select($"doc_id")
+        .join(tok.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*),
+          Seq("doc_id"), "left")
       val n = $"n_tokens".cast("double")
       val stopRatio = col(s"__h_en").cast("double") / n
       val best = TextStats.StopwordProfiles
@@ -371,7 +376,8 @@ object DocumentQueries {
 
     // Greedy token-budget selection (data-mixture assembly): per
     // source, take documents in doc_id order while the running
-    // whitespace-token total stays within 2000 tokens.
+    // whitespace-token total stays within the 700-token budget (sized
+    // so the cut actually bites at every fixture scale).
     "q55_token_budget" -> ((s, d) => {
       import s.implicits._
       graft.ext.Sampling.tokenBudget(

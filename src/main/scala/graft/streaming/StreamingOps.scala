@@ -57,12 +57,18 @@ object StreamingOps {
   case class Reading(device: String, ts: java.sql.Timestamp, apower: Double)
   case class Transition(device: String, ts: java.sql.Timestamp, on: Boolean)
 
+  /** Event time in MICROseconds — `Timestamp.getTime` truncates to ms,
+    * which would make gap/ordering comparisons disagree with the batch
+    * operators (they compare `unix_micros`). */
+  private def micros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   case class SessionRow(device: String, ts: java.sql.Timestamp,
                         apower: Double, session_id: Long)
 
   /** Per-device sessionizer state: running session counter + max event
-    * time processed (same late-row guard as [[OnOffState]]). */
-  case class SessionState(sessionId: Long, maxTsMs: Long)
+    * time processed in µs (same late-row guard as [[OnOffState]]). */
+  case class SessionState(sessionId: Long, maxTsUs: Long)
 
   /** The streaming form of [[graft.operators.Sessionize]]: gap-based
     * session assignment with `flatMapGroupsWithState` — a reading more
@@ -84,12 +90,12 @@ object StreamingOps {
         (device: String, rows: Iterator[Reading], state: GroupState[SessionState]) =>
           val st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
           var sid = st.sessionId
-          var maxTs = st.maxTsMs
+          var maxTs = st.maxTsUs
           val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
-          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
-            val t = r.ts.getTime
+          rows.toSeq.sortBy(r => micros(r.ts)).foreach { r =>
+            val t = micros(r.ts)
             if (t > maxTs) {
-              if (sid == 0L || t - maxTs > gapSeconds * 1000L) sid += 1
+              if (sid == 0L || t - maxTs > gapSeconds * 1000000L) sid += 1
               out += SessionRow(device, r.ts, r.apower, sid)
               maxTs = t
             }
@@ -100,11 +106,11 @@ object StreamingOps {
   }
 
   /** Per-device transition-detector state: current ON/OFF plus the
-    * max event time already processed — the event-time guard that
+    * max event time already processed (µs) — the event-time guard that
     * makes cross-batch ordering sound (a bare boolean state would let
     * a late row in a later micro-batch emit a transition that travels
     * BACKWARD in event time). */
-  case class OnOffState(on: Boolean, maxTsMs: Long)
+  case class OnOffState(on: Boolean, maxTsUs: Long)
 
   /** W6/W8 online: per-device ON/OFF transition detection with custom
     * state — the `flatMapGroupsWithState` form of the batch threshold +
@@ -131,10 +137,10 @@ object StreamingOps {
         (device: String, rows: Iterator[Reading], state: GroupState[OnOffState]) =>
           val st = state.getOption.getOrElse(OnOffState(on = false, Long.MinValue))
           var on = st.on
-          var maxTs = st.maxTsMs
+          var maxTs = st.maxTsUs
           val out = scala.collection.mutable.ArrayBuffer[Transition]()
-          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
-            val t = r.ts.getTime
+          rows.toSeq.sortBy(r => micros(r.ts)).foreach { r =>
+            val t = micros(r.ts)
             if (t > maxTs) { // late (<= max-seen) rows are dropped
               val nowOn = r.apower >= threshold
               if (nowOn != on) {
