@@ -67,6 +67,31 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(3) == 1000L) // 88200 bytes / 88200 B/s = 1.000 s
   }
 
+  test("top-down BMP (negative signed height) reports the absolute dimension") {
+    val topDown = goldenBmp.clone()
+    // height = -3 little-endian at offset 22
+    topDown(22) = 0xFD.toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    val r = Multimodal.withMediaMeta(
+        Seq(Tuple1(topDown)).toDF("media"), $"media", "image/bmp")
+      .select($"fmt", $"width", $"height").collect()(0)
+    assert(r.getString(0) == "bmp")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+  }
+
+  test("non-canonical WAV (no data chunk at 36) falls to opaque") {
+    val listChunk = goldenWav.clone()
+    // "LIST" instead of "data" at offset 36 — extensible/extra-chunk
+    // layouts must not be parsed as canonical PCM
+    listChunk(36) = 'L'.toByte; listChunk(37) = 'I'.toByte
+    listChunk(38) = 'S'.toByte; listChunk(39) = 'T'.toByte
+    val r = Multimodal.withMediaMeta(
+        Seq(Tuple1(listChunk)).toDF("media"), $"media", "audio/wav")
+      .select($"fmt", $"sample_rate", $"duration_ms").collect()(0)
+    assert(r.getString(0) == "opaque")
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("builder → parser round-trip recovers BMP and WAV fields") {
     val df = Seq((1L, "pixelbytespixelbytes"), (2L, "abcdef"))
       .toDF("id", "payload")
