@@ -247,6 +247,28 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Top-k rows per group by (score DESC, id ASC) via the native
+    * partial top-k aggregate (`graft_topk`,
+    * [[graft.functions.TopKByScore]]; register via
+    * [[graft.plans.GraftExtensions]]) — the scale form of
+    * `row_number().over(partitionBy(group).orderBy(score.desc, id))`
+    * ranking: the window shuffles and sorts EVERY scored row, while
+    * the aggregate's map-side partial keeps at most k rows per group
+    * per task before the exchange. Row-identical to the window form
+    * (ties break toward the smaller id; parity-tested).
+    *
+    * Output: group columns + `id`, `rank` (1-based long), `score`. */
+  def topKPerGroup(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                   score: Column, id: Column, k: Int): org.apache.spark.sql.DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_topk", score, id, lit(k)).as("__topk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("__pos", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__e.id").as("id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.score").as("score")): _*)
+
   /** The scale form of [[lshBucket]]: identical buckets, but computed
     * as posexplode → broadcast join against a (position, plane-signs)
     * table → codegen'd grouped sums, instead of the interpreted per-row

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, RollingFingerprint}
+import graft.functions.{DotProduct, RollingFingerprint, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_fingerprint(str)")
         RollingFingerprint(args.head)
+      }),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_topk(score, id, k)")
+        TopKByScore(args.head, args(1), args(2)).toAggregateExpression()
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -159,8 +159,11 @@ object DocumentQueries {
     }),
 
     // Brute-force cosine top-k: the small query set (vec_id < 5) is
-    // broadcast; the big side streams once, ranks per query. Baseline
-    // for the LSH variant below.
+    // broadcast; the big side streams once and ranks via the PARTIAL
+    // top-k aggregate (graft_topk) — map-side keeps <= k rows per query
+    // per task, so the exchange carries k·tasks rows instead of the
+    // whole scored corpus (the row_number window form shuffles and
+    // sorts every scored row). Baseline for the LSH variant below.
     "q27_cosine_topk" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
@@ -172,11 +175,9 @@ object DocumentQueries {
       val scored = e.join(broadcast(q), $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
           cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 3)
-        .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cosine"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
     }),
 
@@ -202,11 +203,9 @@ object DocumentQueries {
           $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id".as("neighbor_id"),
           cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
-      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 3)
-        .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cosine"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
     }),
 
@@ -329,12 +328,9 @@ object DocumentQueries {
         .select($"query_id", $"vec_id".as("neighbor_id"),
           cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
         .distinct()
-      val wRank = Window.partitionBy($"query_id")
-        .orderBy($"cos".desc, $"neighbor_id")
-      scored
-        .withColumn("rank", row_number().over(wRank).cast("long"))
-        .filter($"rank" <= 3)
-        .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cosine"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
     }),
 

@@ -79,6 +79,33 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(0) != fp(1))
   }
 
+  test("topKPerGroup equals the row_number window formulation (with ties)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(9)
+    // scores drawn from a SMALL discrete set so equal-score ties are
+    // guaranteed and the id tiebreak is actually exercised
+    val rows = for (g <- 0 until 6; i <- 0 until 40)
+      yield (g.toLong, (g * 1000 + i).toLong, (rnd.nextInt(8) / 10.0))
+    val df = rows.toDF("grp", "id", "score")
+    for (k <- Seq(1, 3, 7)) {
+      val viaAgg = TextOps.topKPerGroup(df, Seq("grp"), $"score", $"id", k)
+        .select($"grp", $"id", $"rank", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id")
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"grp", $"id", $"rank", $"score")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(viaAgg == viaWindow, s"k=$k")
+    }
+    // k larger than the group: every row ranked, no padding
+    val all = TextOps.topKPerGroup(df.filter($"grp" === 0), Seq("grp"),
+        $"score", $"id", 1000)
+      .count()
+    assert(all == 40)
+  }
+
   test("dot / l2norm / cosine basics") {
     val out = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
         (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
