@@ -4,7 +4,6 @@ import graft.Tables._
 import graft.ext.{TextOps, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** LLM-data-pipeline operators over `documents` / `embeddings`
   * (builder brief: dedup, similarity search, multimodal columns, text
@@ -307,18 +306,16 @@ object DocumentQueries {
       val simToCent = e.join(broadcast(cent))
         .select($"vec_id", $"cent_id",
           cosine($"emb", $"cemb", $"nrm", $"cnrm").as("csim"))
-      val wAssign = Window.partitionBy($"vec_id")
-        .orderBy($"csim".desc, $"cent_id")
-      val cells = simToCent
-        .withColumn("rk", row_number().over(wAssign))
-        .filter($"rk" === 1)
-        .select($"vec_id", $"cent_id".as("cell"))
+      // cell assignment and probe selection are rank-1 / rank-2 picks —
+      // partial top-k aggregates (map-side combine), not window sorts
+      val cells = topKPerGroup(simToCent, Seq("vec_id"),
+          $"csim", $"cent_id", 1)
+        .select($"vec_id", $"id".as("cell"))
       val assigned = e.join(cells, "vec_id")
       // queries probe their 2 nearest cells
-      val probes = simToCent.filter($"vec_id" < 5)
-        .withColumn("rk", row_number().over(wAssign))
-        .filter($"rk" <= 2)
-        .select($"vec_id".as("query_id"), $"cent_id".as("cell"))
+      val probes = topKPerGroup(simToCent.filter($"vec_id" < 5),
+          Seq("vec_id"), $"csim", $"cent_id", 2)
+        .select($"vec_id".as("query_id"), $"id".as("cell"))
       val qvec = e.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"nrm".as("qnrm"))
       val scored = assigned
