@@ -60,14 +60,19 @@ object Bench {
         name -> (sorted(sorted.length / 2), sorted.head, sorted.last)
       }
     }
-    def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, mn, mx)) =>
       "\"" + k + "\":[" + f(mn) + "," + f(mx) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$iters,"spread_min_max":$spread,"sf":"$sfDir"}""")
+    // per-query [min,max] spread is diagnostic only — keep it OFF the
+    // headline line (and print it first) so the final JSON line stays
+    // small enough to survive harnesses that keep only the last few KB
+    // of output (the round-3 headline line was truncated exactly this way)
+    System.err.println(s"""{"metric":"spread_min_max","iters":$iters,"queries":$spread}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
