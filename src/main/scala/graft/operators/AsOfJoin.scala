@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Backward as-of join: for every left row, attach the payload of the
+  * most recent right row with `right.ts <= left.ts` for the same key
+  * (the alignment the reference performs when pairing mains readings
+  * with the latest appliance sample, `UnifiedNILM.py:205-312`, and the
+  * standard "trade ↤ latest quote" time-series join).
+  *
+  * Implementation is the union-and-carry form, not a range join: tag
+  * both sides, union them, sort each key by (ts, side) so right rows at
+  * an equal timestamp precede left rows (inclusive at-or-before match,
+  * same tie rule as DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`), then
+  * carry the last non-null payload forward with one running
+  * `last(ignoreNulls)` window and keep only left rows.
+  *
+  * Scale notes: ONE shuffle on the key for any data size — a theta/range
+  * join would either broadcast a full side or explode candidate pairs,
+  * and Spark's window needs no per-key buffering here because
+  * `last(..., ignoreNulls)` over a running frame is a streaming frame
+  * (each partition is consumed in sort order, O(1) state per payload
+  * column). Skewed keys concentrate in single tasks, as with every
+  * keyed window — salt upstream if one key dominates.
+  *
+  * Preconditions: payload columns must exist in `right` and not in
+  * `left`; if `right` can hold several rows at one (key, ts), pre-
+  * aggregate it — otherwise which of the tied rows wins is tie-broken
+  * only by input order.
+  */
+object AsOfJoin {
+
+  /** @param keys          equi-join key columns (present on both sides)
+    * @param tsCol         timestamp column name (present on both sides)
+    * @param payloadCols   right-side columns to carry onto left rows
+    *                      (null when no right row is at-or-before)
+    * @param toleranceSec  optional max staleness: a match older than
+    *                      this many seconds is nulled out (pandas
+    *                      `merge_asof(tolerance=...)`)
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payloadCols: Seq[String],
+               toleranceSec: Option[Long] = None): DataFrame = {
+    val rightCols = (keys :+ tsCol) ++ payloadCols
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(rightCols.map(col): _*).withColumn("__side", lit(0))
+    // unionByName fills columns unique to one side with nulls
+    val all = l.unionByName(r, allowMissingColumns = true)
+    val order = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the match timestamp too, so staleness is checkable
+    val matchTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true)
+      .over(running)
+    val carried = payloadCols.foldLeft(all.withColumn("__match_ts", matchTs)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(running))
+    }
+    val joined = carried.filter(col("__side") === 1)
+    val bounded = toleranceSec.fold(joined) { tol =>
+      val stale = col("__match_ts").isNull ||
+        (unix_micros(col(tsCol)) - unix_micros(col("__match_ts"))) > tol * 1000000L
+      payloadCols.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+      }
+    }
+    bounded.drop("__side", "__match_ts")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.operators.{Resample, Sessionize, Postprocess}
+import graft.operators.{AsOfJoin, RangeJoin, Resample, Sessionize, Postprocess}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -139,6 +139,45 @@ object TimeSeriesQueries {
         .groupBy($"user_id")
         .agg(max($"run_len").as("max_on_run"), count(lit(1)).as("n_on_runs"))
         .orderBy($"user_id")
+    }),
+
+    // As-of join (UnifiedNILM.py:205-312 pairs mains with the latest
+    // appliance sample): each purchase picks up the most recent view's
+    // value at-or-before its timestamp, per user. Right side is
+    // pre-aggregated per (user, ts) so the at-or-before match is unique.
+    "q56_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("ref_value"))
+        .withColumn("ref_ts", $"ts")
+      AsOfJoin.backward(purchases, views, Seq("user_id"), "ts",
+          Seq("ref_ts", "ref_value"))
+        .select($"event_id", $"user_id", $"value", $"ref_ts", $"ref_value")
+        .orderBy($"event_id")
+    }),
+
+    // Point-in-interval range join (activation-window slicing,
+    // bert_single_appliance/preprocessing.py): views landing in the hour
+    // after each purchase, counted per purchase. Bucketed equi-join —
+    // never a per-key cross product.
+    "q57_range_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val intervals = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("interval_id"), $"user_id",
+          $"ts".as("start_ts"), ($"ts" + expr("INTERVAL '1' HOUR")).as("end_ts"))
+      val points = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts", $"value")
+      RangeJoin.pointsInIntervals(intervals, points, Seq("user_id"),
+          "start_ts", "end_ts", "ts", bucketSeconds = 3600L,
+          joinType = "left_outer")
+        .groupBy($"interval_id")
+        .agg(count($"ts").as("n_views"),
+             coalesce(round(sum($"value"), 2), lit(0.0)).as("view_value"))
+        .orderBy($"interval_id")
     })
   )
 
@@ -252,6 +291,41 @@ object TimeSeriesQueries {
            CAST(max(run_len) AS BIGINT) AS max_on_run,
            CAST(count(*) AS BIGINT) AS n_on_runs
          FROM sized WHERE state = 1
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    // Timestamps are cast to µs TIMESTAMP inside the CTEs so the as-of
+    // comparison happens at the same precision as Spark's (two ns values
+    // that truncate to one µs must tie on both sides).
+    "q56_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'
+         ), v AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ts AS TIMESTAMP) AS ref_ts, max(value) AS ref_value
+           FROM events WHERE event_type = 'view'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)
+         )
+         SELECT p.event_id, p.user_id, p.value, v.ref_ts, v.ref_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
+
+    "q57_range_join" ->
+      """WITH p AS (
+           SELECT event_id AS interval_id, user_id,
+             CAST(ts AS TIMESTAMP) AS start_ts,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS end_ts
+           FROM events WHERE event_type = 'purchase'
+         ), v AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'view'
+         )
+         SELECT p.interval_id,
+           CAST(count(v.ts) AS BIGINT) AS n_views,
+           coalesce(round(sum(v.value), 2), 0) AS view_value
+         FROM p LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts >= p.start_ts AND v.ts <= p.end_ts
+         GROUP BY p.interval_id ORDER BY p.interval_id"""
   )
 }

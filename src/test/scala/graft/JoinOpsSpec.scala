@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/** As-of join (backward, inclusive ties, tolerance) and bucketed
+  * point-in-interval range join. */
+class JoinOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(sec: Long) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + sec))
+
+  test("asOf backward picks most recent at-or-before, per key") {
+    val left = Seq((1L, ts(10), "l1"), (1L, ts(25), "l2"), (2L, ts(5), "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(5), 50.0), (1L, ts(10), 100.0), (1L, ts(20), 200.0),
+        (2L, ts(9), 9.0))
+      .toDF("k", "ts", "ref")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("ref"))
+      .orderBy("k", "ts").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    // l1: tie at ts=10 is inclusive → 100; l2: latest ≤25 is 200;
+    // l3: no right row at-or-before → null
+    assert(out == Seq(("l1", Some(100.0)), ("l2", Some(200.0)), ("l3", None)))
+  }
+
+  test("asOf tolerance nulls out stale matches") {
+    val left = Seq((1L, ts(100), "a"), (1L, ts(500), "b")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(90), 1.0)).toDF("k", "ts", "ref")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("ref"),
+        toleranceSec = Some(60L))
+      .orderBy("ts").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    // a: 10 s stale → kept; b: 410 s stale → nulled
+    assert(out == Seq(("a", Some(1.0)), ("b", None)))
+  }
+
+  test("asOf carries multiple payload columns from the same match row") {
+    val left = Seq((1L, ts(10), "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(3), 7.0, "m1"), (1L, ts(8), 8.0, "m2"))
+      .toDF("k", "ts", "ref", "label")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("ref", "label"))
+      .select("ref", "label").as[(Double, String)].collect().toSeq
+    assert(out == Seq((8.0, "m2")))
+  }
+
+  test("range join matches inclusive bounds exactly once across buckets") {
+    // bucketSeconds=10; interval [5, 25] spans buckets 0,1,2 — each point
+    // must appear exactly once even though the interval has three copies
+    val iv = Seq((100L, 1L, ts(5), ts(25))).toDF("id", "k", "lo", "hi")
+    val pts = Seq((1L, ts(4)), (1L, ts(5)), (1L, ts(15)), (1L, ts(25)),
+        (1L, ts(26)), (2L, ts(15)))
+      .toDF("k", "ts")
+    val out = RangeJoin.pointsInIntervals(iv, pts, Seq("k"), "lo", "hi", "ts",
+        bucketSeconds = 10L)
+      .select("id", "ts").as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(out.map(_._1).forall(_ == 100L))
+    assert(out.map(_._2).sorted.map(_.getTime / 1000 - 1600000000L) ==
+      Seq(5L, 15L, 25L))
+  }
+
+  test("range join left_outer keeps empty intervals for null-ignoring aggs") {
+    val iv = Seq((1L, 1L, ts(0), ts(30)), (2L, 1L, ts(100), ts(130)))
+      .toDF("id", "k", "lo", "hi")
+    val pts = Seq((1L, ts(10), 5.0), (1L, ts(20), 7.0)).toDF("k", "ts", "v")
+    val out = RangeJoin.pointsInIntervals(iv, pts, Seq("k"), "lo", "hi", "ts",
+        bucketSeconds = 10L, joinType = "left_outer")
+      .groupBy("id")
+      .agg(count($"ts").as("n"), coalesce(sum($"v"), lit(0.0)).as("tot"))
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 12.0), (2L, 0L, 0.0)))
+  }
+}
