@@ -419,6 +419,46 @@ object DocumentQueries {
         .select($"doc_id", $"fmt", $"media_len", $"width", $"height",
           $"sample_rate", $"n_channels", $"duration_ms")
         .orderBy($"doc_id")
+    }),
+
+    // Train/test contamination check: fraction of each held-out doc's
+    // distinct shingles that occur anywhere in the training split (the
+    // eval-set decontamination step of a training-data pipeline; same
+    // n-gram membership idea as the reference's dedup surface). Shape:
+    // the training corpus collapses to DISTINCT shingles (map-side
+    // combinable), then ONE shingle-keyed left join marks hits — each
+    // test shingle meets at most one train row, so there is no fanout
+    // and no all-pairs work; a single groupBy(doc_id) computes both
+    // counts in one pass (no persisted/reused frame needed).
+    "q58_contamination" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val isTest = $"source".isin("src0", "src1")
+      val testSh = TextOps.shingleRows(docs.filter(isTest), "doc_id", "text")
+      val trainSh = TextOps.shingleRows(docs.filter(!isTest), "doc_id", "text")
+        .select($"shingle").distinct()
+        .withColumn("__hit", lit(1))
+      testSh.join(trainSh, Seq("shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count($"__hit").as("n_contaminated"))
+        .select($"doc_id", $"n_shingles", $"n_contaminated",
+          round($"n_contaminated" / $"n_shingles", 4).as("contamination"))
+        .orderBy($"doc_id")
+    }),
+
+    // Shard-export assignment audit: per-shard row count / char volume /
+    // id range under the deterministic md5 shard function (the oracle
+    // recomputes the same hash arithmetic, so a drifting shard function
+    // — the silent killer of resumable training exports — breaks the
+    // hash). Per-row map work + one map-side-combinable aggregate.
+    "q59_shard_stats" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.ShardExport
+        .assignShards(documents(s, d), $"doc_id", nShards = 8, salt = "q59")
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+        .orderBy($"shard_id")
     })
   )
 
@@ -692,6 +732,33 @@ object DocumentQueries {
          CASE WHEN doc_id % 2 = 1 THEN CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) END AS n_channels,
          CASE WHEN doc_id % 2 = 1 THEN CAST(floor(octet_length(encode(text)) * 1000.0
            / ((8000 + (doc_id % 8) * 1000) * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END) * 2)) AS BIGINT) END AS duration_ms
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q58_contamination" ->
+      s"""WITH $shingleCte,
+         ex AS (SELECT e.doc_id, unnest(e.s) AS shingle, d.source
+           FROM sh e JOIN documents d ON e.doc_id = d.doc_id),
+         test AS (SELECT doc_id, shingle FROM ex
+           WHERE source IN ('src0', 'src1')),
+         train AS (SELECT DISTINCT shingle FROM ex
+           WHERE source NOT IN ('src0', 'src1'))
+         SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(tr.shingle) AS BIGINT) AS n_contaminated,
+           round(count(tr.shingle) * 1.0 / count(*), 4) AS contamination
+         FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    "q59_shard_stats" ->
+      """WITH sharded AS (
+           SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5('q59' || CAST(doc_id AS VARCHAR)), 1, 7))
+               AS BIGINT) % 8 AS shard_id
+           FROM documents)
+         SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM sharded GROUP BY shard_id ORDER BY shard_id"""
   )
 }
