@@ -459,6 +459,61 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
         .orderBy($"shard_id")
+    }),
+
+    // PII redaction audit: the synthetic corpus holds no PII, so each
+    // doc is augmented with a deterministic email / URL / phone derived
+    // from doc_id (the q52 pattern — the oracle rebuilds the SAME
+    // augmented text but does NOT mirror the redactor: it re-runs its
+    // own regex engine, so pattern-semantics drift breaks the hash).
+    // Counts + a content signature of the redacted text. Map-only scan.
+    "q60_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val pii = when($"doc_id" % 3 === 0,
+          concat(lit("contact user"), $"doc_id", lit("@example.com for details")))
+        .when($"doc_id" % 3 === 1,
+          concat(lit("see https://example.org/p/"), $"doc_id", lit("?x=1 next")))
+        .otherwise(concat(lit("call 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-0199 today")))
+      val aug = documents(s, d)
+        .select($"doc_id",
+          concat_ws(" ", coalesce($"text", lit("")), pii).as("t"))
+      aug.select($"doc_id",
+          graft.ext.Redact.matchCount($"t", graft.ext.Redact.EmailPattern).as("n_emails"),
+          graft.ext.Redact.matchCount($"t", graft.ext.Redact.UrlPattern).as("n_urls"),
+          graft.ext.Redact.matchCount($"t", graft.ext.Redact.PhonePattern).as("n_phones"),
+          length(graft.ext.Redact.redact($"t")).cast("long").as("redacted_len"),
+          substring(md5(graft.ext.Redact.redact($"t")), 1, 16).as("redacted_sig"))
+        .orderBy($"doc_id")
+    }),
+
+    // Repetition quality signals (Gopher-style repetition rules):
+    // distinct-word ratio and top-word share per document. Scale form —
+    // explode + two map-side-combinable aggregations, never a per-row
+    // O(n²) HOF over the word array.
+    "q61_repetition" -> ((s, d) => {
+      import s.implicits._
+      val wc = documents(s, d)
+        .select($"doc_id", explode(TextOps.words($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      wc.groupBy($"doc_id")
+        .agg(sum($"c").as("n_words"), count(lit(1)).as("n_distinct"),
+          max($"c").as("top_count"))
+        .select($"doc_id", $"n_words",
+          round($"n_distinct" / $"n_words", 4).as("distinct_ratio"),
+          round($"top_count" / $"n_words", 4).as("top_share"))
+        .orderBy($"doc_id")
+    }),
+
+    // Vocabulary building: global top-100 words by document frequency.
+    // Distinct-per-doc explode, one word-keyed count, then a TakeOrdered
+    // top-k — the sort never materializes the full vocabulary globally.
+    "q62_vocab_topk" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", explode(array_distinct(TextOps.words($"text"))).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"word").limit(100)
     })
   )
 
@@ -759,6 +814,52 @@ object DocumentQueries {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM sharded GROUP BY shard_id ORDER BY shard_id"""
+         FROM sharded GROUP BY shard_id ORDER BY shard_id""",
+
+    // Same augmented text, independent regex engine (RE2) and own
+    // nested-replace redaction — not a mirror of ext/Redact internals.
+    "q60_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, concat_ws(' ', coalesce(text, ''),
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'contact user' || doc_id || '@example.com for details'
+                  WHEN doc_id % 3 = 1
+                  THEN 'see https://example.org/p/' || doc_id || '?x=1 next'
+                  ELSE 'call 555-' ||
+                       lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                       '-0199 today' END) AS t
+           FROM documents),
+         red AS (
+           SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS r
+           FROM aug)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(length(r) AS BIGINT) AS redacted_len,
+           substr(md5(r), 1, 16) AS redacted_sig
+         FROM red ORDER BY doc_id""",
+
+    "q61_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+           FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           round(count(*) * 1.0 / sum(c), 4) AS distinct_ratio,
+           round(max(c) * 1.0 / sum(c), 4) AS top_share
+         FROM wc GROUP BY doc_id ORDER BY doc_id""",
+
+    "q62_vocab_topk" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+           FROM documents)
+         SELECT word, CAST(count(*) AS BIGINT) AS df
+         FROM tok GROUP BY word ORDER BY df DESC, word LIMIT 100"""
   )
 }
