@@ -514,6 +514,20 @@ object DocumentQueries {
         .select($"doc_id", explode(array_distinct(TextOps.words($"text"))).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("df"))
         .orderBy($"df".desc, $"word").limit(100)
+    }),
+
+    // The composed prepare pipeline (redact → quality filter → exact
+    // dedup → deterministic sample → shard assign) as ONE plan; the
+    // oracle re-runs every stage in SQL. Per-doc survivor rows — a
+    // drift in ANY stage (regex semantics, quality arithmetic, dedup
+    // tie rule, sample/shard hashing) changes the row set or a value.
+    "q63_pipeline" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.DocumentPipeline
+        .prepare(documents(s, d), "doc_id", "text", minQuality = 0.2,
+          sampleFraction = 0.5, nShards = 8, salt = "q63")
+        .select($"doc_id", $"n_tokens", $"quality", $"shard_id")
+        .orderBy($"doc_id")
     })
   )
 
@@ -860,6 +874,35 @@ object DocumentQueries {
            SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS word
            FROM documents)
          SELECT word, CAST(count(*) AS BIGINT) AS df
-         FROM tok GROUP BY word ORDER BY df DESC, word LIMIT 100"""
+         FROM tok GROUP BY word ORDER BY df DESC, word LIMIT 100""",
+
+    "q63_pipeline" ->
+      s"""WITH red AS (
+           SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS ct
+           FROM documents),
+         st AS (
+           SELECT doc_id, ct,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             round(0.5 * (CAST(len(list_filter(w, x -> x IN $stopIn)) AS DOUBLE)
+                          / len(w))
+                 + 0.5 * least(len(w) / 200.0, 1.0), 4) AS quality
+           FROM (SELECT doc_id, ct, string_split_regex(ct, '\\s+') w FROM red)),
+         ded AS (
+           SELECT doc_id, n_tokens, quality,
+             row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id) AS rn
+           FROM st WHERE quality >= 0.2),
+         samp AS (
+           SELECT doc_id, n_tokens, quality FROM ded
+           WHERE rn = 1 AND CAST(concat('0x',
+             substr(md5('q63' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 32768)
+         SELECT doc_id, n_tokens, quality,
+           CAST(concat('0x', substr(md5('q63' || CAST(doc_id AS VARCHAR)), 1, 7))
+             AS BIGINT) % 8 AS shard_id
+         FROM samp ORDER BY doc_id"""
   )
 }
