@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Backward as-of join: for every left row, attach the payload of the
-  * most recent right row with `right.ts <= left.ts` for the same key
+/** As-of join (backward and forward): for every left row, attach the
+  * payload of the nearest right row at-or-before (or at-or-after) its
+  * timestamp for the same key
   * (the alignment the reference performs when pairing mains readings
   * with the latest appliance sample, `UnifiedNILM.py:205-312`, and the
   * standard "trade ↤ latest quote" time-series join).
@@ -32,24 +33,43 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
-  /** @param keys          equi-join key columns (present on both sides)
+  /** Most recent right row at-or-before each left row (DuckDB
+    * `ASOF ... ON l.ts >= r.ts`, pandas `merge_asof` default).
+    *
+    * @param keys          equi-join key columns (present on both sides)
     * @param tsCol         timestamp column name (present on both sides)
     * @param payloadCols   right-side columns to carry onto left rows
     *                      (null when no right row is at-or-before)
-    * @param toleranceSec  optional max staleness: a match older than
+    * @param toleranceSec  optional max staleness: a match further than
     *                      this many seconds is nulled out (pandas
     *                      `merge_asof(tolerance=...)`)
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, tsCol, payloadCols, toleranceSec, forward = false)
+
+  /** First right row at-or-after each left row (DuckDB
+    * `ASOF ... ON l.ts <= r.ts`, `merge_asof(direction='forward')`) —
+    * the time axis traversed in reverse, same single-shuffle shape. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              tsCol: String, payloadCols: Seq[String],
+              toleranceSec: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, tsCol, payloadCols, toleranceSec, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, payloadCols: Seq[String],
+                   toleranceSec: Option[Long], forward: Boolean): DataFrame = {
     val rightCols = (keys :+ tsCol) ++ payloadCols
     val l = left.withColumn("__side", lit(1))
     val r = right.select(rightCols.map(col): _*).withColumn("__side", lit(0))
     // unionByName fills columns unique to one side with nulls
     val all = l.unionByName(r, allowMissingColumns = true)
+    // right rows at an equal timestamp must precede left rows in
+    // traversal order, so ties are inclusive in either direction
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val order = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the match timestamp too, so staleness is checkable
     val matchTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true)
@@ -59,8 +79,10 @@ object AsOfJoin {
     }
     val joined = carried.filter(col("__side") === 1)
     val bounded = toleranceSec.fold(joined) { tol =>
-      val stale = col("__match_ts").isNull ||
-        (unix_micros(col(tsCol)) - unix_micros(col("__match_ts"))) > tol * 1000000L
+      val gap =
+        if (forward) unix_micros(col("__match_ts")) - unix_micros(col(tsCol))
+        else unix_micros(col(tsCol)) - unix_micros(col("__match_ts"))
+      val stale = col("__match_ts").isNull || gap > tol * 1000000L
       payloadCols.foldLeft(joined) { (df, c) =>
         df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
       }

@@ -528,6 +528,22 @@ object DocumentQueries {
           sampleFraction = 0.5, nShards = 8, salt = "q63")
         .select($"doc_id", $"n_tokens", $"quality", $"shard_id")
         .orderBy($"doc_id")
+    }),
+
+    // Per-class embedding centroids (mean pooling — the class-prototype /
+    // document-from-chunks aggregation, and the aggregate inside each
+    // VectorKMeans round): posexplode to skinny (label, dim, v) rows,
+    // ONE map-side-combinable avg shuffle. The alternative — collecting
+    // whole vectors per group and averaging arrays — buffers group
+    // contents; this form never holds more than a running (sum, count)
+    // per (label, dim) cell.
+    "q65_label_centroid" -> ((s, d) => {
+      import s.implicits._
+      embeddings(s, d)
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(round(avg($"v"), 5).as("centroid_v"), count(lit(1)).as("n"))
+        .orderBy($"label", $"dim")
     })
   )
 
@@ -903,6 +919,16 @@ object DocumentQueries {
          SELECT doc_id, n_tokens, quality,
            CAST(concat('0x', substr(md5('q63' || CAST(doc_id AS VARCHAR)), 1, 7))
              AS BIGINT) % 8 AS shard_id
-         FROM samp ORDER BY doc_id"""
+         FROM samp ORDER BY doc_id""",
+
+    // DuckDB 1.0 has no WITH ORDINALITY / lateral range, so the oracle
+    // indexes the fixed 64-dim layout; the Spark side stays
+    // dimension-agnostic (posexplode).
+    "q65_label_centroid" ->
+      """SELECT label, CAST(t.i AS INT) AS dim,
+           round(avg(embedding[CAST(t.i AS INT) + 1]), 5) AS centroid_v,
+           CAST(count(*) AS BIGINT) AS n
+         FROM embeddings, range(0, 64) t(i)
+         GROUP BY label, dim ORDER BY label, dim"""
   )
 }

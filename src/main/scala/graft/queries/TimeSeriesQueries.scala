@@ -178,6 +178,23 @@ object TimeSeriesQueries {
         .agg(count($"ts").as("n_views"),
              coalesce(round(sum($"value"), 2), lit(0.0)).as("view_value"))
         .orderBy($"interval_id")
+    }),
+
+    // Forward as-of: each purchase picks up the NEXT view at-or-after
+    // its timestamp (merge_asof direction='forward') — q56's time axis
+    // reversed, same single-shuffle union-and-carry plan.
+    "q64_asof_forward" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("next_value"))
+        .withColumn("next_ts", $"ts")
+      AsOfJoin.forward(purchases, views, Seq("user_id"), "ts",
+          Seq("next_ts", "next_value"))
+        .select($"event_id", $"user_id", $"value", $"next_ts", $"next_value")
+        .orderBy($"event_id")
     })
   )
 
@@ -326,6 +343,21 @@ object TimeSeriesQueries {
            coalesce(round(sum(v.value), 2), 0) AS view_value
          FROM p LEFT JOIN v
            ON p.user_id = v.user_id AND v.ts >= p.start_ts AND v.ts <= p.end_ts
-         GROUP BY p.interval_id ORDER BY p.interval_id"""
+         GROUP BY p.interval_id ORDER BY p.interval_id""",
+
+    "q64_asof_forward" ->
+      """WITH p AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'
+         ), v AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ts AS TIMESTAMP) AS next_ts, max(value) AS next_value
+           FROM events WHERE event_type = 'view'
+           GROUP BY user_id, CAST(ts AS TIMESTAMP)
+         )
+         SELECT p.event_id, p.user_id, p.value, v.next_ts, v.next_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts <= v.ts
+         ORDER BY p.event_id"""
   )
 }

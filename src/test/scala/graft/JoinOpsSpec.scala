@@ -37,6 +37,24 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Seq(("a", Some(1.0)), ("b", None)))
   }
 
+  test("asOf forward picks first at-or-after, inclusive ties, tolerance") {
+    val left = Seq((1L, ts(10), "l1"), (1L, ts(15), "l2"), (1L, ts(90), "l3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(10), 1.0), (1L, ts(20), 2.0), (1L, ts(200), 3.0))
+      .toDF("k", "ts", "ref")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", Seq("ref"))
+      .orderBy("ts").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    // l1: tie at 10 inclusive; l2: next is 20; l3: next is 200
+    assert(out == Seq(("l1", Some(1.0)), ("l2", Some(2.0)), ("l3", Some(3.0))))
+    val tol = AsOfJoin.forward(left, right, Seq("k"), "ts", Seq("ref"),
+        toleranceSec = Some(30L))
+      .orderBy("ts").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    // l3's match is 110 s ahead → nulled by the 30 s tolerance
+    assert(tol == Seq(("l1", Some(1.0)), ("l2", Some(2.0)), ("l3", None)))
+  }
+
   test("asOf carries multiple payload columns from the same match row") {
     val left = Seq((1L, ts(10), "x")).toDF("k", "ts", "tag")
     val right = Seq((1L, ts(3), 7.0, "m1"), (1L, ts(8), 8.0, "m2"))
