@@ -2,9 +2,11 @@ package graft
 
 import graft.operators.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-/** As-of join (backward, inclusive ties, tolerance) and bucketed
-  * point-in-interval range join. */
+/** As-of join (backward/forward, inclusive ties, tolerance) and
+  * bucketed point-in-interval range join, each property-checked
+  * against a brute-force reference on random data. */
 class JoinOpsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -89,5 +91,60 @@ class JoinOpsSpec extends SparkSpec {
       .agg(count($"ts").as("n"), coalesce(sum($"v"), lit(0.0)).as("tot"))
       .orderBy("id").as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 2L, 12.0), (2L, 0L, 0.0)))
+  }
+
+  test("property: asOf backward/forward equal a brute-force scan") {
+    // right timestamps are unique per (key, ts) by construction (the
+    // operator's documented precondition)
+    val gen = for {
+      ls <- Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+      rsRaw <- Gen.listOfN(12, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    } yield (ls, rsRaw.distinct)
+    val prop = Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }.toDF("lid", "k", "ts")
+      val right = rs.map { case (k, t) => (k, ts(t), k * 1000.0 + t) }
+        .toDF("k", "ts", "ref")
+      def brute(fwd: Boolean) = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.filter { case (rk, rt) =>
+          rk == k && (if (fwd) rt >= t else rt <= t) }
+        val m = if (fwd) cands.minByOption(_._2) else cands.maxByOption(_._2)
+        i.toLong -> m.map { case (rk, rt) => rk * 1000.0 + rt }
+      }.toMap
+      def run(fwd: Boolean) = {
+        val f = if (fwd) AsOfJoin.forward _ else AsOfJoin.backward _
+        f(left, right, Seq("k"), "ts", Seq("ref"), None)
+          .select("lid", "ref").as[(Long, Option[Double])]
+          .collect().toMap
+      }
+      run(fwd = false) == brute(false) && run(fwd = true) == brute(true)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: bucketed range join equals the theta join") {
+    val gen = for {
+      ivs <- Gen.listOfN(8, Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 50L),
+        Gen.choose(0L, 25L)))
+      pts <- Gen.listOfN(25, Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 80L)))
+      bucket <- Gen.oneOf(3L, 10L, 64L)
+    } yield (ivs, pts, bucket)
+    val prop = Prop.forAll(gen) { case (ivs, pts, bucket) =>
+      val iv = ivs.zipWithIndex.map { case ((k, lo, span), i) =>
+        (i.toLong, k, ts(lo), ts(lo + span)) }.toDF("id", "k", "lo", "hi")
+      val pt = pts.map { case (k, t) => (k, ts(t)) }.toDF("k", "ts")
+      val got = RangeJoin.pointsInIntervals(iv, pt, Seq("k"), "lo", "hi", "ts",
+          bucketSeconds = bucket)
+        .select("id", "ts").as[(Long, java.sql.Timestamp)]
+        .collect().toSeq.sorted.map { case (i, t) => (i, t.getTime) }
+      val want = ivs.zipWithIndex.flatMap { case ((k, lo, span), i) =>
+        pts.collect { case (pk, t) if pk == k && t >= lo && t <= lo + span =>
+          (i.toLong, ts(t).getTime) }
+      }.sorted
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
   }
 }
