@@ -38,6 +38,16 @@ object TextOps {
   /** Whitespace tokenization (the baseline token counter). */
   def words(text: Column): Column = split(text, "\\s+")
 
+  /** Canonical text normalization (the cleanup pass before hashing /
+    * dedup / tokenization in a web-corpus pipeline): lowercase, replace
+    * every non-letter/digit/whitespace char with a space, collapse
+    * whitespace runs, trim. Unicode categories (`\p{L}`, `\p{N}`) mean
+    * the same thing in Java regex and RE2, so an oracle can replicate
+    * the pass byte-for-byte. Pure codegen'd per-row work. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
   /** Distinct k-word shingles: ["a","b","c","d"] → ["a b c","b c d"].
     * Guarded so < k words yields an empty set (Spark's sequence(1,0)
     * would otherwise count *down*). Per-row expression form — for

@@ -544,6 +544,23 @@ object DocumentQueries {
         .groupBy($"label", $"dim")
         .agg(round(avg($"v"), 5).as("centroid_v"), count(lit(1)).as("n"))
         .orderBy($"label", $"dim")
+    }),
+
+    // Canonical normalization audit: per-doc signature + length of the
+    // normalized text, and how many chars normalization dropped. The
+    // oracle runs the same pass in RE2 — semantics drift in case
+    // folding, the char-class, or whitespace collapsing breaks the
+    // hash. Map-only.
+    "q66_normalize_text" -> ((s, d) => {
+      import s.implicits._
+      val norm = TextOps.normalizeText($"text")
+      documents(s, d)
+        .filter($"text".isNotNull)
+        .select($"doc_id",
+          length(norm).cast("long").as("n_chars_norm"),
+          (length($"text") - length(norm)).cast("long").as("n_chars_dropped"),
+          substring(md5(norm), 1, 16).as("norm_sig"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -929,6 +946,19 @@ object DocumentQueries {
            round(avg(embedding[CAST(t.i AS INT) + 1]), 5) AS centroid_v,
            CAST(count(*) AS BIGINT) AS n
          FROM embeddings, range(0, 64) t(i)
-         GROUP BY label, dim ORDER BY label, dim"""
+         GROUP BY label, dim ORDER BY label, dim""",
+
+    "q66_normalize_text" ->
+      """WITH n AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS norm
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(length(text) - length(norm) AS BIGINT) AS n_chars_dropped,
+           substr(md5(norm), 1, 16) AS norm_sig
+         FROM n ORDER BY doc_id"""
   )
 }

@@ -105,6 +105,92 @@ object StreamingOps {
       }
   }
 
+  case class TaggedAsOf(device: String, ts: java.sql.Timestamp, side: Int,
+                        apower: Option[Double], ref: Option[Double])
+  case class Enriched(device: String, ts: java.sql.Timestamp, apower: Double,
+                      ref_value: Option[Double],
+                      ref_ts: Option[java.sql.Timestamp])
+
+  case class RefSample(tsUs: Long, value: Double, ts: java.sql.Timestamp)
+
+  /** Per-device as-of state: a SORTED buffer of reference samples that
+    * future readings may still match, plus the max reading event time
+    * processed. The buffer is trimmed after every batch to the newest
+    * reference at-or-before the max reading time (older references can
+    * never win again — late readings are dropped, so every future
+    * reading is newer) and hard-capped at `maxRefBuffer`; it therefore
+    * holds one floor entry plus however far the reference stream runs
+    * AHEAD of the readings stream. */
+  case class AsOfState(refs: Seq[RefSample], maxReadTsUs: Long)
+
+  /** The streaming form of [[graft.operators.AsOfJoin.backward]]: a
+    * readings stream enriched with the most recent sample from a
+    * reference stream (`device, ts, ref`) at-or-before each reading —
+    * stream-stream, via one `flatMapGroupsWithState` over the tagged
+    * union (the same union-and-carry idea as the batch operator, with
+    * the running `last()` window replaced by per-key state).
+    *
+    * Semantics mirror the batch operator: within a batch rows process
+    * in (event-time, side) order with reference rows first at an equal
+    * timestamp (inclusive at-or-before ties), and because state buffers
+    * every reference a future reading could still need, a reference
+    * arriving in an EARLIER batch than a slightly older reading still
+    * matches correctly — the one uncovered skew is a reference arriving
+    * in a LATER batch than a reading it should have served (bound that
+    * with the enclosing query's watermark). A reading at-or-before the
+    * max reading time already processed is dropped (the late-row guard
+    * shared with [[onOffTransitions]]); a matched reference timestamp
+    * is always <= the reading's — never a future sample. */
+  def asOfEnrich(readings: DataFrame, refs: DataFrame,
+                 maxRefBuffer: Int = 1024): Dataset[Enriched] = {
+    implicit val tagE = Encoders.product[TaggedAsOf]
+    implicit val outE = Encoders.product[Enriched]
+    implicit val stE = Encoders.product[AsOfState]
+    implicit val keyE = Encoders.STRING
+    val l = readings.select(col("device"), col("ts"), lit(1).as("side"),
+      col("apower").cast("double").as("apower"),
+      lit(null).cast("double").as("ref"))
+    val r = refs.select(col("device"), col("ts"), lit(0).as("side"),
+      lit(null).cast("double").as("apower"),
+      col("ref").cast("double").as("ref"))
+    l.unionByName(r).as[TaggedAsOf]
+      .groupByKey(_.device)
+      .flatMapGroupsWithState[AsOfState, Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (device: String, rows: Iterator[TaggedAsOf], state: GroupState[AsOfState]) =>
+          val st = state.getOption.getOrElse(AsOfState(Vector.empty, Long.MinValue))
+          // mutable sorted buffer for this batch
+          var buf = st.refs.toVector
+          var maxRead = st.maxReadTsUs
+          val out = scala.collection.mutable.ArrayBuffer[Enriched]()
+          rows.toSeq.sortBy(t => (micros(t.ts), t.side)).foreach { row =>
+            val t = micros(row.ts)
+            if (row.side == 0) {
+              // insert keeping ascending tsUs order; equal-ts refs keep
+              // the first (callers pre-aggregate duplicates, as in batch)
+              if (!buf.exists(_.tsUs == t)) {
+                val i = buf.indexWhere(_.tsUs > t)
+                val at = if (i < 0) buf.size else i
+                buf = (buf.take(at) :+ RefSample(t, row.ref.get, row.ts)) ++
+                  buf.drop(at)
+              }
+            } else if (t > maxRead) {
+              val m = buf.reverseIterator.find(_.tsUs <= t)
+              out += Enriched(device, row.ts, row.apower.get,
+                m.map(_.value), m.map(_.ts))
+              maxRead = t
+            }
+          }
+          // trim: drop refs older than the newest one at-or-before the
+          // max reading time (they can never match a future reading),
+          // then cap the buffer by dropping its oldest entries
+          val floor = buf.reverseIterator.find(_.tsUs <= maxRead)
+          val trimmed = floor.fold(buf)(f => buf.dropWhile(_.tsUs < f.tsUs))
+          state.update(AsOfState(trimmed.takeRight(maxRefBuffer), maxRead))
+          out.iterator
+      }
+  }
+
   /** Per-device transition-detector state: current ON/OFF plus the
     * max event time already processed (µs) — the event-time guard that
     * makes cross-batch ordering sound (a bare boolean state would let

@@ -104,6 +104,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich: stream-stream as-of with refs-first ties and cross-batch state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val readMem = MemoryStream[(String, Long, Double)]
+    val refMem = MemoryStream[(String, Long, Double)]
+    val readings = readMem.toDS().toDF("device", "ts_s", "apower")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+    val refs = refMem.toDS().toDF("device", "ts_s", "ref")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"ref")
+    val q = StreamingOps.asOfEnrich(readings, refs)
+      .writeStream.format("memory").queryName("mq_asof")
+      .outputMode("append").start()
+    try {
+      // phase 1: a reading BEFORE any ref (null enrich), a ref, a
+      // reading at the ref's exact ts (inclusive tie), one after.
+      // Refs are added first so no micro-batch can process a reading
+      // before its reference is available (ref-arrives-later is the one
+      // documented uncovered skew).
+      refMem.addData(("dev", 100L, 10.0))
+      readMem.addData(("dev", 50L, 1.0), ("dev", 100L, 2.0), ("dev", 120L, 3.0))
+      q.processAllAvailable()
+      // phase 2: a newer ref at t=200 plus readings straddling it — the
+      // t=150 reading must match the OLD ref@100 even though ref@200 is
+      // already in state (the buffer keeps superseded refs until the
+      // reading high-water mark passes them), and a stale ref at t=90
+      // must be trimmed, never matched
+      refMem.addData(("dev", 200L, 20.0), ("dev", 90L, 99.0))
+      readMem.addData(("dev", 150L, 4.0), ("dev", 250L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("mq_asof")
+        .orderBy("ts")
+        .select(unix_timestamp($"ts"), $"apower", $"ref_value",
+          unix_timestamp($"ref_ts"))
+        .as[(Long, Double, Option[Double], Option[Long])].collect().toSeq
+      assert(rows == Seq(
+        (50L, 1.0, None, None),
+        (100L, 2.0, Some(10.0), Some(100L)),
+        (120L, 3.0, Some(10.0), Some(100L)),
+        (150L, 4.0, Some(10.0), Some(100L)),
+        (250L, 5.0, Some(20.0), Some(200L))))
+    } finally q.stop()
+  }
+
   test("sessionize: gap sessions across micro-batches match the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
