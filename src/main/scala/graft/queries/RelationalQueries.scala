@@ -164,6 +164,19 @@ object RelationalQueries {
         .groupBy($"n_name")
         .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
         .orderBy($"n_name")
+    }),
+
+    // Data-quality column profile (operators/Profiler): all statistics
+    // for all columns from ONE scan, unpivoted with stack — never a
+    // job per column. Exact distincts here for the oracle; the
+    // approx_count_distinct switch is the fact-scale default.
+    "q67_column_profile" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Profiler.numericProfile(lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select($"col_name", $"n", $"n_nulls", $"n_distinct", $"vmin",
+          $"vmax", round($"vmean", 4).as("vmean"))
+        .orderBy($"col_name")
     })
   )
 
@@ -251,6 +264,20 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'AFRICA'
-         GROUP BY n_name ORDER BY n_name"""
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q67_column_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name,
+           CAST(count($c) AS BIGINT) AS n,
+           CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           CAST(min($c) AS DOUBLE) AS vmin,
+           CAST(max($c) AS DOUBLE) AS vmax,
+           round(avg($c), 4) AS vmean
+           FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount")
+        .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
+    }
   )
 }
