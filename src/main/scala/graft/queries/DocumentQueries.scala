@@ -119,6 +119,23 @@ object DocumentQueries {
     }
   }
 
+  /** The q25 SimHash signature frame (doc_id, simhash) — shared by the
+    * signature dump (q25) and the banded near-dup pair join (q68). */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = documents(s, d)
+      .select($"doc_id", explode(words($"text")).as("w"))
+      .select($"doc_id", hash60($"w").as("h"))
+    val voteCols = (0 until SimhashBits).map(b =>
+      sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+    tok.groupBy($"doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select($"doc_id",
+        (0 until SimhashBits)
+          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   private val defsB: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 60-bit SimHash fingerprint per document (frequency-weighted token
@@ -127,20 +144,36 @@ object DocumentQueries {
     // Spark, so the naive per-row nested aggregate is ~40× slower; this
     // shape also gets map-side partial aggregation at scale. `split` on
     // \s+ always yields ≥1 token, so no doc_id is lost to the explode.
-    "q25_simhash" -> ((s, d) => {
+    "q25_simhash" -> ((s, d) =>
+      simhashSigs(s, d).orderBy(col("doc_id"))),
+
+    // SimHash near-dup PAIRS via banded Hamming join: split the 60-bit
+    // signature into 4 bands of 15 bits — by pigeonhole, two signatures
+    // within Hamming distance 3 differ in at most 3 bands, so they
+    // MUST agree on at least one band. Candidates come from the
+    // band-keyed equi self-join (never an all-pairs product); the exact
+    // bit_count(xor) verifies. The same band-candidates-then-verify
+    // shape as MinHash (q24) and LSH (q45).
+    "q68_simhash_pairs" -> ((s, d) => {
       import s.implicits._
-      val tok = documents(s, d)
-        .select($"doc_id", explode(words($"text")).as("w"))
-        .select($"doc_id", hash60($"w").as("h"))
-      val voteCols = (0 until SimhashBits).map(b =>
-        sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
-      tok.groupBy($"doc_id")
-        .agg(voteCols.head, voteCols.tail: _*)
-        .select($"doc_id",
-          (0 until SimhashBits)
-            .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
-        .orderBy($"doc_id")
+      val sigs = simhashSigs(s, d)
+      val bandStructs = (0 until 4).map(b =>
+        struct(lit(b).as("bi"),
+          shiftright($"simhash", b * 15).bitwiseAND(lit(0x7FFFL)).as("bk")))
+      val bands = sigs
+        .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("band"))
+        .select($"doc_id", $"simhash", $"band.bi", $"band.bk")
+      val a = bands.select($"doc_id".as("a_id"), $"simhash".as("a_sig"),
+        $"bi", $"bk")
+      val b = bands.select($"doc_id".as("b_id"), $"simhash".as("b_sig"),
+        $"bi", $"bk")
+      a.join(b, Seq("bi", "bk"))
+        .filter($"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          bit_count($"a_sig".bitwiseXOR($"b_sig")).cast("long").as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
     }),
 
     // Exact n-gram Jaccard pairs via an inverted shingle index with
@@ -568,6 +601,19 @@ object DocumentQueries {
   // DuckDB oracles (same constants, same arithmetic, same order).
   // ---------------------------------------------------------------------
 
+  /** SimHash signature CTE chain ending in `sig(doc_id, simhash)` —
+    * shared by the q25 and q68 oracles (mirrors [[simhashSigs]]). */
+  private val simhashSigSql =
+    s"""tok2 AS (SELECT doc_id, string_split_regex(text, '\\s+') w FROM documents),
+       hs AS (SELECT doc_id,
+         list_transform(w, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) h
+         FROM tok2),
+       sig AS (SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}),
+           b -> CASE WHEN list_sum(list_transform(h, v -> ((v >> b) & 1) * 2 - 1)) > 0
+                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+         FROM hs)"""
+
   private val shingleCte =
     """tok AS (SELECT doc_id, string_split_regex(text, '\s+') w FROM documents),
        sh AS (SELECT doc_id,
@@ -664,14 +710,23 @@ object DocumentQueries {
          FROM scored WHERE jac >= 0.5 ORDER BY a_id, b_id""",
 
     "q25_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') w FROM documents),
-         hs AS (SELECT doc_id,
-           list_transform(w, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) h
-           FROM tok)
-         SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}),
-           b -> CASE WHEN list_sum(list_transform(h, v -> ((v >> b) & 1) * 2 - 1)) > 0
-                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
-         FROM hs ORDER BY doc_id""",
+      s"""WITH $simhashSigSql
+         SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
+
+    "q68_simhash_pairs" ->
+      s"""WITH $simhashSigSql,
+         bands AS (SELECT doc_id, simhash, t.bi,
+           (simhash >> (CAST(t.bi AS INT) * 15)) & 32767 AS bk
+           FROM sig, range(0, 4) t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+           FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+         FROM cand JOIN sig sa ON a_id = sa.doc_id
+                   JOIN sig sb ON b_id = sb.doc_id
+         WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+         ORDER BY a_id, b_id""",
 
     "q26_jaccard_pairs" ->
       s"""WITH $shingleCte,
