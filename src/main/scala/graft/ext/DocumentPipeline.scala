@@ -38,6 +38,12 @@ object DocumentPipeline {
               salt: String): DataFrame = {
     val clean = docs.withColumn("clean_text", Redact.redact(col(textCol)))
     val w = TextOps.words(col("clean_text"))
+    // quality uses the per-row HOF stopword count rather than q30's
+    // explode + conditional-sum form: the explode form needs its own
+    // groupBy(doc) shuffle, which would break this pipeline's
+    // single-wide-dependency shape — here the HOF fuses into the same
+    // codegen'd scan as redaction and the sample/shard hashes, and the
+    // dedup window remains the only exchange
     val scored = clean
       .withColumn("n_tokens", TextStats.whitespaceTokenCount(col("clean_text")))
       .withColumn("quality", TextStats.qualityScore(col("n_tokens"),

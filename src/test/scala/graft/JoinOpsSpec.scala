@@ -93,6 +93,16 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 12.0), (2L, 0L, 0.0)))
   }
 
+  test("range join drops malformed intervals (end < start) without exploding") {
+    val iv = Seq((1L, 1L, ts(100), ts(0)), (2L, 1L, ts(0), ts(10)))
+      .toDF("id", "k", "lo", "hi")
+    val pts = Seq((1L, ts(5)), (1L, ts(50))).toDF("k", "ts")
+    val out = RangeJoin.pointsInIntervals(iv, pts, Seq("k"), "lo", "hi", "ts",
+        bucketSeconds = 10L)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(2L)) // the inverted interval matches nothing
+  }
+
   test("property: asOf backward/forward equal a brute-force scan") {
     // right timestamps are unique per (key, ts) by construction (the
     // operator's documented precondition)
