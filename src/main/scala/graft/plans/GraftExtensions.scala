@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, RollingFingerprint, TopKByScore}
+import graft.functions.{DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,6 +41,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 3, "graft_topk(score, id, k)")
         TopKByScore(args.head, args(1), args(2)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_heavy_hitters(item, capacity)")
+        HeavyHitters(args.head, args(1)).toAggregateExpression()
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -171,8 +171,10 @@ object DocumentQueries {
         .filter($"a_id" < $"b_id")
         .select($"a_id", $"b_id",
           bit_count($"a_sig".bitwiseXOR($"b_sig")).cast("long").as("hamming"))
-        .distinct()
+        // verify BEFORE the dedup: most band collisions are far pairs,
+        // so the distinct only sees the (tiny) surviving set
         .filter($"hamming" <= 3)
+        .distinct()
         .orderBy($"a_id", $"b_id")
     }),
 

@@ -195,6 +195,24 @@ object TimeSeriesQueries {
           Seq("next_ts", "next_value"))
         .select($"event_id", $"user_id", $"value", $"next_ts", $"next_value")
         .orderBy($"event_id")
+    }),
+
+    // Heavy hitters per event type via the native Misra–Gries aggregate
+    // (graft_heavy_hitters): single pass, O(capacity) state per group,
+    // map-side partial merge — never one shuffle row per DISTINCT user.
+    // Capacity 200 exceeds the distinct-user count, so counts are EXACT
+    // here and the DuckDB groupBy oracle can check them (the bounded
+    // undercount regime is property-tested in NativeAggSpec).
+    "q69_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      events(s, d)
+        .groupBy($"event_type")
+        .agg(expr("graft_heavy_hitters(CAST(user_id AS STRING), 200)").as("hh"))
+        .select($"event_type", posexplode(slice($"hh", 1, 3)).as(Seq("rnk", "e")))
+        .select($"event_type", ($"rnk" + 1).cast("long").as("rank"),
+          $"e.item".as("top_user"), $"e.count".as("cnt"))
+        .orderBy($"event_type", $"rank")
     })
   )
 
@@ -358,6 +376,20 @@ object TimeSeriesQueries {
          SELECT p.event_id, p.user_id, p.value, v.next_ts, v.next_value
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND p.ts <= v.ts
-         ORDER BY p.event_id"""
+         ORDER BY p.event_id""",
+
+    "q69_heavy_hitters" ->
+      """WITH c AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS u, count(*) AS n
+           FROM events GROUP BY event_type, u
+         ), r AS (
+           SELECT event_type, u, n, row_number() OVER (
+             PARTITION BY event_type ORDER BY n DESC, u) AS rank
+           FROM c
+         )
+         SELECT event_type, CAST(rank AS BIGINT) AS rank,
+           u AS top_user, CAST(n AS BIGINT) AS cnt
+         FROM r WHERE rank <= 3
+         ORDER BY event_type, rank"""
   )
 }
