@@ -41,12 +41,17 @@ case class HeavyHitters(itemExpr: Expression, capExpr: Expression,
   private lazy val cap: Int = capExpr.eval().asInstanceOf[Number].intValue()
 
   override def checkInputDataTypes(): TypeCheckResult =
-    itemExpr.dataType match {
-      case StringType =>
-        if (capExpr.foldable && cap > 0) TypeCheckResult.TypeCheckSuccess
+    (itemExpr.dataType, capExpr.dataType) match {
+      case (StringType, IntegerType | LongType | ShortType) =>
+        // type-check BEFORE evaluating the literal — a bare Number cast
+        // would throw ClassCastException/NPE out of analysis for a
+        // non-numeric or null capacity instead of this message
+        if (capExpr.foldable && capExpr.eval() != null && cap > 0)
+          TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure("capacity must be a positive literal")
-      case t => TypeCheckResult.TypeCheckFailure(
-        s"graft_heavy_hitters expects (string, int), got ${t.simpleString}")
+      case (i, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_heavy_hitters expects (string, int), got " +
+          s"(${i.simpleString}, ${c.simpleString})")
     }
 
   override def children: Seq[Expression] = Seq(itemExpr, capExpr)
@@ -103,11 +108,16 @@ case class HeavyHitters(itemExpr: Expression, capExpr: Expression,
     })
   }
 
+  // length-prefixed raw UTF-8, not writeUTF — writeUTF throws on items
+  // whose encoding exceeds 65535 bytes (real for document/URL columns)
   override def serialize(m: scala.collection.mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(m.size)
-    m.foreach { case (i, c) => out.writeUTF(i); out.writeLong(c) }
+    m.foreach { case (i, c) =>
+      val b = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -116,7 +126,12 @@ case class HeavyHitters(itemExpr: Expression, capExpr: Expression,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val m = createAggregationBuffer()
     val n = in.readInt()
-    (0 until n).foreach(_ => m.update(in.readUTF(), in.readLong()))
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+    }
     m
   }
 

@@ -71,22 +71,27 @@ object AsOfJoin {
     val order = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col("__side").asc)
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry the match timestamp too, so staleness is checkable
-    val matchTs = last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true)
-      .over(running)
-    val carried = payloadCols.foldLeft(all.withColumn("__match_ts", matchTs)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(running))
-    }
-    val joined = carried.filter(col("__side") === 1)
-    val bounded = toleranceSec.fold(joined) { tol =>
+    // carry the nearest right row as ONE struct (match ts + payloads):
+    // carrying payload columns individually with last(ignoreNulls) would
+    // tear rows whenever a payload value is legitimately null — the null
+    // field would fall back to an OLDER right row while the others (and
+    // the staleness check) advance to the newer one
+    val matchStruct = last(
+      when(col("__side") === 0,
+        struct(col(tsCol).as("__ts") +: payloadCols.map(col): _*)),
+      ignoreNulls = true).over(running)
+    val carried = all.withColumn("__match", matchStruct)
+      .filter(col("__side") === 1)
+    val matchTs = col("__match")("__ts")
+    val fresh = toleranceSec.fold(col("__match").isNotNull) { tol =>
       val gap =
-        if (forward) unix_micros(col("__match_ts")) - unix_micros(col(tsCol))
-        else unix_micros(col(tsCol)) - unix_micros(col("__match_ts"))
-      val stale = col("__match_ts").isNull || gap > tol * 1000000L
-      payloadCols.foldLeft(joined) { (df, c) =>
-        df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
-      }
+        if (forward) unix_micros(matchTs) - unix_micros(col(tsCol))
+        else unix_micros(col(tsCol)) - unix_micros(matchTs)
+      col("__match").isNotNull && gap <= tol * 1000000L
     }
-    bounded.drop("__side", "__match_ts")
+    payloadCols.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, when(fresh, col("__match")(c)).otherwise(lit(null)))
+      }
+      .drop("__side", "__match")
   }
 }

@@ -200,15 +200,17 @@ object TimeSeriesQueries {
     // Heavy hitters per event type via the native Misra–Gries aggregate
     // (graft_heavy_hitters): single pass, O(capacity) state per group,
     // map-side partial merge — never one shuffle row per DISTINCT user.
-    // Capacity 200 exceeds the distinct-user count, so counts are EXACT
-    // here and the DuckDB groupBy oracle can check them (the bounded
-    // undercount regime is property-tested in NativeAggSpec).
+    // Counts are EXACT while the per-group distinct count stays below
+    // the capacity — 65536 covers the testdata well past sf1 (sf0.1 has
+    // 1500 distinct users; bounded state is the point, exactness the
+    // oracle convenience). The over-capacity undercount regime is
+    // property-tested in NativeAggSpec.
     "q69_heavy_hitters" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
       events(s, d)
         .groupBy($"event_type")
-        .agg(expr("graft_heavy_hitters(CAST(user_id AS STRING), 200)").as("hh"))
+        .agg(expr("graft_heavy_hitters(CAST(user_id AS STRING), 65536)").as("hh"))
         .select($"event_type", posexplode(slice($"hh", 1, 3)).as(Seq("rnk", "e")))
         .select($"event_type", ($"rnk" + 1).cast("long").as("rank"),
           $"e.item".as("top_user"), $"e.count".as("cnt"))

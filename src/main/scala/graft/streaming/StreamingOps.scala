@@ -107,11 +107,12 @@ object StreamingOps {
 
   case class TaggedAsOf(device: String, ts: java.sql.Timestamp, side: Int,
                         apower: Option[Double], ref: Option[Double])
-  case class Enriched(device: String, ts: java.sql.Timestamp, apower: Double,
-                      ref_value: Option[Double],
+  case class Enriched(device: String, ts: java.sql.Timestamp,
+                      apower: Option[Double], ref_value: Option[Double],
                       ref_ts: Option[java.sql.Timestamp])
 
-  case class RefSample(tsUs: Long, value: Double, ts: java.sql.Timestamp)
+  case class RefSample(tsUs: Long, value: Option[Double],
+                       ts: java.sql.Timestamp)
 
   /** Per-device as-of state: a SORTED buffer of reference samples that
     * future readings may still match, plus the max reading event time
@@ -137,10 +138,12 @@ object StreamingOps {
     * arriving in an EARLIER batch than a slightly older reading still
     * matches correctly — the one uncovered skew is a reference arriving
     * in a LATER batch than a reading it should have served (bound that
-    * with the enclosing query's watermark). A reading at-or-before the
-    * max reading time already processed is dropped (the late-row guard
-    * shared with [[onOffTransitions]]); a matched reference timestamp
-    * is always <= the reading's — never a future sample. */
+    * with the enclosing query's watermark). A reading STRICTLY before
+    * the max reading time already processed is dropped (the late-row
+    * guard of [[onOffTransitions]], relaxed to admit equal timestamps —
+    * a same-time second reading is not out of order and the batch
+    * operator keeps it); a matched reference timestamp is always <= the
+    * reading's — never a future sample. */
   def asOfEnrich(readings: DataFrame, refs: DataFrame,
                  maxRefBuffer: Int = 1024): Dataset[Enriched] = {
     implicit val tagE = Encoders.product[TaggedAsOf]
@@ -159,34 +162,38 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (device: String, rows: Iterator[TaggedAsOf], state: GroupState[AsOfState]) =>
           val st = state.getOption.getOrElse(AsOfState(Vector.empty, Long.MinValue))
-          // mutable sorted buffer for this batch
-          var buf = st.refs.toVector
+          // ordered mutable buffer: O(log n) insert/floor-lookup (the
+          // immutable-splice form was O(n) copying per reference row)
+          val buf = scala.collection.mutable.TreeMap.empty[Long, RefSample]
+          st.refs.foreach(r => buf.update(r.tsUs, r))
           var maxRead = st.maxReadTsUs
           val out = scala.collection.mutable.ArrayBuffer[Enriched]()
           rows.toSeq.sortBy(t => (micros(t.ts), t.side)).foreach { row =>
             val t = micros(row.ts)
             if (row.side == 0) {
-              // insert keeping ascending tsUs order; equal-ts refs keep
-              // the first (callers pre-aggregate duplicates, as in batch)
-              if (!buf.exists(_.tsUs == t)) {
-                val i = buf.indexWhere(_.tsUs > t)
-                val at = if (i < 0) buf.size else i
-                buf = (buf.take(at) :+ RefSample(t, row.ref.get, row.ts)) ++
-                  buf.drop(at)
-              }
-            } else if (t > maxRead) {
-              val m = buf.reverseIterator.find(_.tsUs <= t)
-              out += Enriched(device, row.ts, row.apower.get,
-                m.map(_.value), m.map(_.ts))
+              // equal-ts refs keep the first (callers pre-aggregate
+              // duplicates, as in batch); a null ref VALUE is still a
+              // real sample — it matches and enriches with null
+              if (!buf.contains(t)) buf.update(t, RefSample(t, row.ref, row.ts))
+            } else if (t >= maxRead) {
+              // >= : a second reading at the SAME event time is not out
+              // of order — dropping it would lose data the batch
+              // operator keeps (re-delivery of an identical row across
+              // batches therefore re-emits; exactly-once dedup is the
+              // upstream dropDuplicatesWithinWatermark's job)
+              val m = buf.rangeTo(t).lastOption.map(_._2)
+              out += Enriched(device, row.ts, row.apower,
+                m.flatMap(_.value), m.map(_.ts))
               maxRead = t
             }
           }
           // trim: drop refs older than the newest one at-or-before the
           // max reading time (they can never match a future reading),
           // then cap the buffer by dropping its oldest entries
-          val floor = buf.reverseIterator.find(_.tsUs <= maxRead)
-          val trimmed = floor.fold(buf)(f => buf.dropWhile(_.tsUs < f.tsUs))
-          state.update(AsOfState(trimmed.takeRight(maxRefBuffer), maxRead))
+          buf.rangeTo(maxRead).keys.toSeq.dropRight(1)
+            .foreach(buf.remove)
+          val trimmed = buf.values.toVector.takeRight(maxRefBuffer)
+          state.update(AsOfState(trimmed, maxRead))
           out.iterator
       }
   }

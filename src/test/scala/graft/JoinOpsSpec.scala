@@ -66,6 +66,17 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Seq((8.0, "m2")))
   }
 
+  test("asOf does not tear rows when the match row's payload is null") {
+    // the nearest right row has ref=NULL: the correct as-of result is
+    // null (that row matched), NOT the older row's 5.0
+    val left = Seq((1L, ts(30), "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, ts(10), Some(5.0), "old"), (1L, ts(20), None, "new"))
+      .toDF("k", "ts", "ref", "label")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("ref", "label"))
+      .select("ref", "label").as[(Option[Double], String)].collect().toSeq
+    assert(out == Seq((None, "new")))
+  }
+
   test("range join matches inclusive bounds exactly once across buckets") {
     // bucketSeconds=10; interval [5, 25] spans buckets 0,1,2 — each point
     // must appear exactly once even though the interval has three copies

@@ -108,7 +108,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val readMem = MemoryStream[(String, Long, Double)]
-    val refMem = MemoryStream[(String, Long, Double)]
+    val refMem = MemoryStream[(String, Long, Option[Double])]
     val readings = readMem.toDS().toDF("device", "ts_s", "apower")
       .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
     val refs = refMem.toDS().toDF("device", "ts_s", "ref")
@@ -122,7 +122,7 @@ class StreamingSpec extends SparkSpec {
       // Refs are added first so no micro-batch can process a reading
       // before its reference is available (ref-arrives-later is the one
       // documented uncovered skew).
-      refMem.addData(("dev", 100L, 10.0))
+      refMem.addData(("dev", 100L, Some(10.0)))
       readMem.addData(("dev", 50L, 1.0), ("dev", 100L, 2.0), ("dev", 120L, 3.0))
       q.processAllAvailable()
       // phase 2: a newer ref at t=200 plus readings straddling it — the
@@ -130,11 +130,20 @@ class StreamingSpec extends SparkSpec {
       // already in state (the buffer keeps superseded refs until the
       // reading high-water mark passes them), and a stale ref at t=90
       // must be trimmed, never matched
-      refMem.addData(("dev", 200L, 20.0), ("dev", 90L, 99.0))
+      refMem.addData(("dev", 200L, Some(20.0)), ("dev", 90L, Some(99.0)))
       readMem.addData(("dev", 150L, 4.0), ("dev", 250L, 5.0))
       q.processAllAvailable()
+      // phase 3: a NULL-valued reference (a real sample: it matches and
+      // enriches with null — ref_ts set, ref_value null — not with the
+      // older 20.0, and it must not crash the query), then two readings
+      // at the SAME event time (both must emit — equal ts is not
+      // out-of-order)
+      refMem.addData(("dev", 300L, None))
+      q.processAllAvailable()
+      readMem.addData(("dev", 310L, 6.0), ("dev", 310L, 7.0))
+      q.processAllAvailable()
       val rows = spark.table("mq_asof")
-        .orderBy("ts")
+        .orderBy("ts", "apower")
         .select(unix_timestamp($"ts"), $"apower", $"ref_value",
           unix_timestamp($"ref_ts"))
         .as[(Long, Double, Option[Double], Option[Long])].collect().toSeq
@@ -143,7 +152,9 @@ class StreamingSpec extends SparkSpec {
         (100L, 2.0, Some(10.0), Some(100L)),
         (120L, 3.0, Some(10.0), Some(100L)),
         (150L, 4.0, Some(10.0), Some(100L)),
-        (250L, 5.0, Some(20.0), Some(200L))))
+        (250L, 5.0, Some(20.0), Some(200L)),
+        (310L, 6.0, None, Some(300L)),
+        (310L, 7.0, None, Some(300L))))
     } finally q.stop()
   }
 
