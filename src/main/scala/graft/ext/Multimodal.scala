@@ -103,16 +103,35 @@ object Multimodal {
   }
 
   /** A feature extractor maps an opaque payload column to a fixed-dim
-    * `array<float>` vector. [[fakeFeatures]] is the stub default. */
+    * `array<float>` vector. [[histogramFeatures]] (real, content-based)
+    * is the default; [[fakeFeatures]] remains the embedding stand-in. */
   type FeatureExtractor = (Column, Int) => Column
 
-  /** Attach a feature vector column. The default extractor is the
-    * deterministic STUB below; a production pipeline passes a real
-    * decoder (Pandas-UDF embedding, JNI codec) with the same signature
-    * — nothing else changes. */
+  /** Attach a feature vector column. The default extractor is the REAL
+    * byte-histogram below (computed from the decoded payload bytes); a
+    * production pipeline passes a richer decoder (Pandas-UDF embedding,
+    * JNI codec) with the same signature — nothing else changes. */
   def withFeatures(df: DataFrame, media: Column, dim: Int,
-                   extractor: FeatureExtractor = fakeFeatures): DataFrame =
+                   extractor: FeatureExtractor = histogramFeatures): DataFrame =
     df.withColumn("features", extractor(media, dim))
+
+  /** REAL content features for codec-free media: the normalized 16-bin
+    * high-nibble byte histogram of the PAYLOAD region (the intensity-
+    * histogram baseline of image retrieval), skipping the parsed header
+    * — 54 bytes for BMP, 44 for canonical WAV, 0 for opaque blobs. The
+    * per-byte loop is the native codegen'd `graft_byte_hist` expression
+    * ([[graft.functions.ByteHistogram]]); requires
+    * [[graft.plans.GraftExtensions.register]] on the session. `dim` <=
+    * 16 slices the leading bins (16 is the natural size). */
+  def histogramFeatures(media: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 16, s"histogram dim $dim not in 1..16")
+    val off = when(hex(substring(media, 1, 2)) === "424D", lit(54))
+      .when(hex(substring(media, 1, 4)) === "52494646", lit(44))
+      .otherwise(lit(0)).cast("int")
+    val h = call_function("graft_byte_hist", media, off)
+    val total = greatest(aggregate(h, lit(0L), (a, x) => a + x), lit(1L))
+    slice(transform(h, c => (c.cast("double") / total).cast("float")), 1, dim)
+  }
 
   /** STUB decode → fixed-dim feature vector. Deterministic fake:
     * feature i = (md5(hex(payload) ++ "_" ++ i) first 4 hex digits)

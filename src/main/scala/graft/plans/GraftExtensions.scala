@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
+import graft.functions.{ByteHistogram, DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,6 +47,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_heavy_hitters(item, capacity)")
         HeavyHitters(args.head, args(1)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_byte_hist"),
+      new ExpressionInfo(classOf[ByteHistogram].getName, "graft_byte_hist"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_byte_hist(binary, offset)")
+        ByteHistogram(args.head, args(1))
       }))
 
   /** Idempotent runtime registration into an existing session. */

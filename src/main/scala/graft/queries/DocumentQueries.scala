@@ -581,6 +581,35 @@ object DocumentQueries {
         .orderBy($"label", $"dim")
     }),
 
+    // Real multimodal content features: 16-bin high-nibble byte
+    // histogram of the payload region BEHIND the parsed header (q52's
+    // BMP/WAV containers), computed by the native codegen'd
+    // graft_byte_hist loop over the actual bytes. The oracle recomputes
+    // the histogram independently from the original text characters —
+    // a wrong header offset, loop bound, or nibble shift breaks the
+    // hash. Map-only + explode; no shuffle before the terminal sort.
+    "q70_media_features" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val width = ($"doc_id" % 509 + 1).cast("long")
+      val height = ($"doc_id" * 7 % 509 + 1).cast("long")
+      val rate = (lit(8000L) + ($"doc_id" % 8) * 1000).cast("long")
+      val nch = when($"doc_id" % 4 === 1, 1L).otherwise(2L)
+      val payload = encode($"text", "UTF-8")
+      val media = when($"doc_id" % 2 === 0,
+          graft.ext.Multimodal.bmpPayload(width, height, payload))
+        .otherwise(graft.ext.Multimodal.wavPayload(rate, nch, payload))
+      val headerLen = when($"doc_id" % 2 === 0, lit(54)).otherwise(lit(44))
+      documents(s, d)
+        .filter($"text".isNotNull && $"text" =!= "")
+        .select($"doc_id",
+          posexplode(call_function("graft_byte_hist", media,
+            headerLen.cast("int"))).as(Seq("bin", "cnt")))
+        .filter($"cnt" > 0)
+        .select($"doc_id", $"bin".cast("int").as("bin"), $"cnt")
+        .orderBy($"doc_id", $"bin")
+    }),
+
     // Canonical normalization audit: per-doc signature + length of the
     // normalized text, and how many chars normalization dropped. The
     // oracle runs the same pass in RE2 — semantics drift in case
@@ -1004,6 +1033,18 @@ object DocumentQueries {
            CAST(count(*) AS BIGINT) AS n
          FROM embeddings, range(0, 64) t(i)
          GROUP BY label, dim ORDER BY label, dim""",
+
+    // Recomputed from text characters, NOT from container bytes — the
+    // header-skip arithmetic is only on the Spark side, so the oracle
+    // catches it if the loop ever reads header bytes.
+    "q70_media_features" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS c
+           FROM documents WHERE text IS NOT NULL AND text <> ''
+         )
+         SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM ch GROUP BY doc_id, bin ORDER BY doc_id, bin""",
 
     "q66_normalize_text" ->
       """WITH n AS (

@@ -124,22 +124,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("withFeatures: stub default is deterministic; extractor is pluggable") {
-    val df = Seq("hello world", "x").toDF("t")
+  test("withFeatures: real histogram default; extractor is pluggable") {
+    // "aab" = 0x61 0x61 0x62 — all high-nibble 6 → bin 6 holds all mass
+    val df = Seq("aab", "a0").toDF("t")
       .select(encode($"t", "UTF-8").as("media"))
-    val f = Multimodal.withFeatures(df, $"media", 8)
+    val f = Multimodal.withFeatures(df, $"media", 16)
       .select($"features").as[Seq[Float]].collect().toSeq
-    assert(f.forall(_.size == 8))
-    assert(f.forall(_.forall(v => v >= -0.5f && v <= 0.5f)))
-    val f2 = Multimodal.withFeatures(df, $"media", 8)
-      .select($"features").as[Seq[Float]].collect().toSeq
-    assert(f == f2) // deterministic
-    assert(f(0) != f(1)) // different payloads → different vectors
-    // a custom extractor (here: constant vector) slots in unchanged
+    assert(f.forall(_.size == 16))
+    assert(f(0)(6) == 1.0f && f(0).sum == 1.0f)
+    // "a0" = 0x61 (bin 6) + 0x30 (bin 3) → half each
+    assert(f(1)(3) == 0.5f && f(1)(6) == 0.5f)
+    // a custom extractor (here: the former stub) slots in unchanged
     val custom = Multimodal.withFeatures(df, $"media", 3,
-        (_, dim) => array((0 until dim).map(i => lit(i.toFloat)): _*))
+        Multimodal.fakeFeatures)
       .select($"features").as[Seq[Float]].collect().toSeq
-    assert(custom.forall(_ == Seq(0f, 1f, 2f)))
+    assert(custom.forall(v => v.size == 3 && v.forall(x => x >= -0.5f && x <= 0.5f)))
+  }
+
+  test("histogramFeatures skips the parsed header region") {
+    // identical pixel payloads inside a BMP container and raw → same
+    // histogram (the 54 header bytes don't pollute the feature)
+    val df = Seq("zzzz").toDF("t").select(
+      Multimodal.bmpPayload(lit(2L), lit(2L), encode($"t", "UTF-8")).as("bmp"),
+      encode($"t", "UTF-8").as("raw"))
+    val (b, r) = df.select(
+        Multimodal.histogramFeatures($"bmp", 16).as("b"),
+        Multimodal.histogramFeatures($"raw", 16).as("r"))
+      .as[(Seq[Float], Seq[Float])].head()
+    assert(b == r)
+    assert(b(7) == 1.0f) // 'z' = 0x7A
   }
 
   test("frameOffsets: one offset per stride step") {
