@@ -158,6 +158,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich single-batch matches the batch AsOfJoin on random data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val devs = Seq("d1", "d2", "d3")
+    val refRows = Seq.tabulate(15)(i =>
+      (devs(rnd.nextInt(3)), 1000L + rnd.nextInt(200), i * 1.0)).distinctBy(r => (r._1, r._2))
+    val readRows = Seq.tabulate(30)(i =>
+      (devs(rnd.nextInt(3)), 1000L + rnd.nextInt(220), 100.0 + i))
+    val readMem = MemoryStream[(String, Long, Double)]
+    val refMem = MemoryStream[(String, Long, Double)]
+    val readings = readMem.toDS().toDF("device", "ts_s", "apower")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+    val refs = refMem.toDS().toDF("device", "ts_s", "ref")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"ref")
+    refMem.addData(refRows: _*)
+    readMem.addData(readRows: _*)
+    val q = StreamingOps.asOfEnrich(readings, refs)
+      .writeStream.format("memory").queryName("mq_asof_eq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mq_asof_eq")
+        .select($"device", unix_timestamp($"ts"), $"apower", $"ref_value")
+        .as[(String, Long, Double, Option[Double])].collect().toSeq.sorted
+      val batchLeft = readRows
+        .toDF("device", "ts_s", "apower")
+        .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+      val batchRight = refRows.toDF("device", "ts_s", "ref")
+        .select($"device", timestamp_seconds($"ts_s").as("ts"), $"ref")
+      val want = graft.operators.AsOfJoin
+        .backward(batchLeft, batchRight, Seq("device"), "ts", Seq("ref"))
+        .select($"device", unix_timestamp($"ts"), $"apower", $"ref")
+        .as[(String, Long, Double, Option[Double])].collect().toSeq.sorted
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("sessionize: gap sessions across micro-batches match the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
