@@ -68,18 +68,29 @@ object Multimodal {
     *     `media_len` (bytes) and a 64-bit `content_id` (md5 prefix).
     *
     * All pure codegen'd expressions over a 64-byte header slice. */
-  def withMediaMeta(df: DataFrame, media: Column, mime: String): DataFrame = {
-    val h = hex(substring(media, 1, HeaderBytes))
-    val len = length(media).cast("long")
-    val isBmp = hexAt(h, 0, 2) === "424D" && len >= 54 // "BM"
-    // canonical PCM layout only: fmt chunk at 12 AND data chunk at 36 —
-    // without the "data" magic check, WAVE_FORMAT_EXTENSIBLE / LIST
-    // files would pass and offset 40 would read a garbage "size" from
-    // inside the fmt chunk; non-canonical files fall to opaque instead
-    val isWav = hexAt(h, 0, 4) === "52494646" && // "RIFF"
+  /** BMP detection over the hex header dump (magic "BM", full
+    * BITMAPINFOHEADER present) — the ONE detector shared by header
+    * parsing and feature extraction, so they can never disagree about
+    * a payload's format. */
+  private def isBmpHdr(h: Column, len: Column): Column =
+    hexAt(h, 0, 2) === "424D" && len >= 54 // "BM"
+
+  /** Canonical PCM WAV layout only: fmt chunk at 12 AND data chunk at
+    * 36 — without the "data" magic check, WAVE_FORMAT_EXTENSIBLE / LIST
+    * files (and every other RIFF container: WebP, AVI) would pass and
+    * offset 40/44 would land inside the wrong chunk; non-canonical
+    * files fall to opaque instead. */
+  private def isWavHdr(h: Column, len: Column): Column =
+    hexAt(h, 0, 4) === "52494646" && // "RIFF"
       hexAt(h, 8, 4) === "57415645" && // "WAVE"
       hexAt(h, 12, 4) === "666D7420" && // "fmt "
       hexAt(h, 36, 4) === "64617461" && len >= 44 // "data"
+
+  def withMediaMeta(df: DataFrame, media: Column, mime: String): DataFrame = {
+    val h = hex(substring(media, 1, HeaderBytes))
+    val len = length(media).cast("long")
+    val isBmp = isBmpHdr(h, len)
+    val isWav = isWavHdr(h, len)
     val byteRate = leUint(h, 28, 4)
     val dataSize = leUint(h, 40, 4)
     // BITMAPINFOHEADER height is SIGNED int32 (negative = top-down row
@@ -125,12 +136,17 @@ object Multimodal {
     * 16 slices the leading bins (16 is the natural size). */
   def histogramFeatures(media: Column, dim: Int): Column = {
     require(dim > 0 && dim <= 16, s"histogram dim $dim not in 1..16")
-    val off = when(hex(substring(media, 1, 2)) === "424D", lit(54))
-      .when(hex(substring(media, 1, 4)) === "52494646", lit(44))
+    // the SAME detectors as withMediaMeta — a bare magic-prefix check
+    // would skip 44 bytes of any RIFF container (WebP, AVI, extensible
+    // WAV) that the header parser itself classifies as opaque
+    val h = hex(substring(media, 1, HeaderBytes))
+    val len = length(media).cast("long")
+    val off = when(isBmpHdr(h, len), lit(54))
+      .when(isWavHdr(h, len), lit(44))
       .otherwise(lit(0)).cast("int")
-    val h = call_function("graft_byte_hist", media, off)
-    val total = greatest(aggregate(h, lit(0L), (a, x) => a + x), lit(1L))
-    slice(transform(h, c => (c.cast("double") / total).cast("float")), 1, dim)
+    val hist = call_function("graft_byte_hist", media, off)
+    val total = greatest(aggregate(hist, lit(0L), (a, x) => a + x), lit(1L))
+    slice(transform(hist, c => (c.cast("double") / total).cast("float")), 1, dim)
   }
 
   /** STUB decode → fixed-dim feature vector. Deterministic fake:

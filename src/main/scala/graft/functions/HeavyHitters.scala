@@ -45,10 +45,15 @@ case class HeavyHitters(itemExpr: Expression, capExpr: Expression,
       case (StringType, IntegerType | LongType | ShortType) =>
         // type-check BEFORE evaluating the literal — a bare Number cast
         // would throw ClassCastException/NPE out of analysis for a
-        // non-numeric or null capacity instead of this message
-        if (capExpr.foldable && capExpr.eval() != null && cap > 0)
+        // non-numeric or null capacity instead of this message. Bound
+        // through longValue: intValue() would silently truncate a long
+        // literal > 2^31 to its low 32 bits and run with a tiny cap.
+        val capL = if (capExpr.foldable && capExpr.eval() != null)
+          capExpr.eval().asInstanceOf[Number].longValue() else -1L
+        if (capL > 0 && capL <= Int.MaxValue)
           TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("capacity must be a positive literal")
+        else TypeCheckResult.TypeCheckFailure(
+          "capacity must be a positive literal <= Int.MaxValue")
       case (i, c) => TypeCheckResult.TypeCheckFailure(
         s"graft_heavy_hitters expects (string, int), got " +
           s"(${i.simpleString}, ${c.simpleString})")

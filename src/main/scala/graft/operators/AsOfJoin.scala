@@ -27,9 +27,11 @@ import org.apache.spark.sql.expressions.Window
   * keyed window — salt upstream if one key dominates.
   *
   * Preconditions: payload columns must exist in `right` and not in
-  * `left`; if `right` can hold several rows at one (key, ts), pre-
-  * aggregate it — otherwise which of the tied rows wins is tie-broken
-  * only by input order.
+  * `left`, and none may be named `__graft_match_ts` (the carry
+  * struct's timestamp field — a collision would shadow the payload);
+  * if `right` can hold several rows at one (key, ts), pre-aggregate it
+  * — otherwise which of the tied rows wins is tie-broken only by input
+  * order.
   */
 object AsOfJoin {
 
@@ -78,11 +80,11 @@ object AsOfJoin {
     // the staleness check) advance to the newer one
     val matchStruct = last(
       when(col("__side") === 0,
-        struct(col(tsCol).as("__ts") +: payloadCols.map(col): _*)),
+        struct(col(tsCol).as("__graft_match_ts") +: payloadCols.map(col): _*)),
       ignoreNulls = true).over(running)
     val carried = all.withColumn("__match", matchStruct)
       .filter(col("__side") === 1)
-    val matchTs = col("__match")("__ts")
+    val matchTs = col("__match")("__graft_match_ts")
     val fresh = toleranceSec.fold(col("__match").isNotNull) { tol =>
       val gap =
         if (forward) unix_micros(matchTs) - unix_micros(col(tsCol))

@@ -44,15 +44,17 @@ object RangeJoin {
                         tsCol: String, bucketSeconds: Long,
                         joinType: String = "inner"): DataFrame = {
     val bUs = bucketSeconds * 1000000L
-    // malformed intervals (end < start) yield an empty bucket array and
-    // drop out — Spark's sequence() would otherwise count DOWN, emitting
-    // |span| junk copies (harmless to correctness via the residual
-    // filter, but an unbounded explode on bad data)
+    // malformed intervals (end < start) collapse to ONE null-bucket
+    // copy: Spark's sequence() would otherwise count DOWN, emitting
+    // |span| junk copies (an unbounded explode on bad data). A null
+    // bucket can never equi-join a point, so inner output is unchanged
+    // and left_outer still surfaces the interval as an unmatched row
+    // (null-ignoring aggregates see it as zero matches).
     val lo = floor(unix_micros(col(startCol)) / bUs).cast("long")
     val hi = floor(unix_micros(col(endCol)) / bUs).cast("long")
     val iv = intervals.withColumn("__bucket",
       explode(when(col(endCol) >= col(startCol), sequence(lo, hi))
-        .otherwise(array().cast("array<long>"))))
+        .otherwise(array(lit(null).cast("long")))))
     val pt = keys.foldLeft(points) { (df, k) => df.withColumnRenamed(k, "__pt_" + k) }
       .withColumn("__pt_bucket", floor(unix_micros(col(tsCol)) / bUs).cast("long"))
     val cond = keys.map(k => col(k) === col("__pt_" + k)).reduce(_ && _) &&

@@ -600,8 +600,13 @@ object DocumentQueries {
           graft.ext.Multimodal.bmpPayload(width, height, payload))
         .otherwise(graft.ext.Multimodal.wavPayload(rate, nch, payload))
       val headerLen = when($"doc_id" % 2 === 0, lit(54)).otherwise(lit(44))
+      // ASCII-only docs: Spark bins UTF-8 BYTES while the oracle bins
+      // per-CHARACTER codepoints — identical only below 0x80, so a
+      // future non-ASCII generator change must not silently skew the
+      // comparison (both sides apply the same guard)
       documents(s, d)
-        .filter($"text".isNotNull && $"text" =!= "")
+        .filter($"text".isNotNull && $"text" =!= "" &&
+          $"text".rlike("^[\\x00-\\x7F]*$"))
         .select($"doc_id",
           posexplode(call_function("graft_byte_hist", media,
             headerLen.cast("int"))).as(Seq("bin", "cnt")))
@@ -1040,7 +1045,9 @@ object DocumentQueries {
     "q70_media_features" ->
       """WITH ch AS (
            SELECT doc_id, unnest(string_split(text, '')) AS c
-           FROM documents WHERE text IS NOT NULL AND text <> ''
+           FROM documents
+           WHERE text IS NOT NULL AND text <> ''
+             AND regexp_matches(text, '^[\x00-\x7F]*$')
          )
          SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS cnt

@@ -104,14 +104,20 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 12.0), (2L, 0L, 0.0)))
   }
 
-  test("range join drops malformed intervals (end < start) without exploding") {
+  test("range join guards malformed intervals (end < start) without exploding") {
     val iv = Seq((1L, 1L, ts(100), ts(0)), (2L, 1L, ts(0), ts(10)))
       .toDF("id", "k", "lo", "hi")
     val pts = Seq((1L, ts(5)), (1L, ts(50))).toDF("k", "ts")
-    val out = RangeJoin.pointsInIntervals(iv, pts, Seq("k"), "lo", "hi", "ts",
+    val inner = RangeJoin.pointsInIntervals(iv, pts, Seq("k"), "lo", "hi", "ts",
         bucketSeconds = 10L)
       .select("id").as[Long].collect().toSeq
-    assert(out == Seq(2L)) // the inverted interval matches nothing
+    assert(inner == Seq(2L)) // the inverted interval matches nothing
+    // left_outer still surfaces the inverted interval (as zero matches)
+    val outer = RangeJoin.pointsInIntervals(iv, pts, Seq("k"), "lo", "hi", "ts",
+        bucketSeconds = 10L, joinType = "left_outer")
+      .groupBy("id").agg(count($"ts").as("n"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(outer == Seq((1L, 0L), (2L, 1L)))
   }
 
   test("property: asOf backward/forward equal a brute-force scan") {

@@ -37,7 +37,10 @@ class NativeAggSpec extends SparkSpec {
       val n = items.size
       val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
       val out = hh(items, cap, parts).toMap
-      val bound = n.toLong / (cap + 1) + 1 // merge rounds loosen by <1 per level
+      // the Mergeable Summaries theorem: merging preserves the EXACT
+      // n/(k+1) bound — no extra slack, so an off-by-one in the re-cap
+      // merge cannot hide behind a loosened assertion
+      val bound = n.toLong / (cap + 1)
       val mustKeep = truth.filter { case (_, c) => c > bound }.keySet
       mustKeep.subsetOf(out.keySet) &&
         out.forall { case (i, c) =>
