@@ -79,6 +79,27 @@ object TextOps {
       .distinct()
   }
 
+  /** Occurrence form of [[shingleRows]]: one row per shingle POSITION
+    * (`__pos` 0-based, no distinct) — the duplicate-span queries need
+    * every occurrence plus its location so duplicated-gram counts and
+    * token-coverage intervals can be computed (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22, measures dup
+    * substrings by position, not by distinct gram). Same codegen'd
+    * posexplode + `lead` shape, one shuffle keyed by the id. */
+  def shingleRowsPos(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val tok = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
+    val leads = (1 until k).map(j => lead(col("__w"), j).over(w).as(s"__w$j"))
+    tok.select(col(idCol) +: col("__pos") +: col("__w") +: leads: _*)
+      .filter(col(s"__w${k - 1}").isNotNull)
+      .select(col(idCol), col("__pos").as("pos"),
+        concat_ws(" ", col("__w") +: (1 until k).map(j => col(s"__w$j")): _*)
+          .as("shingle"))
+  }
+
   /** String → 28-bit positive int64 via the first 7 md5 hex chars —
     * DuckDB parity: CAST('0x' || substr(md5(x),1,7) AS BIGINT). */
   def hash28(s: Column): Column =

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ByteHistogram, DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,6 +47,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_heavy_hitters(item, capacity)")
         HeavyHitters(args.head, args(1)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_bloom(item, expectedItems, fpp)")
+        BloomAgg(args.head, args(1), args(2)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_bloom_contains(blob, item)")
+        BloomMightContain(args.head, args(1))
       }),
     (FunctionIdentifier("graft_byte_hist"),
       new ExpressionInfo(classOf[ByteHistogram].getName, "graft_byte_hist"),

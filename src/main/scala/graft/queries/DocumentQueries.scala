@@ -615,6 +615,98 @@ object DocumentQueries {
         .orderBy($"doc_id", $"bin")
     }),
 
+    // Duplicate n-gram span coverage (Lee et al., ACL'22 — the exact
+    // substring-dedup signal, at shingle granularity): per document, the
+    // fraction of k-gram POSITIONS whose gram occurs in >= 2 distinct
+    // documents, plus the fraction of TOKENS covered by at least one
+    // such gram (interval union of [pos, pos+k-1]). Distinct from q58
+    // (split-vs-split membership on distinct shingles) — this is
+    // occurrence-level, corpus-global self-duplication. Scale shape: the
+    // occurrence rows group once on the gram (map-side combinable after
+    // a per-doc distinct), the marked rows are persisted because three
+    // aggregates branch from them, and nothing ever joins doc×doc.
+    "q71_dup_spans" -> ((s, d) => {
+      import s.implicits._
+      val k = TextOps.ShingleK
+      val occ = graft.Caching.persisted(
+        TextOps.shingleRowsPos(documents(s, d), "doc_id", "text"))
+      val dup = occ.select($"shingle", $"doc_id").distinct()
+        .groupBy($"shingle").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 2)
+        .select($"shingle", lit(1).as("__dup"))
+      val marked = graft.Caching.persisted(
+        occ.join(dup, Seq("shingle"), "left")
+          .select($"doc_id", $"pos", $"__dup"))
+      val gramStats = marked.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"), count($"__dup").as("n_dup_grams"))
+      val cov = marked.filter($"__dup".isNotNull)
+        .select($"doc_id", explode(sequence($"pos", $"pos" + (k - 1))).as("tp"))
+        .distinct()
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_cov"))
+      val nw = documents(s, d)
+        .select($"doc_id", size(TextOps.words($"text")).as("n_words"))
+      gramStats.join(cov, Seq("doc_id"), "left").join(nw, Seq("doc_id"))
+        .select($"doc_id", $"n_grams", $"n_dup_grams",
+          round($"n_dup_grams" / $"n_grams", 4).as("dup_gram_frac"),
+          coalesce($"n_cov", lit(0L)).as("n_cov_tokens"),
+          round(coalesce($"n_cov", lit(0L)) / $"n_words", 4).as("cov_frac"))
+        .orderBy($"doc_id")
+    }),
+
+    // Weighted mixture selection (the data-mixing step that assembles a
+    // training corpus to target per-source proportions): each source
+    // gets a quota ∝ its mixture weight, its docs are ranked by a salted
+    // md5 (reproducible across retries/repartition, like q54/q59), and
+    // rank <= quota survives; ORDER BY (rank, source) is the round-robin
+    // interleaved training order. Scale shape: per-source ranking runs
+    // through the native partial top-k aggregate — each map task forwards
+    // at most k rows per source to the exchange — instead of a
+    // row_number window that would shuffle-and-sort the whole corpus.
+    "q72_mixture_interleave" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val h = TextOps.hash28(concat(lit("q72"), $"doc_id".cast("string")))
+      val ranked = documents(s, d)
+        .select($"source", $"doc_id", (-h.cast("double")).as("score"))
+        .groupBy($"source")
+        .agg(call_function("graft_topk", $"score", $"doc_id", lit(32)).as("tk"))
+        .select($"source", posexplode($"tk").as(Seq("p", "e")))
+        .select($"source", ($"p" + 1).cast("long").as("rnk"),
+          $"e.id".as("doc_id"))
+      // weights 1:2:3:4 over the source index, 8 docs per weight unit
+      val quota = (substring($"source", 4, 10).cast("int") % 4 + 1) * 8
+      ranked.filter($"rnk" <= quota).orderBy($"rnk", $"source")
+    }),
+
+    // Blocklist decontamination as a bloom-prefiltered EXACT anti-join
+    // (ext/BloomPrune): sources src0-src3 form a banned-content set;
+    // every other doc whose opening-5-word fingerprint matches a banned
+    // document's is removed (prefix fingerprints catch the
+    // shared-boilerplate/templated dups that full-text hashing misses —
+    // the corpus has real cross-split prefix collisions at every SF).
+    // The bloom routes definite non-matches around the exchange — only
+    // candidate hits shuffle into the exact anti-join — yet the result
+    // is exactly the plain anti-join the oracle runs (no false
+    // negatives; false positives re-checked). See BloomPrune scaladoc
+    // for the 100 TB rationale.
+    "q73_bloom_antijoin" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val banned = $"source".isin("src0", "src1", "src2", "src3")
+      def prefixKey(t: org.apache.spark.sql.Column) =
+        md5(concat_ws(" ", slice(TextOps.words(coalesce(t, lit(""))), 1, 5)))
+      graft.ext.BloomPrune
+        .antiJoin(
+          docs.filter(!banned)
+            .select($"doc_id", $"source", prefixKey($"text").as("h")),
+          $"h",
+          docs.filter(banned).select(prefixKey($"text").as("bh")),
+          $"bh",
+          expectedItems = 100000L)
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    }),
+
     // Canonical normalization audit: per-doc signature + length of the
     // normalized text, and how many chars normalization dropped. The
     // oracle runs the same pass in RE2 — semantics drift in case
@@ -1052,6 +1144,67 @@ object DocumentQueries {
          SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS cnt
          FROM ch GROUP BY doc_id, bin ORDER BY doc_id, bin""",
+
+    // Positions are carried as a "pos|gram" string through unnest
+    // (DuckDB 1.0 has no WITH ORDINALITY / lateral range) and split
+    // back on the FIRST '|' only — grams may themselves contain '|'.
+    "q71_dup_spans" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(text, '\s+') w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+             i -> CAST(i AS VARCHAR) || '|' || w[i] || ' ' || w[i+1] || ' ' || w[i+2])) pg
+           FROM tok WHERE len(w) >= 3),
+         occ AS (SELECT doc_id, CAST(regexp_extract(pg, '^(\d+)\|', 1) AS INT) pos,
+           regexp_replace(pg, '^\d+\|', '') gram FROM g),
+         dfq AS (SELECT gram, count(DISTINCT doc_id) ndocs FROM occ GROUP BY gram),
+         mk AS (SELECT o.doc_id, o.pos, (f.ndocs >= 2) dup
+           FROM occ o JOIN dfq f USING (gram)),
+         gs AS (SELECT doc_id, count(*) n_grams,
+           count(CASE WHEN dup THEN 1 END) n_dup_grams FROM mk GROUP BY doc_id),
+         cov AS (SELECT doc_id, count(DISTINCT pos + ofs) n_cov
+           FROM mk CROSS JOIN (SELECT unnest([0, 1, 2]) ofs) t
+           WHERE dup GROUP BY doc_id),
+         nw AS (SELECT doc_id, len(string_split_regex(text, '\s+')) n_words
+           FROM documents)
+         SELECT gs.doc_id, CAST(gs.n_grams AS BIGINT) AS n_grams,
+           CAST(gs.n_dup_grams AS BIGINT) AS n_dup_grams,
+           round(gs.n_dup_grams * 1.0 / gs.n_grams, 4) AS dup_gram_frac,
+           CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_cov_tokens,
+           round(coalesce(cov.n_cov, 0) * 1.0 / nw.n_words, 4) AS cov_frac
+         FROM gs LEFT JOIN cov ON gs.doc_id = cov.doc_id
+         JOIN nw ON gs.doc_id = nw.doc_id
+         ORDER BY gs.doc_id""",
+
+    // Independent formulation: a row_number window instead of the
+    // partial top-k aggregate — the parity IS the check that the native
+    // aggregate ranks exactly like the window form.
+    "q72_mixture_interleave" ->
+      """WITH r AS (SELECT source, doc_id,
+           CAST(concat('0x', substr(md5('q72' || CAST(doc_id AS VARCHAR)), 1, 7))
+             AS BIGINT) h
+           FROM documents),
+         rk AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) rnk
+           FROM r)
+         SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM rk
+         WHERE rnk <= (CAST(substr(source, 4) AS INT) % 4 + 1) * 8
+         ORDER BY rnk, source""",
+
+    // The oracle is the PLAIN anti-join — the whole point of the bloom
+    // path is that it must be indistinguishable from this.
+    "q73_bloom_antijoin" ->
+      """WITH keyed AS (
+           SELECT doc_id, source,
+             md5(array_to_string(
+               string_split_regex(coalesce(text, ''), '\s+')[1:5], ' ')) k
+           FROM documents)
+         SELECT d.doc_id, d.source FROM keyed d
+         WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')
+           AND NOT EXISTS (
+             SELECT 1 FROM keyed b
+             WHERE b.source IN ('src0', 'src1', 'src2', 'src3')
+               AND b.k = d.k)
+         ORDER BY d.doc_id""",
 
     "q66_normalize_text" ->
       """WITH n AS (

@@ -198,6 +198,71 @@ object StreamingOps {
       }
   }
 
+  case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  // not `private`: the encoder's generated projections need access
+  case class KeyedDoc(key: String, doc_id: Long,
+                      ts: java.sql.Timestamp, text: String)
+
+  /** Dedup state: the first occurrence's event time (µs). Presence
+    * alone means "seen"; the timestamp makes the spec's claims
+    * checkable and survives as documentation of WHICH row won. */
+  case class SeenState(firstTsUs: Long)
+
+  /** Streaming exact dedup for a document ingest stream: emit the FIRST
+    * occurrence of each content hash (md5 of the text — the q23 batch
+    * exact-dedup key), drop every later duplicate seen within `ttl`,
+    * and expire state via event-time timeout so the state store holds
+    * only keys seen in the trailing TTL horizon.
+    *
+    * Contrast with `dropDuplicatesWithinWatermark`: that ties the dedup
+    * horizon to the watermark delay (built for at-least-once source
+    * retries); a corpus-ingest dedup wants a horizon much LONGER than
+    * the lateness bound — hours of lateness, days of dedup — which is
+    * exactly what a separate event-time TTL gives, while state stays
+    * bounded by the TTL horizon instead of growing forever. First-wins
+    * tie-break inside a batch is (event time, doc_id) — the batch
+    * operator's keep-first (min id) rule at equal timestamps.
+    *
+    * The input MUST carry a watermark on `ts` (event-time timeout
+    * requires one); duplicates seen before expiry REFRESH the TTL, so a
+    * continuously re-crawled page stays deduped as long as it keeps
+    * reappearing within the horizon. */
+  def dedupDocsExact(docs: DataFrame, ttlSeconds: Long): Dataset[DocEvent] = {
+    implicit val ke = Encoders.STRING
+    implicit val kde = Encoders.product[KeyedDoc]
+    implicit val de = Encoders.product[DocEvent]
+    implicit val se = Encoders.product[SeenState]
+    docs
+      .select(md5(col("text")).as("key"), col("doc_id").cast("long"),
+        col("ts"), col("text"))
+      .as[KeyedDoc]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SeenState, DocEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[KeyedDoc], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
+            val out =
+              if (state.exists || sorted.isEmpty) Iterator.empty
+              else {
+                val first = sorted.head
+                state.update(SeenState(micros(first.ts)))
+                Iterator.single(DocEvent(first.doc_id, first.ts, first.text))
+              }
+            // TTL from the NEWEST occurrence (duplicates keep the key
+            // alive), clamped above the current watermark — setting a
+            // timeout at-or-before it is an error when stragglers arrive
+            sorted.lastOption.foreach { d =>
+              state.setTimeoutTimestamp(math.max(
+                d.ts.getTime + ttlSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out
+          }
+      }
+  }
+
   /** Per-device transition-detector state: current ON/OFF plus the
     * max event time already processed (µs) — the event-time guard that
     * makes cross-batch ordering sound (a bare boolean state would let

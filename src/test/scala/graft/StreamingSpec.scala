@@ -242,4 +242,40 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("mq_dedup").count() == 3)
     } finally q.stop()
   }
+
+  test("dedupDocsExact: first-wins, cross-batch dedup, TTL expiry re-admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts_s", "text")
+      .select($"doc_id", timestamp_seconds($"ts_s").as("ts"), $"text")
+      .withWatermark("ts", "10 seconds")
+    val q = StreamingOps.dedupDocsExact(docs, ttlSeconds = 100L)
+      .writeStream.format("memory").queryName("mq_docdedup")
+      .outputMode("append").start()
+    try {
+      // b1: same-ts duplicate (ids 1,2 → min id 1 wins) + a distinct doc
+      mem.addData((1L, 100L, "aaa"), (2L, 100L, "aaa"), (3L, 110L, "bbb"))
+      q.processAllAvailable()
+      // b2: cross-batch duplicate (dropped, but REFRESHES aaa's TTL to
+      // 120+100=220) + a new doc
+      mem.addData((4L, 120L, "aaa"), (5L, 130L, "ccc"))
+      q.processAllAvailable()
+      // b3: advance the watermark past every TTL (wm := 500-10 = 490)
+      mem.addData((6L, 500L, "ddd"))
+      q.processAllAvailable()
+      // b4: with wm=490 > 220, aaa's state times out during this batch
+      mem.addData((8L, 600L, "eee"))
+      q.processAllAvailable()
+      // b5: aaa re-admitted after expiry — a re-crawl beyond the dedup
+      // horizon is a fresh document
+      mem.addData((9L, 650L, "aaa"))
+      q.processAllAvailable()
+      val got = spark.table("mq_docdedup")
+        .orderBy("ts").select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "aaa"), (3L, "bbb"), (5L, "ccc"),
+        (6L, "ddd"), (8L, "eee"), (9L, "aaa")))
+    } finally q.stop()
+  }
 }

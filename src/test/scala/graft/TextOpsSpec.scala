@@ -32,6 +32,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!viaRows.exists(_._1 == 1L))
   }
 
+  test("shingleRowsPos: every position, occurrence-level, 0-based") {
+    val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.shingleRowsPos(df, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set(
+      (2L, 0, "a b c"), (2L, 1, "b c d"),
+      // repeated grams are NOT deduped — one row per position
+      (3L, 0, "x y x"), (3L, 1, "y x y"), (3L, 2, "x y x"),
+      (3L, 3, "y x y")))
+    // distinct projection equals shingleRows
+    val viaDistinct = TextOps.shingleRowsPos(df, "doc_id", "text")
+      .select($"doc_id", $"shingle").distinct()
+      .as[(Long, String)].collect().toSet
+    val viaRows = TextOps.shingleRows(df, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(viaDistinct == viaRows)
+  }
+
   test("hash28/hash60 produce bounded non-negative longs") {
     val (h28, h60) = Seq("hello", "", "καλημέρα")
       .toDF("t")
