@@ -27,11 +27,17 @@ import org.apache.spark.sql.expressions.Window
   * keyed window — salt upstream if one key dominates.
   *
   * Preconditions: payload columns must exist in `right` and not in
-  * `left`, and none may be named `__graft_match_ts` (the carry
-  * struct's timestamp field — a collision would shadow the payload);
-  * if `right` can hold several rows at one (key, ts), pre-aggregate it
-  * — otherwise which of the tied rows wins is tie-broken only by input
-  * order.
+  * `left`; none may be named `__graft_match_ts` (the carry struct's
+  * timestamp field — a collision would shadow the payload); and the
+  * working columns `__side` / `__match` must be absent from both
+  * inputs (asserted). If `right` can hold several rows at one
+  * (key, ts), pre-aggregate it — otherwise which of the tied rows wins
+  * is tie-broken only by input order.
+  *
+  * Null join keys never match (SQL/DuckDB ASOF equi-join semantics):
+  * null-key right rows are dropped before the union, so a null-key
+  * left row comes back with null payloads rather than picking up a
+  * null-key right row's values.
   */
 object AsOfJoin {
 
@@ -63,8 +69,17 @@ object AsOfJoin {
                    tsCol: String, payloadCols: Seq[String],
                    toleranceSec: Option[Long], forward: Boolean): DataFrame = {
     val rightCols = (keys :+ tsCol) ++ payloadCols
+    Seq("__side", "__match").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"AsOfJoin reserves column name '$c'; rename it on the input")
+    }
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(rightCols.map(col): _*).withColumn("__side", lit(0))
+    // null keys never match (SQL equi-join semantics): a null-key right
+    // row must not be carried onto null-key left rows by the window,
+    // which groups nulls together
+    val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    val r = right.select(rightCols.map(col): _*).filter(nonNullKeys)
+      .withColumn("__side", lit(0))
     // unionByName fills columns unique to one side with nulls
     val all = l.unionByName(r, allowMissingColumns = true)
     // right rows at an equal timestamp must precede left rows in

@@ -156,7 +156,10 @@ object DocumentQueries {
     // shape as MinHash (q24) and LSH (q45).
     "q68_simhash_pairs" -> ((s, d) => {
       import s.implicits._
-      val sigs = simhashSigs(s, d)
+      // persist: the signature agg (explode + 60 conditional sums) is
+      // the expensive subtree, and the band self-join references it on
+      // BOTH sides — unpersisted it would run twice
+      val sigs = graft.Caching.persisted(simhashSigs(s, d))
       val bandStructs = (0 until 4).map(b =>
         struct(lit(b).as("bi"),
           shiftright($"simhash", b * 15).bitwiseAND(lit(0x7FFFL)).as("bk")))

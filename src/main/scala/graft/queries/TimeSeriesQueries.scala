@@ -210,7 +210,16 @@ object TimeSeriesQueries {
       graft.plans.GraftExtensions.register(s)
       events(s, d)
         .groupBy($"event_type")
-        .agg(expr("graft_heavy_hitters(CAST(user_id AS STRING), 65536)").as("hh"))
+        .agg(expr("graft_heavy_hitters(CAST(user_id AS STRING), 65536)").as("hh"),
+          count_distinct($"user_id").as("__nd"))
+        // fail loudly if a larger scale factor ever pushes a group past
+        // the sketch capacity — beyond it Misra–Gries counts silently
+        // become undercounts and the exact row_number oracle would
+        // mismatch for reasons that are expected, not a bug
+        .where(coalesce(assert_true($"__nd" <= 65536,
+          lit("q69: distinct users per event_type exceeds graft_heavy_hitters " +
+            "capacity 65536; counts are approximate past that — raise the " +
+            "capacity or switch the oracle to a tolerance check")), lit(true)))
         .select($"event_type", posexplode(slice($"hh", 1, 3)).as(Seq("rnk", "e")))
         .select($"event_type", ($"rnk" + 1).cast("long").as("rank"),
           $"e.item".as("top_user"), $"e.count".as("cnt"))

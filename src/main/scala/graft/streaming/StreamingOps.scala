@@ -189,11 +189,17 @@ object StreamingOps {
           }
           // trim: drop refs older than the newest one at-or-before the
           // max reading time (they can never match a future reading),
-          // then cap the buffer by dropping its oldest entries
+          // then cap the buffer — but cap only the ahead-of-maxRead
+          // tail, keeping the floor entry unconditionally: evicting the
+          // floor would silently null enrichments that batch
+          // AsOfJoin.backward matches whenever the reference stream
+          // runs more than maxRefBuffer ahead of the readings
           buf.rangeTo(maxRead).keys.toSeq.dropRight(1)
             .foreach(buf.remove)
-          val trimmed = buf.values.toVector.takeRight(maxRefBuffer)
-          state.update(AsOfState(trimmed, maxRead))
+          val floor = buf.rangeTo(maxRead).values.toVector
+          val ahead = buf.iteratorFrom(maxRead + 1).map(_._2)
+            .toVector.takeRight(maxRefBuffer)
+          state.update(AsOfState(floor ++ ahead, maxRead))
           out.iterator
       }
   }

@@ -77,6 +77,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Seq((None, "new")))
   }
 
+  test("asOf null join keys never match (SQL equi-join semantics)") {
+    // a null-key right row must not enrich a null-key left row — the
+    // window's partitionBy groups nulls together, so without the guard
+    // the null-key left row would pick up 9.0
+    val left = Seq((Some(1L), ts(10), "a"), (None: Option[Long], ts(10), "b"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((Some(1L), ts(5), 5.0), (None: Option[Long], ts(5), 9.0))
+      .toDF("k", "ts", "ref")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("ref"))
+      .orderBy("tag").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(out == Seq(("a", Some(5.0)), ("b", None)))
+  }
+
+  test("asOf rejects inputs that carry its reserved working columns") {
+    val left = Seq((1L, ts(10), 0)).toDF("k", "ts", "__side")
+    val right = Seq((1L, ts(5), 1.0)).toDF("k", "ts", "ref")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("ref"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("range join matches inclusive bounds exactly once across buckets") {
     // bucketSeconds=10; interval [5, 25] spans buckets 0,1,2 — each point
     // must appear exactly once even though the interval has three copies

@@ -158,6 +158,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich keeps the floor ref when the buffer cap binds") {
+    // the reference stream runs far ahead of the readings: the cap
+    // evicts ahead-of-maxRead refs, but the FLOOR sample (newest
+    // at-or-before the reading high-water mark) must survive, or the
+    // next reading would enrich to null where batch as-of matches
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val readMem = MemoryStream[(String, Long, Double)]
+    val refMem = MemoryStream[(String, Long, Option[Double])]
+    val readings = readMem.toDS().toDF("device", "ts_s", "apower")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+    val refs = refMem.toDS().toDF("device", "ts_s", "ref")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"ref")
+    val q = StreamingOps.asOfEnrich(readings, refs, maxRefBuffer = 2)
+      .writeStream.format("memory").queryName("mq_asof_floor")
+      .outputMode("append").start()
+    try {
+      // establish the floor and the reading high-water mark first (one
+      // batch each, so micro-batch boundaries are deterministic)
+      refMem.addData(("dev", 90L, Some(9.0)))
+      q.processAllAvailable()
+      readMem.addData(("dev", 100L, 1.0))
+      q.processAllAvailable()
+      // now the reference stream runs 4 samples ahead of the readings,
+      // overflowing the cap of 2 — the ahead-tail is evicted but the
+      // floor ref@90 must survive
+      refMem.addData(("dev", 200L, Some(20.0)), ("dev", 210L, Some(21.0)),
+        ("dev", 220L, Some(22.0)), ("dev", 230L, Some(23.0)))
+      q.processAllAvailable()
+      // a reading between the floor and the capped tail must still see
+      // ref@90 (pre-fix the takeRight evicted it → null)
+      readMem.addData(("dev", 150L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("mq_asof_floor")
+        .orderBy("ts")
+        .select(unix_timestamp($"ts"), $"ref_value", unix_timestamp($"ref_ts"))
+        .as[(Long, Option[Double], Option[Long])].collect().toSeq
+      assert(rows == Seq(
+        (100L, Some(9.0), Some(90L)),
+        (150L, Some(9.0), Some(90L))))
+    } finally q.stop()
+  }
+
   test("asOfEnrich single-batch matches the batch AsOfJoin on random data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
