@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics relevance and language-model scoring over a
+  * document table — the ranking / quality-scoring side of a
+  * training-data pipeline (keyword extraction for curriculum tagging,
+  * BM25 retrieval for seed-set expansion, unigram log-likelihood as a
+  * cheap perplexity proxy for quality filtering).
+  *
+  * All three operators share one scale shape: tokenize once
+  * (whitespace, [[TextOps.words]]), aggregate per (doc, term) with
+  * map-side partial combine, derive the corpus statistics (document
+  * frequency / term probability) as a second map-side-combinable
+  * aggregate of the FIRST one's output (never a rescan of the text),
+  * and join them back on the term key. Corpus-level scalars (document
+  * count, average length, total tokens) ride along as broadcast
+  * one-row frames — never a driver-side collect inside the plan.
+  */
+object Relevance {
+
+  /** (id, term, tf) — whitespace term frequencies, one row per
+    * distinct term per document. One shuffle on (id, term). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TextOps.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k terms per document by smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn `smooth_idf` form —
+    * never negative, never divides by zero). Ties break toward the
+    * lexicographically smaller term. Output: (id, term, rank, tfidf).
+    *
+    * The doc-frequency frame derives from the tf frame (one extra
+    * map-side-combinable agg), and N joins in as a broadcast one-row
+    * count. Ranking is a row_number window over (id): the scored rows
+    * were already shuffled once on the term join, and per-partition
+    * top-k pre-pruning (the graft_topk shape) does not apply because
+    * the ranked payload is a string key; the window's sort is bounded
+    * by per-document vocabulary. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term")
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1))
+    val rnk = row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term")))
+    scored.withColumn("rank", rnk.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"), col("tfidf"))
+  }
+
+  /** Okapi BM25 retrieval score of every document containing at least
+    * one query term, for a single bag-of-words query. Output:
+    * (id, n_hit_terms, score) — `score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl))` with the standard
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Scale shape: document length and average length come from one
+    * token-count aggregate; the per-term statistics are computed ONLY
+    * for the query's terms (the `term ∈ query` filter lands before
+    * any join, so corpus-wide work is one tf aggregate, not a
+    * per-term scan); the query-term df/idf frame is query-sized and
+    * broadcast. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = docs.select(col(idCol),
+      size(TextOps.words(col(textCol))).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(TextOps.words(col(textCol)))).as("__avgdl"))
+    val qtf = tf.filter(col("term").isin(query: _*))
+    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select(col("term"), col("idf"))
+    qtf.join(broadcast(qdf), "term")
+      .join(dl, idCol)
+      .join(broadcast(stats))
+      .withColumn("__contrib",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (col("dl") / col("__avgdl") * b + (1 - b))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__contrib")).as("score"))
+  }
+
+  /** Unigram language-model negative log-likelihood per document — the
+    * cheap perplexity proxy of a quality filter: documents of common
+    * words score low, rare-token noise scores high. `p(t)` is the
+    * term's corpus frequency over total corpus tokens (no smoothing
+    * needed: every scored token occurs in the corpus by construction).
+    * Output: (id, n_tokens, nll) with nll = mean over the document's
+    * TOKENS (not distinct terms) of −log2 p(t).
+    *
+    * The corpus model (term → count) derives from the tf frame; total
+    * tokens is a broadcast one-row sum. One term-keyed join, one
+    * per-doc aggregate. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val model = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val total = model.agg(sum(col("ctf")).cast("double").as("__tot"))
+    tf.join(model, "term")
+      .join(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf") * -log(col("ctf") / col("__tot"))) / log(lit(2.0)) /
+          sum(col("tf"))).as("nll"))
+  }
+}

@@ -55,4 +55,28 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tokens).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Concat-and-split sequence packing (the GPT-style pretraining
+    * batcher): documents are laid out in `ord` order within each
+    * group, the token stream is cut every `seqTokens` tokens, and each
+    * document is assigned to the sequence in which it STARTS —
+    * `seq_id = floor(tokens_before_this_doc / seqTokens)`. A document
+    * that straddles a cut belongs to the sequence holding its head
+    * (its tail spills into the next cut), so per-sequence token totals
+    * may exceed `seqTokens` by at most one document's tail — exactly
+    * the layout a fixed-length training loader consumes.
+    *
+    * Adds `seq_id` and `cum_tokens` (running total INCLUDING the
+    * current document). Same single keyed-window shuffle as
+    * [[tokenBudget]]; the running sum is a streaming frame, O(1)
+    * state per group. */
+  def packSequences(df: DataFrame, group: Seq[Column], ord: Seq[Column],
+                    tokens: Column, seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, s"seqTokens $seqTokens")
+    val w = Window.partitionBy(group: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .withColumn("seq_id",
+        floor((col("cum_tokens") - tokens).cast("double") / seqTokens).cast("long"))
+  }
 }

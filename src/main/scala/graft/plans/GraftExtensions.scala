@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -65,6 +65,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_byte_hist(binary, offset)")
         ByteHistogram(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_char_entropy(str)")
+        CharEntropy(args.head)
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -30,9 +30,9 @@ object DocumentQueries {
 
   private val enStop = TextStats.StopwordProfiles.head._2
 
-  // lazy: defsA/defsB are declared below (forward reference)
+  // lazy: defsA/defsB/defsC are declared below (forward reference)
   lazy val defs: Map[String, (SparkSession, String) => DataFrame] =
-    defsA ++ defsB
+    defsA ++ defsB ++ defsC
 
   private val defsA: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -783,7 +783,9 @@ object DocumentQueries {
       .mkString("CASE ", " ", " ELSE 'unk' END")
   }
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = oraclesA ++ oraclesB
+
+  private val oraclesA: Map[String, String] = Map(
     "q23_exact_dedup" ->
       """SELECT md5(text) AS text_hash,
          CAST(count(*) AS BIGINT) AS n_copies,
@@ -1221,5 +1223,221 @@ object DocumentQueries {
            CAST(length(text) - length(norm) AS BIGINT) AS n_chars_dropped,
            substr(md5(norm), 1, 16) AS norm_sig
          FROM n ORDER BY doc_id"""
+  )
+
+  // ---------------------------------------------------------------------
+  // Round-5 pack: relevance scoring, LM quality, semantic dedup,
+  // sequence packing, native char entropy.
+  // ---------------------------------------------------------------------
+
+  private val defsC: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TF-IDF top-3 terms per document (keyword extraction /
+    // curriculum-tagging step). Corpus statistics derive from the tf
+    // frame — the text is tokenized ONCE; N rides along as a broadcast
+    // one-row count. See Relevance.tfidfTopK for the ranking shape.
+    "q74_tfidf_topk" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Relevance.tfidfTopK(documents(s, d), "doc_id", "text", k = 3)
+        .select($"doc_id", $"term", $"rank", round($"tfidf", 6).as("tfidf"))
+        .orderBy($"doc_id", $"rank")
+    }),
+
+    // Okapi BM25 scores for a fixed bag-of-words query (seed-set
+    // expansion / retrieval step). The term∈query filter lands before
+    // any join, so the corpus-wide work is one tf aggregate; the
+    // query-term statistics frame is query-sized and broadcast.
+    "q75_bm25" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Relevance.bm25(documents(s, d), "doc_id", "text",
+          query = Seq("merge", "window", "stream"))
+        .select($"doc_id", $"n_hit_terms", round($"score", 6).as("score"))
+        .orderBy($"doc_id")
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the embedding space, then drop
+    // near-duplicates WITHIN each cluster only — the cluster key plays
+    // the LSH-bucket role, so candidates never come from an all-pairs
+    // join. Cells are the q50 deterministic-centroid assignment (the
+    // oracle replicates them bit-for-bit; production swaps in
+    // ext/VectorKMeans centroids). Output: each dropped vector with
+    // its cell, its keeper (lowest same-cell id it duplicates), and
+    // the strongest cosine that condemned it.
+    "q76_semantic_dedup" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = graft.Caching.persisted(embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm($"emb")))
+      val cent = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("cent_id"), $"emb".as("cemb"), $"nrm".as("cnrm"))
+      val simToCent = e.join(broadcast(cent))
+        .select($"vec_id", $"cent_id",
+          cosine($"emb", $"cemb", $"nrm", $"cnrm").as("csim"))
+      val cells = topKPerGroup(simToCent, Seq("vec_id"), $"csim", $"cent_id", 1)
+        .select($"vec_id", $"id".as("cell"))
+      // persist: the cell-assigned frame feeds BOTH sides of the
+      // intra-cell self-join
+      val a = graft.Caching.persisted(e.join(cells, "vec_id"))
+      a.as("x").join(a.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("y.vec_id").as("vec_id"), col("y.cell").as("cell"),
+          col("x.vec_id").as("a_id"),
+          cosine(col("x.emb"), col("y.emb"),
+            col("x.nrm"), col("y.nrm")).as("cos"))
+        .filter($"cos" >= 0.35)
+        .groupBy($"vec_id", $"cell")
+        .agg(min($"a_id").as("dup_of"), round(max($"cos"), 6).as("max_cos"))
+        .orderBy($"vec_id")
+    }),
+
+    // Unigram language-model negative log-likelihood per document (the
+    // cheap perplexity proxy of a quality filter). One tokenize, model
+    // derived from the tf frame, one term-keyed join back.
+    "q77_unigram_nll" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Relevance.unigramNll(documents(s, d), "doc_id", "text")
+        .select($"doc_id", $"n_tokens", round($"nll", 6).as("nll"))
+        .orderBy($"doc_id")
+    }),
+
+    // Concat-and-split sequence packing audit (the GPT-style
+    // pretraining batcher): cut the per-source token stream every 512
+    // tokens, assign each document to the sequence where it starts,
+    // report per-sequence fill. One keyed-window shuffle + one
+    // map-side-combinable aggregate.
+    "q78_sequence_pack" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).select($"doc_id", $"source",
+        TextStats.whitespaceTokenCount($"text").as("tok"))
+      graft.ext.Sampling.packSequences(toks, Seq($"source"), Seq($"doc_id"),
+          $"tok", seqTokens = 512L)
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("seq_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"seq_id")
+    }),
+
+    // Shannon character entropy per document via the native codegen'd
+    // graft_char_entropy — per-row O(len) with ZERO shuffle, where the
+    // declarative form explodes one row per character (10^14 shuffle
+    // rows at 100 TB). The oracle recomputes entropy from an
+    // independent char unnest + group-by, so the native loop's counts
+    // must be right, not just plausible.
+    "q79_char_entropy" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      documents(s, d)
+        .select($"doc_id", $"n_chars",
+          round(call_function("graft_char_entropy", $"text"), 6).as("entropy"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  private val oraclesB: Map[String, String] = Map(
+
+    "q74_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) w
+           FROM documents),
+         tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) tf
+           FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) nd FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((nd + 1.0) / (df + 1)) + 1) s
+           FROM tf JOIN df USING (term), n),
+         r AS (SELECT doc_id, term, s, row_number() OVER (
+             PARTITION BY doc_id ORDER BY s DESC, term) rnk
+           FROM scored)
+         SELECT doc_id, term, CAST(rnk AS BIGINT) AS rank,
+           round(s, 6) AS tfidf
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""",
+
+    "q75_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) w
+           FROM documents),
+         dl AS (SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) dl
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) n,
+             avg(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)) avgdl
+           FROM documents),
+         qtf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) tf
+           FROM tok WHERE w IN ('merge', 'window', 'stream') GROUP BY 1, 2),
+         qdf AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM qtf GROUP BY 1),
+         idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) idf
+           FROM qdf, stats),
+         c AS (SELECT q.doc_id, q.term,
+             i.idf * q.tf * (1.2 + 1)
+               / (q.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) contrib
+           FROM qtf q JOIN idf i USING (term) JOIN dl USING (doc_id), stats s)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+           round(sum(contrib), 6) AS score
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "q76_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm FROM e),
+         cent AS (SELECT vec_id cent_id, emb cemb, nrm cnrm FROM n
+           WHERE vec_id < 8),
+         sim AS (SELECT vec_id, cent_id,
+           ${dotSql("emb", "cemb")} / (nrm * cnrm) csim,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY ${dotSql("emb", "cemb")} / (nrm * cnrm) DESC, cent_id) rk
+           FROM n, cent),
+         cells AS (SELECT vec_id, cent_id cell FROM sim WHERE rk = 1),
+         a AS (SELECT c.vec_id, c.cell, n.emb, n.nrm
+           FROM cells c JOIN n ON n.vec_id = c.vec_id),
+         p AS (SELECT y.vec_id, y.cell, x.vec_id a_id,
+             ${dotSql("x.emb", "y.emb")} / (x.nrm * y.nrm) cos
+           FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         SELECT vec_id, cell, min(a_id) AS dup_of,
+           round(max(cos), 6) AS max_cos
+         FROM p WHERE cos >= 0.35
+         GROUP BY vec_id, cell ORDER BY vec_id""",
+
+    "q77_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) w
+           FROM documents),
+         tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) tf
+           FROM tok GROUP BY 1, 2),
+         model AS (SELECT term, CAST(sum(tf) AS BIGINT) ctf FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(ctf) AS DOUBLE) t FROM model)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * -ln(ctf / t)) / ln(2) / sum(tf), 6) AS nll
+         FROM tf JOIN model USING (term), tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q78_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) tok
+           FROM documents),
+         c AS (SELECT doc_id, source, tok,
+           sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) cum FROM t),
+         s AS (SELECT source, doc_id, tok,
+           CAST(floor((cum - tok) / 512.0) AS BIGINT) seq_id FROM c)
+         SELECT source, seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM s GROUP BY source, seq_id ORDER BY source, seq_id""",
+
+    // Independent recomputation: unnest one row per character and
+    // aggregate — NOT a mirror of the native one-pass loop.
+    "q79_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, length(text)),
+             i -> substr(text, i, 1))) c
+           FROM documents),
+         f AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) cnt
+           FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(cnt) t FROM f GROUP BY 1),
+         e AS (SELECT f.doc_id,
+             round(-sum((cnt / t) * log2(cnt / t)), 6) entropy
+           FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id)
+         SELECT d.doc_id, d.n_chars, e.entropy
+         FROM documents d JOIN e USING (doc_id) ORDER BY d.doc_id"""
   )
 }
