@@ -82,7 +82,22 @@ object TensorPrep {
     // what the reference materializes per house (and what a production
     // pipeline would checkpoint). Registered with graft.Caching — the
     // caller releases after its terminal action.
+    // repartition on house_id ALONE: hash partitioning on a SUBSET of
+    // the group keys satisfies the clustering the (dataset, house_id,
+    // ts) pivot agg needs AND the (dataset, house_id) clustering the
+    // downstream windowing/assembly passes need — so the whole
+    // pivot → window-emit → X/Y-assembly chain runs on ONE exchange
+    // of the raw readings (the pivot's and the window's house-keyed
+    // exchanges both elide; the post-explode assembly agg stays
+    // partition-local). `dataset` is deliberately NOT a partitioning
+    // key: adapters synthesize it as a literal, and a literal in the
+    // partitioning defeats the semantic-equality check against the
+    // agg's aliased attribute — house_id alone still co-locates
+    // everything the chain groups on. A house's readings concentrate
+    // in one task — the per-house series is the reference's own unit
+    // of work, bounded by one house's history.
     val wideAll = graft.Caching.persisted(labeled
+      .repartition(col("house_id"))
       .groupBy("dataset", "house_id", "ts")
       .agg(aggs.head, aggs.tail: _*)
       .na.fill(0.0, series))
