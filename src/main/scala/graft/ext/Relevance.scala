@@ -70,11 +70,13 @@ object Relevance {
     * broadcast. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
-    val dl = docs.select(col(idCol),
-      size(TextOps.words(col(textCol))).cast("double").as("dl"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
-      avg(size(TextOps.words(col(textCol)))).as("__avgdl"))
+    // tokenize ONCE: document length is the sum of the tf frame's
+    // counts and the corpus stats aggregate that dl frame — the text
+    // column is scanned a single time (persisted: three consumers)
+    val tf = graft.Caching.persisted(termFrequencies(docs, idCol, textCol))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("dl")).as("__avgdl"))
     val qtf = tf.filter(col("term").isin(query: _*))
     val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .join(broadcast(stats))

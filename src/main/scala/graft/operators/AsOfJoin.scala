@@ -77,7 +77,8 @@ object AsOfJoin {
     // null keys never match (SQL equi-join semantics): a null-key right
     // row must not be carried onto null-key left rows by the window,
     // which groups nulls together
-    val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    // foldLeft over lit(true) keeps the keyless (global-window) form legal
+    val nonNullKeys = keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
     val r = right.select(rightCols.map(col): _*).filter(nonNullKeys)
       .withColumn("__side", lit(0))
     // unionByName fills columns unique to one side with nulls

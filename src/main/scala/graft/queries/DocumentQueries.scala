@@ -1357,14 +1357,12 @@ object DocumentQueries {
     "q75_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) w
            FROM documents),
-         dl AS (SELECT doc_id,
-             CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) dl
-           FROM documents),
-         stats AS (SELECT CAST(count(*) AS DOUBLE) n,
-             avg(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)) avgdl
-           FROM documents),
-         qtf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) tf
-           FROM tok WHERE w IN ('merge', 'window', 'stream') GROUP BY 1, 2),
+         tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) tf
+           FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) dl FROM tf GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(dl) avgdl FROM dl),
+         qtf AS (SELECT doc_id, term, tf
+           FROM tf WHERE term IN ('merge', 'window', 'stream')),
          qdf AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM qtf GROUP BY 1),
          idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) idf
            FROM qdf, stats),
@@ -1437,7 +1435,9 @@ object DocumentQueries {
          e AS (SELECT f.doc_id,
              round(-sum((cnt / t) * log2(cnt / t)), 6) entropy
            FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id)
-         SELECT d.doc_id, d.n_chars, e.entropy
-         FROM documents d JOIN e USING (doc_id) ORDER BY d.doc_id"""
+         SELECT d.doc_id, d.n_chars,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(e.entropy, 0.0) END AS entropy
+         FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id"""
   )
 }
