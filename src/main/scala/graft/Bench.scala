@@ -43,9 +43,26 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).collect() }
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        // a failing query must be VISIBLE, not a silent -1 in the medians
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $t")
+          t.printStackTrace()
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
+    // host-load telemetry: the driver's official runs have repeatedly been
+    // inflated by background load on the shared host; recording loadavg
+    // before/after lets a reader discount a noisy run without re-running
+    def loadavg(): String =
+      try {
+        scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg")) {
+          _.getLines().next().split(" ").take(3).mkString(",")
+        }
+      } catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
+    val wallT0 = System.nanoTime()
     // warm-up (untimed)
     names.foreach(runOnce)
     // >= 5 timed iterations (round-2 verdict: n=3 made round-over-round
@@ -71,8 +88,24 @@ object Bench {
     // headline line (and print it first) so the final JSON line stays
     // small enough to survive harnesses that keep only the last few KB
     // of output (the round-3 headline line was truncated exactly this way)
-    System.err.println(s"""{"metric":"spread_min_max","iters":$iters,"queries":$spread}""")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$iters,"sf":"$sfDir"}""")
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val loadAfter = loadavg()
+    val telemetry =
+      s""""loadavg_before":[$loadBefore],"loadavg_after":[$loadAfter],"wall_sec":${f(wallSec)}"""
+    System.err.println(s"""{"metric":"spread_min_max","iters":$iters,$telemetry,"queries":$spread}""")
+    val headline =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$iters,$telemetry,"sf":"$sfDir"}"""
+    // ALSO write the headline to a file: a harness that keeps only the
+    // tail of stdout truncated the round-6 artifact mid-line (lost q01)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: $t")
+    }
+    println(headline)
     spark.stop()
   }
 }

@@ -15,13 +15,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(deleteRec))
+      p.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Caching.release() // drop library-persisted intermediates
+        // the Caching contract (library persists go through
+        // graft.Caching.persisted; callers release after the terminal
+        // action) is load-bearing for bench honesty — a leaked persist
+        // would silently warm later queries, so fail THIS query's gate
+        // (drop its output) instead. cacheManager sees even caches that
+        // never materialized; clearCache() keeps later queries cold.
+        if (!spark.sharedState.cacheManager.isEmpty) {
+          spark.catalog.clearCache()
+          deleteRec(new java.io.File(s"$outDir/$name"))
+          System.err.println(s"[verify] $name leaked cached plans past " +
+            "Caching.release() — persist outside graft.Caching.persisted?")
+        }
+      } catch { case e: Throwable =>
+        Caching.release()
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally Caching.release() // drop library-persisted intermediates
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

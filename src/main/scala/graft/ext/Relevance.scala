@@ -62,34 +62,47 @@ object Relevance {
     * (tf + k1·(1 − b + b·dl/avgdl))` with the standard
     * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`.
     *
-    * Scale shape: document length and average length come from one
-    * token-count aggregate; the per-term statistics are computed ONLY
-    * for the query's terms (the `term ∈ query` filter lands before
-    * any join, so corpus-wide work is one tf aggregate, not a
-    * per-term scan); the query-term df/idf frame is query-sized and
-    * broadcast. */
+    * Scale shape: the query is a small fixed bag of words, so the
+    * per-term frequencies become ONE conditional-count column each in
+    * a single per-document aggregate — one tokenize, one explode, one
+    * doc-keyed shuffle whose map-side partial combine reduces traffic
+    * to ≤ one row per doc per task. `N`, `avgdl` and every query
+    * term's document frequency come from a single one-row aggregate
+    * of that frame, broadcast; scoring is then a pure map-side
+    * projection. No joins wider than the one-row broadcast, no
+    * persist, no doc×term frame anywhere. Follows the standard BM25
+    * convention: N = corpus document count, a null-text document has
+    * dl = 0. The per-term-column layout assumes a retrieval-sized
+    * query (tens of terms, not thousands). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // tokenize ONCE: document length is the sum of the tf frame's
-    // counts and the corpus stats aggregate that dl frame — the text
-    // column is scanned a single time (persisted: three consumers)
-    val tf = graft.Caching.persisted(termFrequencies(docs, idCol, textCol))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
-      avg(col("dl")).as("__avgdl"))
-    val qtf = tf.filter(col("term").isin(query: _*))
-    val qdf = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .join(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
-      .select(col("term"), col("idf"))
-    qtf.join(broadcast(qdf), "term")
-      .join(dl, idCol)
-      .join(broadcast(stats))
-      .withColumn("__contrib",
-        col("idf") * col("tf") * (k1 + 1) /
-          (col("tf") + lit(k1) * (col("dl") / col("__avgdl") * b + (1 - b))))
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val terms = query.distinct
+    val ix = terms.indices
+    // per-doc: dl + one tf column per query term, all in one aggregate
+    // (explode_outer keeps empty/null-text docs: dl = 0, part of N)
+    val tfCols = terms.zip(ix).map { case (t, i) =>
+      count(when(col("__tok") === t, 1)).cast("double").as(s"__tf$i") }
+    val perDoc = docs
+      .select(col(idCol), explode_outer(TextOps.words(col(textCol))).as("__tok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__contrib")).as("score"))
+      .agg(count(col("__tok")).cast("double").as("dl"), tfCols: _*)
+    // one-row corpus stats: N, avgdl, df per query term — broadcast
+    val dfCols = avg(col("dl")).as("__avgdl") +:
+      ix.map(i => sum(when(col(s"__tf$i") > 0, 1)).cast("double").as(s"__df$i"))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("__n"), dfCols: _*)
+    val contrib = ix.map { i =>
+      val tf = col(s"__tf$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+      when(tf > 0, idf * tf * (k1 + 1) /
+        (tf + lit(k1) * (col("dl") / col("__avgdl") * b + (1 - b))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val nHit = ix.map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.join(broadcast(stats))
+      .filter(ix.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), nHit.as("n_hit_terms"), contrib.as("score"))
   }
 
   /** Unigram language-model negative log-likelihood per document — the

@@ -174,13 +174,23 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
   /** `get_common_channels` (`channel_utils.py:7-81`): houses that have
     * ALL `requiredLabels` (relational division, T2), then the best
     * channel per (house, label) by (variance, length) descending (W3 +
-    * A12). Returns one row per (dataset, house_id, universal_label) with
-    * the winning channel_id, its sample variance and row count. */
-  def commonChannels(requiredLabels: Seq[String]): DataFrame = {
+    * A12). `requiredDataTypes` optionally restricts candidate channels
+    * to the allowed `data_type`s BEFORE scoring
+    * (`channel_utils.py:10,36,53`) — a house only qualifies if every
+    * required label still has a candidate after the type filter
+    * (`channel_utils.py:75`, the `len(filtered)` check, which is what
+    * the division below computes). Returns one row per
+    * (dataset, house_id, universal_label) with the winning channel_id,
+    * its sample variance and row count. */
+  def commonChannels(requiredLabels: Seq[String],
+                     requiredDataTypes: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val req = requiredLabels.map(_.toLowerCase)
+    val types = requiredDataTypes.map(_.toLowerCase)
     val cand = channels
       .filter(lower(col("universal_label")).isin(req: _*))
+      .filter(if (types.isEmpty) lit(true)
+              else lower(col("data_type")).isin(types: _*))
     // per-channel score over the fact table — persisted: the score
     // frame is dimension-sized (one row per channel) but feeds both the
     // division branch and the final ranked join, which would otherwise

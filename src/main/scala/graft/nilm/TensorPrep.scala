@@ -51,6 +51,18 @@ object TensorPrep {
       .distinct().orderBy("l")
       .collect().map(_.getString(0)).toSeq
 
+  /** Overlap-form entry point mirroring the reference facade
+    * (`channel_utils.py:187-188`): `overlap < 1` is a FRACTION of
+    * `seqLen` (0.5 → step = seqLen/2); `overlap >= 1` counts overlap
+    * SAMPLES (the reference's int form; step = seqLen − overlap).
+    * Step is clamped to ≥ 1 either way. */
+  def windowsOverlap(ds: NilmDataset, seqLen: Int, overlap: Double,
+                     labels: Option[Seq[String]] = None): DataFrame =
+    windows(ds, seqLen,
+      graft.operators.Windowing.stepOf(seqLen, overlap,
+        fractional = overlap < 1.0),
+      labels)
+
   /** Window rows: dataset, house_id, window_id, x array<float>,
     * y array<array<float>> (label order = [[applianceOrder]]). */
   def windows(ds: NilmDataset, seqLen: Int, step: Int,

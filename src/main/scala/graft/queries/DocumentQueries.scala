@@ -1244,9 +1244,10 @@ object DocumentQueries {
     }),
 
     // Okapi BM25 scores for a fixed bag-of-words query (seed-set
-    // expansion / retrieval step). The term∈query filter lands before
-    // any join, so the corpus-wide work is one tf aggregate; the
-    // query-term statistics frame is query-sized and broadcast.
+    // expansion / retrieval step). One tokenize into a persisted
+    // doc-sized token-array frame; dl is a map-side size(); the
+    // term∈query filter lands before even the tf aggregate, so the
+    // only doc×term shuffle carries query-term rows alone.
     "q75_bm25" -> ((s, d) => {
       import s.implicits._
       graft.ext.Relevance.bm25(documents(s, d), "doc_id", "text",
@@ -1355,14 +1356,14 @@ object DocumentQueries {
          FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""",
 
     "q75_bm25" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) w
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, '\s+') w
            FROM documents),
-         tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) tf
-           FROM tok GROUP BY 1, 2),
-         dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) dl FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id,
+           CAST(coalesce(len(w), 0) AS DOUBLE) dl FROM toks),
          stats AS (SELECT CAST(count(*) AS DOUBLE) n, avg(dl) avgdl FROM dl),
-         qtf AS (SELECT doc_id, term, tf
-           FROM tf WHERE term IN ('merge', 'window', 'stream')),
+         qtf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf
+           FROM (SELECT doc_id, unnest(w) term FROM toks)
+           WHERE term IN ('merge', 'window', 'stream') GROUP BY 1, 2),
          qdf AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM qtf GROUP BY 1),
          idf AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) idf
            FROM qdf, stats),

@@ -97,10 +97,14 @@ object NilmQueries {
     // T2 + W3 + A12 as one API call: houses holding ALL required labels
     // (relational division), best channel per (house, label) by
     // (variance, length) — get_common_channels, channel_utils.py:7-81.
+    // requiredDataTypes restricts candidates to 'active' channels
+    // (parity-0) BEFORE scoring (channel_utils.py:10,36,53), so both
+    // the winners and house eligibility are type-aware.
     "q37_common_channels" -> ((s, d) => {
       import s.implicits._
       NilmDataset.fromEvents(s, d)
-        .commonChannels(Seq("fridge_freezer", "washing_machine", "other"))
+        .commonChannels(Seq("fridge_freezer", "washing_machine", "other"),
+          requiredDataTypes = Seq("active"))
         // round to whole units: var_samp's partial-merge order differs
         // between engines, so the ~1e-5 float disagreement must stay far
         // from the rounding boundary (magnitudes here are ~3000)
@@ -416,7 +420,8 @@ object NilmQueries {
            CASE event_type WHEN 'click' THEN 'fridge_freezer'
              WHEN 'purchase' THEN 'washing_machine'
              ELSE 'other' END ul
-           FROM events WHERE event_type IN ('click', 'purchase', 'error')),
+           FROM events WHERE event_type IN ('click', 'purchase', 'error')
+             AND $kExpr % 2 = 0),
          scored AS (SELECT user_id, channel_id, ul, var_samp(value) v,
            count(*) n FROM lab GROUP BY 1, 2, 3),
          div AS (SELECT user_id FROM scored GROUP BY 1

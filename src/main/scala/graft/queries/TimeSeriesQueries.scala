@@ -211,14 +211,16 @@ object TimeSeriesQueries {
       events(s, d)
         .groupBy($"event_type")
         .agg(expr("graft_heavy_hitters(CAST(user_id AS STRING), 65536)").as("hh"),
-          approx_count_distinct($"user_id").as("__nd"))
+          approx_count_distinct($"user_id", 0.02).as("__nd"))
         // fail loudly if a larger scale factor ever pushes a group past
         // the sketch capacity — beyond it Misra–Gries counts silently
         // become undercounts and the exact row_number oracle would
         // mismatch for reasons that are expected, not a bug. The guard
-        // is a HyperLogLog sketch too (approx_count_distinct, ~2% rsd,
-        // checked against a 10% margin below capacity), so the plan
-        // stays sketch-only — no exact distinct shuffle rides along
+        // is a HyperLogLog sketch too (approx_count_distinct at an
+        // explicit 2% rsd — the no-arg default is 5%, which would make
+        // the margin only ~2σ — checked against a 10% margin below
+        // capacity, i.e. ~5σ), so the plan stays sketch-only — no
+        // exact distinct shuffle rides along
         .where(coalesce(assert_true($"__nd" <= 58982,
           lit("q69: distinct users per event_type exceeds graft_heavy_hitters " +
             "capacity 65536; counts are approximate past that — raise the " +

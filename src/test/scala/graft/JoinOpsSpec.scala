@@ -57,6 +57,25 @@ class JoinOpsSpec extends SparkSpec {
     assert(tol == Seq(("l1", Some(1.0)), ("l2", Some(2.0)), ("l3", None)))
   }
 
+  test("asOf keyless form: one global timeline, backward and forward") {
+    // keys = Seq.empty → single global window (the foldLeft-over-lit(true)
+    // null-key filter must be a no-op, not an empty AND)
+    val left = Seq((ts(10), "l1"), (ts(25), "l2"), (ts(4), "l3"))
+      .toDF("ts", "tag")
+    val right = Seq((ts(5), 50.0), (ts(10), 100.0), (ts(20), 200.0))
+      .toDF("ts", "ref")
+    val back = AsOfJoin.backward(left, right, Seq.empty, "ts", Seq("ref"))
+      .orderBy("ts").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    // l3 (ts 4): nothing at-or-before; l1: inclusive tie at 10; l2: 20
+    assert(back == Seq(("l3", None), ("l1", Some(100.0)), ("l2", Some(200.0))))
+    val fwd = AsOfJoin.forward(left, right, Seq.empty, "ts", Seq("ref"))
+      .orderBy("ts").select("tag", "ref")
+      .as[(String, Option[Double])].collect().toSeq
+    // l3: first at-or-after is 5; l1: inclusive tie at 10; l2: none after 25
+    assert(fwd == Seq(("l3", Some(50.0)), ("l1", Some(100.0)), ("l2", None)))
+  }
+
   test("asOf carries multiple payload columns from the same match row") {
     val left = Seq((1L, ts(10), "x")).toDF("k", "ts", "tag")
     val right = Seq((1L, ts(3), 7.0, "m1"), (1L, ts(8), 8.0, "m2"))

@@ -71,6 +71,59 @@ class TensorPrepSpec extends SparkSpec {
     assert(h2w0._4 == Seq.fill(4)(Seq(0f, 2f)))
   }
 
+  test("windowsOverlap: fraction and sample forms reduce to the step form") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("house_id", "window_id")
+      .select($"house_id", $"window_id", $"x", $"y")
+      .as[(Long, Long, Seq[Float], Seq[Seq[Float]])].collect().toSeq
+    val byStep = rows(TensorPrep.windows(dataset, seqLen = 4, step = 2))
+    // channel_utils.py:187-188: float < 1 → fraction of seqLen
+    // (0.5 · 4 → step 2); >= 1 → overlap in samples (4 − 2 → step 2)
+    assert(rows(TensorPrep.windowsOverlap(dataset, 4, overlap = 0.5)) == byStep)
+    assert(rows(TensorPrep.windowsOverlap(dataset, 4, overlap = 2.0)) == byStep)
+    // full-overlap degenerate form clamps to step 1 (max(1, ·))
+    val dense = rows(TensorPrep.windowsOverlap(dataset, 4, overlap = 4.0))
+    assert(dense.count(_._1 == 1L) == 5) // 8 rows, seqLen 4, step 1
+  }
+
+  test("commonChannels: requiredDataTypes filters candidates before scoring") {
+    // house 1: kettle on an active channel (low variance) AND a reactive
+    // channel (high variance); house 2's only kettle is reactive
+    def r(h: Long, ch: String, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => ("d1", h, ch, ts(i), v) }
+    val readings = (
+      r(1L, "ket_a", Seq(1, 2, 1, 2)) ++
+        r(1L, "ket_r", Seq(0, 100, 0, 100)) ++
+        r(2L, "ket_r", Seq(5, 50, 5, 50))
+      ).toDF("dataset", "house_id", "channel_id", "ts", "power")
+    val channels = Seq(
+      ("d1", 1L, "ket_a", "active"),
+      ("d1", 1L, "ket_r", "reactive"),
+      ("d1", 2L, "ket_r", "reactive"))
+      .toDF("dataset", "house_id", "channel_id", "data_type")
+      .withColumn("raw_label", lit("kettle"))
+      .withColumn("universal_label", lit("kettle"))
+      .withColumn("unit", lit("watts"))
+      .withColumn("sample_rate_s", lit(8L))
+      .withColumn("manufacturer", lit("?"))
+      .withColumn("model", lit("?"))
+      .withColumn("acquisition_device", lit("?"))
+    val ds = NilmDataset(readings, channels)
+    try {
+      // no type filter: the high-variance reactive channel wins house 1
+      val open = ds.commonChannels(Seq("kettle"))
+        .select($"house_id", $"channel_id").as[(Long, String)]
+        .collect().toMap
+      assert(open == Map(1L -> "ket_r", 2L -> "ket_r"))
+      // 'active' only: winner flips in house 1; house 2 has no active
+      // kettle left, so it no longer qualifies (channel_utils.py:75)
+      val active = ds.commonChannels(Seq("kettle"), Seq("active"))
+        .select($"house_id", $"channel_id").as[(Long, String)]
+        .collect().toMap
+      assert(active == Map(1L -> "ket_a"))
+    } finally Caching.release()
+  }
+
   test("resampleAllChannels: bucket-means fine channels, skips coarse ones") {
     // dataset fixture rates are 8 s; mark the fridge channel as 32 s so
     // the per-channel no-upsample guard passes it through untouched
