@@ -238,13 +238,29 @@ object TextOps {
   def jaccardPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, tNum: Int, tDen: Int,
                    k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val cand = prefixCandidates(sets, idCol, tNum, tDen)
+    val inter = size(array_intersect(col("za.__sh"), col("zb.__sh"))).cast("double")
+    cand
+      .join(sets.as("za"), col("a_id") === col(s"za.$idCol"))
+      .join(sets.as("zb"), col("b_id") === col(s"zb.$idCol"))
+      .withColumn("jaccard", inter / (col("za.__n") + col("zb.__n") - inter))
+      .filter(col("jaccard") >= lit(tNum.toDouble) / tDen)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Per-doc shingle array in global (df ASC, shingle) order — the
+    * explicit array_sort makes the order a guarantee rather than an
+    * artifact of aggregation input order. Persisted (registered with
+    * [[graft.Caching]]): feeds prefix generation AND both verify
+    * sides of [[jaccardPairs]]. */
+  private[graft] def shingleSets(docs: org.apache.spark.sql.DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wSh = Window.partitionBy(col("shingle"))
-    // per-doc shingle array in global (df ASC, shingle) order; the
-    // explicit array_sort makes the order a guarantee rather than an
-    // artifact of aggregation input order
-    val sets = graft.Caching.persisted(
+    graft.Caching.persisted(
       shingleRows(docs, idCol, textCol, k)
         .withColumn("__df", count(lit(1)).over(wSh))
         .groupBy(col(idCol))
@@ -253,6 +269,15 @@ object TextOps {
         .select(col(idCol),
           transform(col("__all"), e => e("shingle")).as("__sh"),
           size(col("__all")).as("__n")))
+  }
+
+  /** PPJoin prefix-filtered candidate pairs (a_id < b_id) over
+    * [[shingleSets]] output — separated from [[jaccardPairs]] so the
+    * candidate-count bound is directly testable (TextOpsSpec's Zipfian
+    * fixture: hot shingles must not generate candidates). */
+  private[graft] def prefixCandidates(sets: org.apache.spark.sql.DataFrame,
+                                      idCol: String, tNum: Int,
+                                      tDen: Int): org.apache.spark.sql.DataFrame = {
     // prefix length p = n - ceil(t*n) + 1, in exact integer arithmetic:
     // ceil(tNum*n/tDen) = (tNum*n + tDen - 1) DIV tDen. Column `/` is
     // double division; floor() of it is exact here (the true quotient
@@ -263,19 +288,12 @@ object TextOps {
     val prefixLen = (n - ceilT + lit(1)).cast("int")
     val prefix = sets.select(col(idCol),
       explode(slice(col("__sh"), lit(1), prefixLen)).as("shingle"))
-    val cand = prefix.as("a")
+    prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
       .distinct()
-    val inter = size(array_intersect(col("za.__sh"), col("zb.__sh"))).cast("double")
-    cand
-      .join(sets.as("za"), col("a_id") === col(s"za.$idCol"))
-      .join(sets.as("zb"), col("b_id") === col(s"zb.$idCol"))
-      .withColumn("jaccard", inter / (col("za.__n") + col("zb.__n") - inter))
-      .filter(col("jaccard") >= lit(tNum.toDouble) / tDen)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** Top-k rows per group by (score DESC, id ASC) via the native

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.DedupClusters
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Connected-components cluster labeling: chains collapse to min id,
   * components stay separate, isolated docs self-represent. */
@@ -37,6 +38,46 @@ class DedupClustersSpec extends SparkSpec {
     assert(dist == drv)
     assert(dist == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("property: both paths equal a naive fixpoint on random graphs") {
+    // the round-6 gap: each path was tested, not their AGREEMENT on the
+    // same graphs — generate random edge lists and check driver
+    // union-find == distributed propagation == a test-local naive
+    // transitive min-label fixpoint (an independent third computation)
+    def naive(n: Long, es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val lab = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        es.foreach { case (a, b) =>
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m || lab(b) != m) { lab(a) = m; lab(b) = m; changed = true }
+        }
+      }
+      lab.toMap
+    }
+    val gen = for {
+      n <- Gen.choose(2L, 20L)
+      nEdges <- Gen.choose(0, 25)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(1L, n), Gen.choose(1L, n)))
+    } yield (n, edges.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(gen) { case (n, es) =>
+      val docs = (1L to n).toDF("doc_id")
+      val pairs = if (es.isEmpty) Seq((1L, 1L)).toDF("a_id", "b_id").limit(0)
+        else es.toDF("a_id", "b_id")
+      val drv = DedupClusters.connectedComponents(docs, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      val dist = DedupClusters.connectedComponents(docs, "doc_id", pairs,
+          driverMaxEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      Caching.release()
+      val want = naive(n, es)
+      drv == want && dist == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("label order independence: reversed pair direction, same fixpoint") {

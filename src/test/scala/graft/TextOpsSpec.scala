@@ -202,6 +202,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq("en", "es", "unk"))
   }
 
+  test("jaccard prefix filter: hot boilerplate shingles stay sub-quadratic") {
+    // Zipfian corpus: every doc opens with the same 6-word boilerplate
+    // (its 4 shingles have df = |corpus| — the stopword-gram blowup that
+    // makes a naive inverted-index join generate 4·C(D,2) candidates),
+    // followed by 10 doc-unique words. Two extra docs are true near-dups
+    // of each other (differ in the last word only → jaccard 13/15).
+    def corpus(d: Int) = ((1 to d).map { i =>
+      (i.toLong, "the quick brown fox jumps over " +
+        (1 to 10).map(j => s"u${i}w$j").mkString(" "))
+    } ++ Seq(
+      (d + 1, "the quick brown fox jumps over " +
+        (1 to 9).map(j => s"dup$j").mkString(" ") + " tail1"),
+      (d + 2, "the quick brown fox jumps over " +
+        (1 to 9).map(j => s"dup$j").mkString(" ") + " tail2"))
+      .map { case (i, t) => (i.toLong, t) }).toDF("doc_id", "text")
+    // candidate count must NOT grow with the hot shingles' frequency:
+    // prefix length at t=4/5 over 14 shingles is 3, and the boilerplate
+    // grams (highest df) sort LAST in the df-ASC order, so only the
+    // near-dup pair — whose rare shingles collide — is ever generated
+    val nCands = Seq(10, 40).map { d =>
+      val sets = TextOps.shingleSets(corpus(d), "doc_id", "text", 3)
+      val c = TextOps.prefixCandidates(sets, "doc_id", 4, 5).count()
+      Caching.release()
+      c
+    }
+    assert(nCands == Seq(1L, 1L), s"candidates grew with df: $nCands")
+    // and the filter is exact — the surviving pair is the true near-dup
+    val pairs = TextOps.jaccardPairs(corpus(40), "doc_id", "text", 4, 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    Caching.release()
+    assert(pairs.map(p => (p._1, p._2)) == Seq((41L, 42L)))
+    assert(math.abs(pairs.head._3 - 13.0 / 15) < 1e-12)
+  }
+
   test("token counters: whitespace vs bpe-ish") {
     val (ws, bp) = Seq("hello world, this is 42!")
       .toDF("t")
