@@ -53,6 +53,29 @@ class RelevanceSpec extends SparkSpec {
       assert(math.abs(s - ws) < 1e-12, s"bm25($d)") }
   }
 
+  test("bm25 N convention: null-text docs count toward N and avgdl") {
+    // standard BM25: N = corpus size, a null-text doc has dl = 0 — the
+    // round-6 one-scan form silently derived N from tokenized docs only
+    val withNull = Seq((1L, Some("a a b")), (2L, Some("b c")),
+        (3L, Some("c b c")), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = Relevance.bm25(withNull, "doc_id", "text", query = Seq("a", "c"))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // N = 4 (the null doc counts), avgdl = (3+2+3+0)/4 = 2
+    val avgdl = 2.0
+    def idf(df: Double) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def contrib(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (dl / avgdl * 0.75 + 0.25))
+    val want = Seq(
+      (1L, 1L, contrib(2, 1, 3)),
+      (2L, 1L, contrib(1, 2, 2)),
+      (3L, 1L, contrib(2, 2, 3))) // "c b c": tf(c) = 2
+    assert(out.map(r => (r._1, r._2)) == want.map(w => (w._1, w._2)))
+    out.zip(want).foreach { case ((d, _, s), (_, _, ws)) =>
+      assert(math.abs(s - ws) < 1e-12, s"bm25 null-text N($d)") }
+  }
+
   test("unigramNll yields exact bits for a power-of-two model") {
     // ctf: a=2 b=2 c=4 over 8 tokens → p = 1/4, 1/4, 1/2
     val out = Relevance.unigramNll(corpus, "doc_id", "text")
