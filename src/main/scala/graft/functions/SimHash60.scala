@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd 60-bit SimHash (Charikar 2002) over a document's
+  * whitespace tokens: `graft_simhash(text)` — the frequency-weighted
+  * per-bit token vote, bit b set iff Σ_tokens (±1 by bit b of the
+  * token's 60-bit md5 hash) > 0.
+  *
+  * Bit-for-bit identical to the declarative formulation
+  * (`explode(split(text,'\\s+'))` → `hash60` → 60 conditional sums →
+  * bit reassembly; parity-tested in NativeAggSpec): tokens come from
+  * Java `split("\\s+", -1)` (the same Pattern semantics as Spark's
+  * `split`, keeping leading/trailing empty tokens), and the per-token
+  * hash is the first 15 hex chars of md5 read base-16 — bytes 0–6
+  * big-endian shifted left 4, plus byte 7's high nibble.
+  *
+  * Why native: the declarative shape shuffles ONE ROW PER TOKEN
+  * through a 60-column aggregate (at 100 TB that is ~10^13 shuffle
+  * rows even with map-side combine); this is a per-row
+  * O(tokens · (md5 + 60)) loop inside whole-stage codegen with ZERO
+  * shuffle — the signature step of a near-dup pipeline becomes a pure
+  * map projection. Same argument as [[CharEntropy]]/[[ByteHistogram]].
+  * Null in → null out (the declarative form instead drops the row at
+  * the explode; callers treat null text as "no signature" either way).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(s: Any): Any =
+    SimHash60.compute(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+
+  val Bits = 60
+
+  // MessageDigest is stateful and not thread-safe; one per executor
+  // thread, reset per token by digest()
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 15 hex chars of md5(token) as a base-16 number — identical
+    * to `conv(substring(md5(s), 1, 15), 16, 10)` ([[graft.ext.TextOps.hash60]]). */
+  def hash60(token: String): Long = {
+    val d = md5.get().digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xFF) >>> 4)
+  }
+
+  def compute(s: UTF8String): Long = {
+    val toks = s.toString.split("\\s+", -1)
+    val votes = new Array[Int](Bits)
+    var t = 0
+    while (t < toks.length) {
+      val h = hash60(toks(t))
+      var b = 0
+      while (b < Bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < Bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, RollingFingerprint, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, RollingFingerprint, SimHash60, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -71,6 +71,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_char_entropy(str)")
         CharEntropy(args.head)
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_simhash(str)")
+        SimHash60(args.head)
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -123,27 +123,21 @@ object DocumentQueries {
     * signature dump (q25) and the banded near-dup pair join (q68). */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = documents(s, d)
-      .select($"doc_id", explode(words($"text")).as("w"))
-      .select($"doc_id", hash60($"w").as("h"))
-    val voteCols = (0 until SimhashBits).map(b =>
-      sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
-    tok.groupBy($"doc_id")
-      .agg(voteCols.head, voteCols.tail: _*)
-      .select($"doc_id",
-        (0 until SimhashBits)
-          .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // native per-row signature (functions/SimHash60.scala): zero
+    // shuffle, zero explode — the declarative explode + 60 conditional
+    // sums it replaces shuffled one row per TOKEN (parity-tested in
+    // NativeAggSpec; ~3× at sf0.1, unbounded at scale)
+    graft.plans.GraftExtensions.register(s)
+    documents(s, d)
+      .select($"doc_id", expr("graft_simhash(text)").as("simhash"))
   }
 
   private val defsB: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 60-bit SimHash fingerprint per document (frequency-weighted token
-    // votes). Formulated as explode → 60 codegen'd conditional sums →
-    // per-doc bit reassembly: higher-order functions are interpreted in
-    // Spark, so the naive per-row nested aggregate is ~40× slower; this
-    // shape also gets map-side partial aggregation at scale. `split` on
-    // \s+ always yields ≥1 token, so no doc_id is lost to the explode.
+    // votes) via the native graft_simhash expression — a pure map-side
+    // projection; the oracle recomputes the same md5 arithmetic
+    // independently in SQL.
     "q25_simhash" -> ((s, d) =>
       simhashSigs(s, d).orderBy(col("doc_id"))),
 

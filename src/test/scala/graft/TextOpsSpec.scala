@@ -236,6 +236,43 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(pairs.head._3 - 13.0 / 15) < 1e-12)
   }
 
+  test("graft_simhash equals the declarative explode + vote formulation") {
+    // random texts with single/double separators, leading + trailing
+    // whitespace (the empty tokens Spark's split keeps), non-ASCII, and
+    // the empty string — native per-row loop must be bit-for-bit equal
+    // to the former explode + 60 conditional-sum shape
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "δδ", "x")
+    val df = Seq.tabulate(40) { i =>
+      val body =
+        if (i == 0) ""
+        else Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(if (rnd.nextBoolean()) " " else "  ")
+      val s = (if (i % 3 == 0) " " else "") + body +
+        (if (i % 4 == 0) "  " else "")
+      (i.toLong, s)
+    }.toDF("doc_id", "text")
+    val tok = df.select($"doc_id", explode(TextOps.words($"text")).as("w"))
+      .select($"doc_id", TextOps.hash60($"w").as("h"))
+    val voteCols = (0 until TextOps.SimhashBits).map(b =>
+      sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+    val decl = tok.groupBy($"doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select($"doc_id", (0 until TextOps.SimhashBits)
+        .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val native = df
+      .select($"doc_id", call_function("graft_simhash", $"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == decl)
+    // null text: native is null (declarative would drop the row)
+    val n = Seq((99L, None: Option[String])).toDF("doc_id", "text")
+      .select(call_function("graft_simhash", $"text"))
+      .as[Option[Long]].head()
+    assert(n.isEmpty)
+  }
+
   test("token counters: whitespace vs bpe-ish") {
     val (ws, bp) = Seq("hello world, this is 42!")
       .toDF("t")
