@@ -1,0 +1,106 @@
+package graft
+
+/** Physical-plan invariants for flagship queries — the scale properties
+  * the bench can only show as slow numbers three rounds later are pinned
+  * here as hard assertions: shuffle (Exchange hashpartitioning) counts,
+  * broadcast-vs-sort-merge join choices, parquet filter pushdown, and
+  * zero-shuffle map-only shapes. Plans are built at sf0.001 (plan shape
+  * is data-size independent for these; AQE rewrites would only REMOVE
+  * exchanges at runtime, and the asserted counts are the static upper
+  * bounds).
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    Caching.release()
+    spark.catalog.clearCache()
+    s
+  }
+
+  /** The AQE FINAL plan (everything before the "Initial Plan" section),
+    * after running the query — runtime rewrites like ReusedExchange only
+    * show up here. */
+  private def finalPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    Caching.release()
+    spark.catalog.clearCache()
+    s
+  }
+
+  private def countOf(s: String, needle: String): Int =
+    s.sliding(needle.length).count(_ == needle)
+
+  test("q02 time slice: filter is pushed to the parquet scan") {
+    val p = plan("q02_time_slice")
+    // the raw-nanos slice must reach the scan as PushedFilters, not run
+    // as a post-scan Filter over the full column
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("PushedFilters: \\[[^\\]]*\\]", "")
+      .contains("PushedFilters"), p)
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(",")
+    assert(pushed.contains("GreaterThanOrEqual") ||
+      pushed.contains("LessThanOrEqual"), s"no range pushdown in [$pushed]")
+  }
+
+  test("q03 dim join: broadcast joins only, no sort-merge") {
+    val p = plan("q03_dim_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q25 simhash: zero-shuffle projection (sort exchange only)") {
+    val p = plan("q25_simhash")
+    // native graft_simhash: no aggregate, no hash exchange — the only
+    // exchange is the terminal orderBy's range partitioning
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q75 bm25: one doc-keyed shuffle at runtime, stats reuse it") {
+    // statically the stats branch replans the per-doc aggregate, but the
+    // two subtrees are canonically identical, so AQE's exchange reuse
+    // runs ONE tokenize + shuffle and the one-row stats aggregate reads
+    // the same shuffle files — assert on the final plan, not the static
+    val p = finalPlan("q75_bm25")
+    // a ReusedExchange node REPEATS the target's description — count
+    // only operator-position occurrences ("+- Exchange ...")
+    assert(countOf(p, "+- Exchange hashpartitioning") == 1, p)
+    assert(p.contains("ReusedExchange"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q27 cosine topk: map-side partial topk, no window sort") {
+    val p = plan("q27_cosine_topk")
+    // graft_topk partial aggregate bounds per-task traffic at k rows;
+    // a row_number window formulation would show Window + full sort
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q23 exact dedup: single hash exchange (map-side combined)") {
+    val p = plan("q23_exact_dedup")
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q35 compute aggregate: dims broadcast onto one fact scan") {
+    val p = plan("q35_compute_aggregate")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // parsed-events cache reuse
+  }
+
+  test("q79 char entropy: no shuffle at all before the terminal sort") {
+    val p = plan("q79_char_entropy")
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+  }
+}
