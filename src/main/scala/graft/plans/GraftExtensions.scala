@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, RollingFingerprint, SimHash60, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, MinHashSig, RollingFingerprint, SimHash60, TopKByScore}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -77,6 +77,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_simhash(str)")
         SimHash60(args.head)
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_minhash_sig(str)")
+        MinHashSig(args.head)
       }))
 
   /** Idempotent runtime registration into an existing session. */

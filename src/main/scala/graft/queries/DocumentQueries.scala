@@ -82,19 +82,25 @@ object DocumentQueries {
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     {
       import s.implicits._
-      // exploded shingles + 16 codegen'd min-aggregates — the whole
-      // signature computation stays in whole-stage codegen (the per-row
-      // transform/array_min form cost ~10 s at sf0.1); docs with no
-      // shingles drop out, which changes nothing downstream (their
-      // candidate pairs have null/NaN jaccard and never pass the 0.5
-      // gate in either engine)
-      val sr = shingleRows(documents(s, d), "doc_id", "text")
-        .withColumn("id28", hash28($"shingle"))
-      val sigAggs = collect_set($"shingle").as("sh") +:
-        (0 until NumHashes).map(j =>
-          min(($"id28" * hashA(j) + hashB(j)) % MinhashPrime).as(s"m$j"))
+      // native per-row signature (functions/MinHashSig.scala): shingle
+      // set + all 16 minhashes in one O(tokens·16) loop, ZERO shuffle —
+      // the exploded-shingles + 16 min-aggregates shape it replaces
+      // shuffled one row per (doc, shingle) (parity-tested in
+      // TextOpsSpec). Docs with < 3 words return null and are filtered,
+      // exactly the docs the explode used to drop.
+      graft.plans.GraftExtensions.register(s)
+      // repartition before persist: a map-only projection inherits the
+      // scan's split count (ONE partition for a small parquet file),
+      // which would serialize the band join and verify joins below; the
+      // doc-keyed exchange carries doc-level rows — no more volume than
+      // the (doc, shingle)-level exchange the old aggregate shape paid
       val sig = graft.Caching.persisted(
-        sr.groupBy($"doc_id").agg(sigAggs.head, sigAggs.tail: _*))
+        documents(s, d)
+          .select($"doc_id", expr("graft_minhash_sig(text)").as("__s"))
+          .filter($"__s".isNotNull)
+          .select($"doc_id" +: $"__s.sh".as("sh") +:
+            (0 until NumHashes).map(j => $"__s.m"(j).as(s"m$j")): _*)
+          .repartition($"doc_id"))
       val bands = sig
         .select($"doc_id", explode(bandStructs).as("band"))
         .select($"doc_id", $"band.bi".as("bi"), $"band.bk".as("bk"))

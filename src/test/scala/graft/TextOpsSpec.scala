@@ -273,6 +273,36 @@ class TextOpsSpec extends SparkSpec {
     assert(n.isEmpty)
   }
 
+  test("graft_minhash_sig equals the declarative shingle-agg formulation") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("lorem", "ipsum", "dolor", "sit", "amet", "ñü")
+    val df = Seq.tabulate(40) { i =>
+      // includes docs with 0/1/2 words (must return null) and repeated
+      // shingles (set semantics)
+      val words = Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val decl = TextOps.shingleRows(df, "doc_id", "text")
+      .withColumn("id28", TextOps.hash28($"shingle"))
+      .groupBy($"doc_id")
+      .agg(collect_set($"shingle").as("sh"),
+        array((0 until TextOps.NumHashes).map(j =>
+          min(($"id28" * TextOps.hashA(j) + TextOps.hashB(j))
+            % TextOps.MinhashPrime)): _*).as("m"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2.sorted, r._3))).toMap
+    val native = df
+      .select($"doc_id", call_function("graft_minhash_sig", $"text").as("s"))
+      .filter($"s".isNotNull)
+      .select($"doc_id", $"s.sh", $"s.m")
+      .as[(Long, Seq[String], Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2.sorted, r._3))).toMap
+    assert(native == decl)
+    // a doc with < 3 words is null in the native form (dropped by the
+    // declarative explode) — both frames must omit it entirely
+    assert(!native.keySet.exists(decl.keySet.diff(native.keySet).contains))
+  }
+
   test("token counters: whitespace vs bpe-ish") {
     val (ws, bp) = Seq("hello world, this is 42!")
       .toDF("t")
