@@ -103,4 +103,44 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan("q79_char_entropy")
     assert(countOf(p, "Exchange hashpartitioning") == 0, p)
   }
+
+  test("q24 minhash: banded candidates, never a cartesian product") {
+    val p = plan("q24_minhash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the persisted signature frame feeds the band join (both sides)
+    // and both verify sides — all four reads hit the cache
+    assert(countOf(p, "InMemoryTableScan") >= 4, p)
+  }
+
+  test("q26 jaccard: prefix-filtered self-join, never a cartesian product") {
+    val p = plan("q26_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q72 mixture interleave: bounded-buffer ranking, no window sort") {
+    val p = plan("q72_mixture_interleave")
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q69 heavy hitters: sketch-only plan, no exact distinct expansion") {
+    val p = plan("q69_heavy_hitters")
+    assert(p.contains("graft_heavy_hitters"), p)
+    assert(p.contains("approx_count_distinct"), p)
+    // an exact countDistinct guard would add an Expand node and a second
+    // full shuffle of distinct users — the round-5 defect this pins
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q67 column profile: all statistics from ONE scan of the fact table") {
+    val p = plan("q67_column_profile")
+    assert(countOf(p, "FileScan parquet") == 1, p)
+  }
+
+  test("q73 bloom anti-join: sketch prefilter reaches the probe side") {
+    val p = plan("q73_bloom_antijoin")
+    assert(p.contains("graft_bloom"), p)
+  }
 }
