@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics relevance and language-model scoring over a
@@ -35,11 +34,14 @@ object Relevance {
     *
     * The doc-frequency frame derives from the tf frame (one extra
     * map-side-combinable agg), and N joins in as a broadcast one-row
-    * count. Ranking is a row_number window over (id): the scored rows
-    * were already shuffled once on the term join, and per-partition
-    * top-k pre-pruning (the graft_topk shape) does not apply because
-    * the ranked payload is a string key; the window's sort is bounded
-    * by per-document vocabulary. */
+    * count. Ranking uses the string-keyed bounded-buffer top-k
+    * aggregate (`graft_topk_str`, [[graft.functions.TopKByScoreStr]];
+    * register via [[graft.plans.GraftExtensions]]) — the row_number
+    * window form it replaces re-shuffles and SORTS every scored
+    * (doc, term) row, while the aggregate's map-side partial keeps at
+    * most k rows per document per task before the exchange.
+    * Row-identical to the window (ties break toward the
+    * lexicographically smaller term; parity spec-tested). */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
@@ -49,11 +51,14 @@ object Relevance {
       .join(broadcast(n))
       .withColumn("tfidf",
         col("tf") * (log((col("__n") + 1).cast("double") / (col("df") + 1)) + 1))
-    val rnk = row_number().over(
-      Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term")))
-    scored.withColumn("rank", rnk.cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("term"), col("rank"), col("tfidf"))
+    scored.groupBy(col(idCol))
+      .agg(call_function("graft_topk_str",
+        col("tfidf"), col("term"), lit(k)).as("__topk"))
+      .select(col(idCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(idCol),
+        col("__e.id").as("term"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.score").as("tfidf"))
   }
 
   /** Okapi BM25 retrieval score of every document containing at least

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, MinHashSig, RollingFingerprint, SimHash60, TopKByScore}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, MinHashSig, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -83,6 +83,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_minhash_sig(str)")
         MinHashSig(args.head)
+      }),
+    (FunctionIdentifier("graft_topk_str"),
+      new ExpressionInfo(classOf[TopKByScoreStr].getName, "graft_topk_str"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_topk_str(score, id, k)")
+        TopKByScoreStr(args.head, args(1), args(2)).toAggregateExpression()
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -1238,6 +1238,7 @@ object DocumentQueries {
     // one-row count. See Relevance.tfidfTopK for the ranking shape.
     "q74_tfidf_topk" -> ((s, d) => {
       import s.implicits._
+      graft.plans.GraftExtensions.register(s)
       graft.ext.Relevance.tfidfTopK(documents(s, d), "doc_id", "text", k = 3)
         .select($"doc_id", $"term", $"rank", round($"tfidf", 6).as("tfidf"))
         .orderBy($"doc_id", $"rank")

@@ -139,6 +139,12 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "FileScan parquet") == 1, p)
   }
 
+  test("q74 tfidf: string-keyed bounded ranking, no window sort") {
+    val p = plan("q74_tfidf_topk")
+    assert(p.contains("graft_topk_str"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q73 bloom anti-join: sketch prefilter reaches the probe side") {
     val p = plan("q73_bloom_antijoin")
     assert(p.contains("graft_bloom"), p)

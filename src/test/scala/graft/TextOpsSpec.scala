@@ -125,6 +125,31 @@ class TextOpsSpec extends SparkSpec {
     assert(all == 40)
   }
 
+  test("graft_topk_str equals the row_number window formulation (with ties)") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(21)
+    // small score set guarantees equal-score ties → the string tiebreak
+    // (UTF8String binary order = Spark's string orderBy) is exercised
+    val rows = for (g <- 0 until 6; i <- 0 until 40)
+      yield (g.toLong, s"t${rnd.nextInt(999)}_$i", (rnd.nextInt(8) / 10.0))
+    val df = rows.toDF("grp", "term", "score")
+    for (k <- Seq(1, 3, 7)) {
+      val viaAgg = df.groupBy($"grp")
+        .agg(call_function("graft_topk_str", $"score", $"term", lit(k)).as("t"))
+        .select($"grp", posexplode($"t").as(Seq("p", "e")))
+        .select($"grp", $"e.id".as("term"),
+          ($"p" + 1).cast("long").as("rank"), $"e.score".as("score"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val w = Window.partitionBy($"grp").orderBy($"score".desc, $"term")
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"grp", $"term", $"rank", $"score")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(viaAgg == viaWindow, s"k=$k")
+    }
+  }
+
   test("dot / l2norm / cosine basics") {
     val out = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
         (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
