@@ -236,10 +236,14 @@ object NilmDataset {
   def fromEvents(spark: SparkSession, sfDir: String): NilmDataset = {
     // persisted: the JSON-parsed frame feeds BOTH the readings and the
     // dimension (distinct) branches — one parse scan instead of two per
-    // facade query (get_json_object is regex-priced). Registered with
-    // graft.Caching — the caller releases after its terminal action.
+    // facade query. The shred itself is the native graft_json_long
+    // scanner (codegen'd, ~2× get_json_object's interpreted Jackson
+    // parse; parity property-tested in JsonLongKeySpec). Registered
+    // with graft.Caching — the caller releases after its terminal
+    // action.
+    graft.plans.GraftExtensions.register(spark)
     val ev = graft.Caching.persisted(graft.Tables.events(spark, sfDir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", expr("graft_json_long(props, 'k')"))
       .withColumn("channel_id",
         concat(col("event_type"), lit("_"), (col("k") % 2).cast("string"))))
     // second-truncated ts so distinct channels actually share timestamps

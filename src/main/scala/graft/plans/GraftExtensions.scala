@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, MinHashSig, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JsonLongKey, MinHashSig, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -89,6 +89,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 3, "graft_topk_str(score, id, k)")
         TopKByScoreStr(args.head, args(1), args(2)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_json_long"),
+      new ExpressionInfo(classOf[JsonLongKey].getName, "graft_json_long"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_json_long(json, key)")
+        JsonLongKey(args.head, args(1))
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -306,7 +306,8 @@ object NilmQueries {
     // suffix-stripped base label (OlaLoader.py:77-106 suffix_map).
     "q43_suffix_parse" -> ((s, d) => {
       import s.implicits._
-      val k = get_json_object($"props", "$.k").cast("long")
+      graft.plans.GraftExtensions.register(s)
+      val k = expr("graft_json_long(props, 'k')")
       val suffix = element_at(typedlit(Seq("W", "VA", "Q", "PF")),
         (k % 4 + 1).cast("int"))
       events(s, d)
