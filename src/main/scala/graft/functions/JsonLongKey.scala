@@ -50,11 +50,17 @@ case class JsonLongKey(left: Expression, right: Expression)
       k.asInstanceOf[UTF8String].toString)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (json, k) => s"""
-      Long __r = graft.functions.JsonLongKey.compute($json.toString(), $k.toString());
-      ${ev.isNull} = __r == null;
-      ${ev.value} = ${ev.isNull} ? -1L : __r.longValue();
-    """)
+    nullSafeCodeGen(ctx, ev, (json, k) => {
+      // fresh name: two instances of this expression in one generated
+      // function must not redeclare the same local (a collision fails
+      // janino compilation and silently drops the stage to interpreted)
+      val r = ctx.freshName("jsonLong")
+      s"""
+      Long $r = graft.functions.JsonLongKey.compute($json.toString(), $k.toString());
+      ${ev.isNull} = $r == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $r.longValue();
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JsonLongKey =

@@ -37,6 +37,17 @@ class JsonLongKeySpec extends SparkSpec {
     assert(c("""[1,2,3]""").isEmpty)
   }
 
+  test("two instances in one projection (distinct codegen locals)") {
+    val out = Seq((1L, """{"k":1,"z":2}"""), (2L, """{"z":5}"""))
+      .toDF("id", "j")
+      .select($"id",
+        call_function("graft_json_long", $"j", lit("k")).as("a"),
+        call_function("graft_json_long", $"j", lit("z")).as("b"))
+      .orderBy($"id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq((1L, Some(1L), Some(2L)), (2L, None, Some(5L))))
+  }
+
   test("property: parity with get_json_object(...)::long on random JSON") {
     val rnd = new scala.util.Random(17)
     def randString(): String =
