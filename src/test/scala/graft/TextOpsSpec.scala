@@ -326,6 +326,12 @@ class TextOpsSpec extends SparkSpec {
     // a doc with < 3 words is null in the native form (dropped by the
     // declarative explode) — both frames must omit it entirely
     assert(!native.keySet.exists(decl.keySet.diff(native.keySet).contains))
+    // null text propagates to a null struct (then filtered like the
+    // short docs), never a throw
+    val nullSig = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+      .select(call_function("graft_minhash_sig", $"text").isNull)
+      .as[Boolean].head()
+    assert(nullSig)
   }
 
   test("token counters: whitespace vs bpe-ish") {
