@@ -110,12 +110,17 @@ object TextOps {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** MinHash value j over an array of 28-bit shingle ids:
-    * min((a_j * x + b_j) mod P). Null on an empty shingle set. */
+    * min((a_j * x + b_j) mod P). Null on an empty shingle set.
+    * Declarative REFERENCE form (interpreted HOF) — production
+    * signatures come from the native `graft_minhash_sig` expression
+    * ([[graft.functions.MinHashSig]]); this stays as the independent
+    * formulation its parity tests check against. */
   def minhash(j: Int, ids: Column): Column =
     array_min(transform(ids, x =>
       (x * lit(hashA(j)) + lit(hashB(j))) % lit(MinhashPrime)))
 
-  /** The full signature as NumHashes columns m0..m{n-1}. */
+  /** The full signature as NumHashes columns m0..m{n-1} (reference
+    * form; see [[minhash]]). */
   def signatureCols(ids: Column): Seq[Column] =
     (0 until NumHashes).map(j => minhash(j, ids).as(s"m$j"))
 
