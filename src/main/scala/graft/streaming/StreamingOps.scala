@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.MqttSource
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -233,13 +233,33 @@ object StreamingOps {
     * requires one); duplicates seen before expiry REFRESH the TTL, so a
     * continuously re-crawled page stays deduped as long as it keeps
     * reappearing within the horizon. */
-  def dedupDocsExact(docs: DataFrame, ttlSeconds: Long): Dataset[DocEvent] = {
+  def dedupDocsExact(docs: DataFrame, ttlSeconds: Long): Dataset[DocEvent] =
+    dedupDocsByKey(docs, md5(col("text")), ttlSeconds)
+
+  /** Streaming NEAR-dup dedup: the [[dedupDocsExact]] stateful core
+    * keyed on the 60-bit SimHash signature
+    * ([[graft.functions.SimHash60]], a pure projection — safe in a
+    * streaming plan) instead of the content hash. Signature-equal
+    * documents collapse to their first occurrence within the TTL:
+    * SimHash is a bag-of-tokens vote, so token reorderings and
+    * vote-preserving edits dedup here that md5 keying would keep.
+    * (Banded Hamming≤3 matching — the batch q68 semantics — needs
+    * cross-band coordination that would chain two stateful operators;
+    * signature equality is the single-key streaming form.) */
+  def dedupDocsNear(docs: DataFrame, ttlSeconds: Long): Dataset[DocEvent] = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    dedupDocsByKey(docs, expr("graft_simhash(text)").cast("string"),
+      ttlSeconds)
+  }
+
+  private def dedupDocsByKey(docs: DataFrame, key: Column,
+                             ttlSeconds: Long): Dataset[DocEvent] = {
     implicit val ke = Encoders.STRING
     implicit val kde = Encoders.product[KeyedDoc]
     implicit val de = Encoders.product[DocEvent]
     implicit val se = Encoders.product[SeenState]
     docs
-      .select(md5(col("text")).as("key"), col("doc_id").cast("long"),
+      .select(key.as("key"), col("doc_id").cast("long"),
         col("ts"), col("text"))
       .as[KeyedDoc]
       .groupByKey(_.key)

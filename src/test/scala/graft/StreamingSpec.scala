@@ -321,4 +321,32 @@ class StreamingSpec extends SparkSpec {
         (6L, "ddd"), (8L, "eee"), (9L, "aaa")))
     } finally q.stop()
   }
+
+  test("dedupDocsNear: token-reordered docs collapse by simhash signature") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts_s", "text")
+      .select($"doc_id", timestamp_seconds($"ts_s").as("ts"), $"text")
+      .withWatermark("ts", "10 seconds")
+    val q = StreamingOps.dedupDocsNear(docs, ttlSeconds = 100L)
+      .writeStream.format("memory").queryName("mq_neardedup")
+      .outputMode("append").start()
+    try {
+      // SimHash is a bag-of-tokens vote: the reordered doc 2 has the
+      // SAME signature as doc 1 (md5 keying would keep both) and drops;
+      // doc 3's different bag survives
+      mem.addData((1L, 100L, "quick brown fox"),
+        (2L, 105L, "fox quick brown"),
+        (3L, 110L, "slow green turtle"))
+      q.processAllAvailable()
+      // cross-batch: another permutation still collapses
+      mem.addData((4L, 120L, "brown fox quick"))
+      q.processAllAvailable()
+      val got = spark.table("mq_neardedup")
+        .orderBy("ts").select($"doc_id", $"text")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "quick brown fox"), (3L, "slow green turtle")))
+    } finally q.stop()
+  }
 }
