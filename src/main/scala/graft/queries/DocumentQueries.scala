@@ -642,10 +642,20 @@ object DocumentQueries {
           .select($"doc_id", $"pos", $"__dup"))
       val gramStats = marked.groupBy($"doc_id")
         .agg(count(lit(1)).as("n_grams"), count($"__dup").as("n_dup_grams"))
+      // covered tokens = |∪ [pos, pos+k−1]| per doc, computed as an
+      // interval union over the sorted dup positions (each position
+      // contributes min(k, gap to the next)) — one keyed window instead
+      // of exploding k rows per dup gram + a distinct exchange; the
+      // oracle keeps its count(DISTINCT pos+ofs) formulation, an
+      // independent computation of the same number
+      val covW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
       val cov = marked.filter($"__dup".isNotNull)
-        .select($"doc_id", explode(sequence($"pos", $"pos" + (k - 1))).as("tp"))
-        .distinct()
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_cov"))
+        .withColumn("__nxt", lead($"pos", 1).over(covW))
+        .groupBy($"doc_id")
+        .agg(sum(when($"__nxt".isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), ($"__nxt" - $"pos").cast("long"))))
+          .as("n_cov"))
       val nw = documents(s, d)
         .select($"doc_id", size(TextOps.words($"text")).as("n_words"))
       gramStats.join(cov, Seq("doc_id"), "left").join(nw, Seq("doc_id"))
