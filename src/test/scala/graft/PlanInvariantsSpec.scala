@@ -149,4 +149,18 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan("q73_bloom_antijoin")
     assert(p.contains("graft_bloom"), p)
   }
+
+  test("q71 dup spans: interval-union coverage, no per-token explode") {
+    val p = plan("q71_dup_spans")
+    // coverage must come from the lead-window gap sum — the explode of
+    // sequence(pos, pos+k-1) + distinct shape is k rows per dup gram
+    assert(!p.contains("explode(sequence"), p)
+    assert(p.contains("lead(pos"), p)
+  }
+
+  test("q43 suffix parse: native JSON shred, no Jackson get_json_object") {
+    val p = plan("q43_suffix_parse")
+    assert(p.contains("graft_json_long"), p)
+    assert(!p.contains("get_json_object"), p)
+  }
 }
