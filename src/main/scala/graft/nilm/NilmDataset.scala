@@ -179,16 +179,21 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
     * (`channel_utils.py:10,36,53`) — a house only qualifies if every
     * required label still has a candidate after the type filter
     * (`channel_utils.py:75`, the `len(filtered)` check, which is what
-    * the division below computes). Returns one row per
+    * the division below computes). An EMPTY `requiredLabels` is the
+    * reference's `required_labels=None` form: every channel is a
+    * candidate and no house is excluded — best channel per
+    * (house, label) for all houses (`channel_utils.py:46,75` both
+    * guard on the set being provided). Returns one row per
     * (dataset, house_id, universal_label) with the winning channel_id,
     * its sample variance and row count. */
-  def commonChannels(requiredLabels: Seq[String],
+  def commonChannels(requiredLabels: Seq[String] = Nil,
                      requiredDataTypes: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val req = requiredLabels.map(_.toLowerCase)
     val types = requiredDataTypes.map(_.toLowerCase)
     val cand = channels
-      .filter(lower(col("universal_label")).isin(req: _*))
+      .filter(if (req.isEmpty) lit(true)
+              else lower(col("universal_label")).isin(req: _*))
       .filter(if (types.isEmpty) lit(true)
               else lower(col("data_type")).isin(types: _*))
     // per-channel score over the fact table — persisted: the score
@@ -204,18 +209,25 @@ final case class NilmDataset(readings: DataFrame, channels: DataFrame) {
       .groupBy("dataset", "house_id", "channel_id", "universal_label")
       .agg(variance(col("power")).as("variance"),
         count(lit(1)).as("n")))
-    // division: houses holding every required label
-    val eligible = scored
-      .groupBy("dataset", "house_id")
-      .agg(countDistinct(lower(col("universal_label"))).as("n_labels"))
-      .filter(col("n_labels") === req.size)
-      .select("dataset", "house_id")
-    val w = Window.partitionBy("dataset", "house_id", "universal_label")
-      .orderBy(col("variance").desc, col("n").desc, col("channel_id"))
-    scored.join(broadcast(eligible), Seq("dataset", "house_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk")
+    val ranked = {
+      val w = Window.partitionBy("dataset", "house_id", "universal_label")
+        .orderBy(col("variance").desc, col("n").desc, col("channel_id"))
+      val base =
+        if (req.isEmpty) scored // no-labels form: every house qualifies
+        else {
+          // division: houses holding every required label
+          val eligible = scored
+            .groupBy("dataset", "house_id")
+            .agg(countDistinct(lower(col("universal_label"))).as("n_labels"))
+            .filter(col("n_labels") === req.size)
+            .select("dataset", "house_id")
+          scored.join(broadcast(eligible), Seq("dataset", "house_id"))
+        }
+      base.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .drop("rk")
+    }
+    ranked
   }
 }
 

@@ -121,6 +121,17 @@ class TensorPrepSpec extends SparkSpec {
         .select($"house_id", $"channel_id").as[(Long, String)]
         .collect().toMap
       assert(active == Map(1L -> "ket_a"))
+      // required_labels=None form (channel_utils.py:46,75): every house
+      // kept, best per (house, label) over ALL channels — composes with
+      // the type filter
+      val all = ds.commonChannels()
+        .select($"house_id", $"channel_id").as[(Long, String)]
+        .collect().toMap
+      assert(all == Map(1L -> "ket_r", 2L -> "ket_r"))
+      val allActive = ds.commonChannels(requiredDataTypes = Seq("active"))
+        .select($"house_id", $"channel_id").as[(Long, String)]
+        .collect().toMap
+      assert(allActive == Map(1L -> "ket_a"))
     } finally Caching.release()
   }
 
