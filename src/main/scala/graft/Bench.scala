@@ -69,15 +69,21 @@ object Bench {
     // ratios untrustworthy); per-query spread is reported so a regression
     // can be told apart from sampling noise
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map { name =>
       val times = (1 to iters).map(_ => runOnce(name))
-      if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
-      else {
-        val sorted = times.sorted
-        name -> (sorted(sorted.length / 2), sorted.head, sorted.last)
-      }
+      val r =
+        if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
+        else {
+          val sorted = times.sorted
+          name -> (sorted(sorted.length / 2), sorted.head, sorted.last)
+        }
+      // incremental per-query record: even if the harness truncates the
+      // final lines, each median has already been emitted once
+      System.err.println(
+        s"""[bench] {"q":"$name","median":${f(r._2._1)},"min":${f(r._2._2)},"max":${f(r._2._3)}}""")
+      r
     }
-    def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, mn, mx)) =>
@@ -92,9 +98,15 @@ object Bench {
     val loadAfter = loadavg()
     val telemetry =
       s""""loadavg_before":[$loadBefore],"loadavg_after":[$loadAfter],"wall_sec":${f(wallSec)}"""
-    System.err.println(s"""{"metric":"spread_min_max","iters":$iters,$telemetry,"queries":$spread}""")
     val headline =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"iters":$iters,$telemetry,"sf":"$sfDir"}"""
+    // headline FIRST, on BOTH streams (round-7 verdict: the driver's
+    // tail capture lost q01–q05 off the headline's head; emitting it
+    // before the spread diagnostic and on stderr too means no single
+    // truncation window can eat every copy)
+    println(headline)
+    System.err.println(headline)
+    System.err.println(s"""{"metric":"spread_min_max","iters":$iters,$telemetry,"queries":$spread}""")
     // ALSO write the headline to a file: a harness that keeps only the
     // tail of stdout truncated the round-6 artifact mid-line (lost q01)
     try {
@@ -105,6 +117,8 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench_last.json: $t")
     }
+    // and once more as the very last line of stdout, so a pure
+    // keep-the-tail capture also ends on a complete headline
     println(headline)
     spark.stop()
   }

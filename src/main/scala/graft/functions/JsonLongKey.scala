@@ -42,21 +42,30 @@ case class JsonLongKey(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_json_long"
 
-  @transient private lazy val key: UTF8String =
-    right.eval().asInstanceOf[UTF8String]
+  /** The key is a foldable literal (enforced by checkInputDataTypes):
+    * convert it to a JVM String ONCE, not per row — both eval paths
+    * use this instead of re-running UTF8String.toString() per row.
+    * Null-literal keys never reach either path (nullSafeEval /
+    * nullSafeCodeGen short-circuit on a null child), so the "" stand-in
+    * is dead code that only keeps the reference non-null. */
+  @transient private lazy val keyString: String =
+    Option(right.eval()).map(_.toString).getOrElse("")
 
   override def nullSafeEval(json: Any, k: Any): Any =
-    JsonLongKey.compute(json.asInstanceOf[UTF8String].toString,
-      k.asInstanceOf[UTF8String].toString)
+    JsonLongKey.compute(json.asInstanceOf[UTF8String].toString, keyString)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (json, k) => {
+    nullSafeCodeGen(ctx, ev, (json, _) => {
       // fresh name: two instances of this expression in one generated
       // function must not redeclare the same local (a collision fails
       // janino compilation and silently drops the stage to interpreted)
       val r = ctx.freshName("jsonLong")
+      // hoist the key's UTF8String→String conversion out of the
+      // per-row loop: the literal is pre-converted on the driver and
+      // shipped as a generated-class reference object
+      val keyRef = ctx.addReferenceObj("graftJsonKey", keyString, "java.lang.String")
       s"""
-      Long $r = graft.functions.JsonLongKey.compute($json.toString(), $k.toString());
+      Long $r = graft.functions.JsonLongKey.compute($json.toString(), $keyRef);
       ${ev.isNull} = $r == null;
       ${ev.value} = ${ev.isNull} ? -1L : $r.longValue();
       """
@@ -163,7 +172,12 @@ object JsonLongKey {
     }
   }
 
-  /** Bare or quoted integer → Long; anything else → null. */
+  /** Bare or quoted integer → Long; anything else → null. Accumulates
+    * in NEGATIVE space (|Long.MinValue| > Long.MaxValue, so
+    * -9223372036854775808 parses without an intermediate overflow) and
+    * returns null on magnitudes beyond Long range — matching the
+    * non-ANSI `get_json_object(...).cast("long")` this expression
+    * replaces, which yields null rather than a wrapped value. */
   private def parseLongValue(s: String, from: Int): java.lang.Long = {
     var i = from
     val n = s.length
@@ -173,9 +187,13 @@ object JsonLongKey {
     var neg = false
     if (i < n && s.charAt(i) == '-') { neg = true; i += 1 }
     if (i >= n || !Character.isDigit(s.charAt(i))) return null
-    var v = 0L
+    var v = 0L // accumulated as -(magnitude)
     while (i < n && Character.isDigit(s.charAt(i))) {
-      v = v * 10 + (s.charAt(i) - '0')
+      val d = s.charAt(i) - '0'
+      // overflow guard BEFORE each step: v*10 - d must stay >= Long.MinValue
+      if (v < Long.MinValue / 10 ||
+        (v == Long.MinValue / 10 && d > -(Long.MinValue % 10))) return null
+      v = v * 10 - d
       i += 1
     }
     if (quoted) {
@@ -186,6 +204,8 @@ object JsonLongKey {
     // integer — null rather than a truncated number
     if (i < n && s.charAt(i) != ',' && s.charAt(i) != '}' &&
       !Character.isWhitespace(s.charAt(i))) return null
-    java.lang.Long.valueOf(if (neg) -v else v)
+    if (neg) java.lang.Long.valueOf(v)
+    else if (v == Long.MinValue) null // +9223372036854775808 overflows
+    else java.lang.Long.valueOf(-v)
   }
 }

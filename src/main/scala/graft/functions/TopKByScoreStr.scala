@@ -43,8 +43,19 @@ case class TopKByScoreStr(scoreExpr: Expression, idExpr: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (scoreExpr.dataType, idExpr.dataType) match {
       case (DoubleType, StringType) =>
-        if (kExpr.foldable && k > 0) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("k must be a positive literal")
+        // validate k's TYPE before evaluating it: a foldable
+        // non-integer literal ('3', 1.5, null) must fail analysis with
+        // a TypeCheckFailure, not a ClassCastException/NPE from the
+        // lazy `k` cast (round-7 advice)
+        kExpr.dataType match {
+          case IntegerType | LongType if kExpr.foldable =>
+            if (kExpr.eval() != null && k > 0) TypeCheckResult.TypeCheckSuccess
+            else TypeCheckResult.TypeCheckFailure(
+              "k must be a positive non-null integer literal")
+          case _ => TypeCheckResult.TypeCheckFailure(
+            s"k must be a foldable int/bigint literal, got " +
+              kExpr.dataType.simpleString)
+        }
       case (s, i) => TypeCheckResult.TypeCheckFailure(
         s"graft_topk_str expects (double, string, int), got " +
           s"(${s.simpleString}, ${i.simpleString})")

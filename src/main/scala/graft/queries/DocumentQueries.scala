@@ -134,7 +134,14 @@ object DocumentQueries {
     // sums it replaces shuffled one row per TOKEN (parity-tested in
     // NativeAggSpec; ~3× at sf0.1, unbounded at scale)
     graft.plans.GraftExtensions.register(s)
+    // null-text docs are DROPPED, pinning one of three historically
+    // divergent behaviors (round-7 advice): the native expr would keep
+    // them with a null simhash, the old explode form dropped them, and
+    // the DuckDB oracle's list arithmetic yields 0 — the generated
+    // corpus has no null text today, but a future data change must not
+    // silently diverge from the oracle
     documents(s, d)
+      .filter($"text".isNotNull)
       .select($"doc_id", expr("graft_simhash(text)").as("simhash"))
   }
 

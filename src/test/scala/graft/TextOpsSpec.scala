@@ -150,6 +150,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_topk / graft_topk_str reject malformed k at analysis") {
+    // round-7 advice: a foldable NON-numeric or null k must surface as
+    // an AnalysisException (TypeCheckFailure), not a ClassCastException
+    // or NPE thrown from inside the analyzer
+    val df = Seq((1.0, 1L, "a")).toDF("score", "id", "term")
+    def analyzed(c: org.apache.spark.sql.Column): Unit =
+      df.groupBy().agg(c).queryExecution.analyzed
+    for (bad <- Seq(lit("3"), lit(1.5), lit(null),
+        lit(null).cast("int"), lit(0), lit(-2))) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        analyzed(call_function("graft_topk", $"score", $"id", bad))
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        analyzed(call_function("graft_topk_str", $"score", $"term", bad))
+      }
+    }
+    // bigint k is fine (column-literal promotion)
+    analyzed(call_function("graft_topk", $"score", $"id", lit(3L)))
+    analyzed(call_function("graft_topk_str", $"score", $"term", lit(3L)))
+  }
+
   test("dot / l2norm / cosine basics") {
     val out = Seq((Seq(1.0, 2.0, 2.0), Seq(1.0, 2.0, 2.0)),
         (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)))
