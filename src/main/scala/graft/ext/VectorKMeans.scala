@@ -30,25 +30,38 @@ object VectorKMeans {
   final case class Model(centroids: Array[(Int, Array[Double])]) {
     def k: Int = centroids.length
 
-    /** Column expr: squared L2 distance from `emb` to centroid `c`. */
-    private def dist2(emb: Column, c: Array[Double]): Column =
-      c.zipWithIndex.map { case (v, i) =>
-        val d = element_at(emb, i + 1) - lit(v)
-        d * d
-      }.reduce(_ + _)
+    /** The centroid matrix as ONE plan literal (array<array<double>>)
+      * for the native expression — not k×dim unrolled nodes. */
+    private def centroidLit: Column =
+      typedlit(centroids.map(_._2.toSeq).toSeq)
 
-    /** Nearest-centroid id for each row — broadcast-free codegen'd
-      * expression (the centroids are plan literals). */
-    def assignExpr(emb: Column): Column = {
-      val scored = centroids.map { case (cid, c) =>
-        struct(dist2(emb, c).as("d"), lit(cid).as("c"))
-      }
-      array_min(array(scored: _*))("c")
+    /** `struct<cluster:int, dist2:double>` of the nearest centroid —
+      * one native codegen'd expression
+      * ([[graft.functions.NearestCentroid]]); the old unrolled
+      * `element_at(emb,i) - lit(v)` chain was O(k·dim) plan nodes and
+      * fell out of codegen past the 64 KB method limit at IVF-realistic
+      * k (round-7 verdict). Caller must have run
+      * [[graft.plans.GraftExtensions.register]] on the session
+      * ([[assign]] / [[cost]] do it for you). */
+    def nearestExpr(emb: Column): Column = {
+      // native expr indexes centroids by POSITION; translate to the
+      // model's cid only when they differ (init/fit build cid == index)
+      val near = call_function("graft_nearest_centroid", emb, centroidLit)
+      if (centroids.zipWithIndex.forall { case ((cid, _), i) => cid == i }) near
+      else struct(
+        element_at(typedlit(centroids.map(_._1).toSeq), near("cluster") + 1)
+          .as("cluster"),
+        near("dist2").as("dist2"))
     }
 
+    /** Nearest-centroid id for each row (see [[nearestExpr]]). */
+    def assignExpr(emb: Column): Column = nearestExpr(emb)("cluster")
+
     /** Adds `cluster` to `df`. */
-    def assign(df: DataFrame, embCol: String): DataFrame =
+    def assign(df: DataFrame, embCol: String): DataFrame = {
+      graft.plans.GraftExtensions.register(df.sparkSession)
       df.withColumn("cluster", assignExpr(col(embCol)))
+    }
   }
 
   /** Deterministic init: k distinct vectors with smallest md5(id). */
@@ -88,15 +101,12 @@ object VectorKMeans {
     model
   }
 
-  /** Within-cluster sum of squared distances (convergence metric). */
+  /** Within-cluster sum of squared distances (convergence metric) —
+    * the `dist2` half of the same one-pass native expression
+    * [[Model.nearestExpr]] uses for assignment. */
   def cost(model: Model, df: DataFrame, embCol: String): Double = {
-    val scored = model.centroids.map { case (_, c) =>
-      c.zipWithIndex.map { case (v, i) =>
-        val d = element_at(col(embCol), i + 1) - lit(v)
-        d * d
-      }.reduce(_ + _)
-    }
-    df.select(least(scored.toIndexedSeq: _*).as("d"))
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(model.nearestExpr(col(embCol))("dist2").as("d"))
       .agg(sum(col("d"))).collect()(0).getDouble(0)
   }
 }

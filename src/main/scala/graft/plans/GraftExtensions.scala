@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JsonLongKey, MinHashSig, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JsonLongKey, MinHashSig, NearestCentroid, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -95,6 +95,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_json_long(json, key)")
         JsonLongKey(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_nearest_centroid(emb, centroids)")
+        NearestCentroid(args.head, args(1))
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -326,8 +326,28 @@ object NilmQueries {
             .when($"sensor_label".endsWith("_Q"), "VA")
             .otherwise("unitless"))
         .orderBy($"event_id")
+    }),
+
+    // A14's closing step (insights_oladatasets.ipynb cell 3, the last
+    // reference behavior without a counterpart through round 7):
+    // minute-binned per-device means with zeros nulled → pairwise
+    // Pearson matrix in ONE aggregate pass → distance 1−corr →
+    // average-linkage agglomerative clustering cut at 0.8 → one
+    // cluster label per device. Spark owns everything data-sized; the
+    // k×k linkage runs driver-side (k = 5 devices). The oracle
+    // replays the identical greedy merge sequence as unrolled
+    // MATERIALIZED CTEs (k−1 = 4 steps bound it).
+    "q80_corr_cluster" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.CorrCluster.deviceClusters(s, events(s, d), $"ts",
+          CorrDevices, t => when($"event_type" === t, $"value"),
+          threshold = 0.8)
+        .orderBy($"cluster_id", $"device")
     })
   )
+
+  /** The five event types playing the device role in q44/q80. */
+  private val CorrDevices = Seq("click", "error", "purchase", "signup", "view")
 
   /** Raw-label pool for q34 — indexed by p_partkey % size; entries
     * chosen to hit every mapping tier (see q34 doc). */
@@ -352,7 +372,63 @@ object NilmQueries {
   private val poolSql =
     LabelPool.map(s => s"'${s.replace("'", "''")}'").mkString("[", ", ", "]")
 
+  /** q80's oracle: the full insights-cell-3 pipeline in DuckDB — corr
+    * matrix from scratch, then the SAME deterministic greedy
+    * average-linkage merge sequence [[graft.ext.CorrCluster]] runs,
+    * unrolled into k−1 = 4 merge steps (5 devices can merge at most 4
+    * times). Every CTE is MATERIALIZED: the steps reference their
+    * predecessor ~5× each, and DuckDB's default CTE inlining would
+    * re-expand the corr aggregate exponentially. Cluster distances are
+    * rounded to 9 decimals on BOTH sides so float-sum-order noise
+    * can't flip a merge decision; a cluster's label is its smallest
+    * member device, making ids engine-independent. */
+  private def q80OracleSql: String = {
+    val types = CorrDevices
+    val pairs = for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j))
+    val binnedCols = types.map(t =>
+      s"NULLIF(avg(CASE WHEN event_type='$t' THEN value END), 0) AS $t")
+      .mkString(", ")
+    val corrCols = pairs.map { case (a, b) =>
+      s"least(greatest(round(coalesce(corr($a, $b), 0), 4), -1), 1) AS ${a}__$b"
+    }.mkString(", ")
+    val distRows = pairs.map { case (a, b) =>
+      val d = s"greatest(1 - ${a}__$b, 0)"
+      s"SELECT '$a' AS da, '$b' AS db, $d AS d FROM corrm " +
+        s"UNION ALL SELECT '$b', '$a', $d FROM corrm"
+    }.mkString(" UNION ALL ")
+    val it0 = types.map(t => s"('$t','$t')")
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(device, cluster)")
+    val merges = (1 until types.size).map { i =>
+      s""", m$i AS MATERIALIZED (
+           SELECT c1, c2 FROM (
+             SELECT a.cluster AS c1, b.cluster AS c2,
+                    round(avg(dm.d), 9) AS ad
+             FROM it${i - 1} a JOIN it${i - 1} b ON a.cluster < b.cluster
+             JOIN dist dm ON dm.da = a.device AND dm.db = b.device
+             GROUP BY 1, 2)
+           WHERE ad <= 0.8 ORDER BY ad, c1, c2 LIMIT 1),
+         it$i AS MATERIALIZED (
+           SELECT d.device,
+             CASE WHEN d.cluster = (SELECT c2 FROM m$i)
+                  THEN (SELECT c1 FROM m$i) ELSE d.cluster END AS cluster
+           FROM it${i - 1} d)"""
+    }.mkString
+    s"""WITH binned AS MATERIALIZED (
+         SELECT date_trunc('minute', ts) AS m, $binnedCols
+         FROM events GROUP BY 1),
+       corrm AS MATERIALIZED (SELECT $corrCols FROM binned),
+       dist AS MATERIALIZED ($distRows),
+       it0 AS MATERIALIZED ($it0)$merges
+       SELECT device,
+         CAST(dense_rank() OVER (ORDER BY cluster) AS BIGINT) AS cluster_id
+       FROM it${types.size - 1} ORDER BY cluster_id, device"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q80_corr_cluster" -> q80OracleSql,
+
     "q22_min_duration" ->
       """WITH st AS (SELECT event_id, user_id, ts,
            CASE WHEN value >= 10.0 THEN 1 ELSE 0 END state FROM events),
