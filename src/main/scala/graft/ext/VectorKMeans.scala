@@ -76,9 +76,23 @@ object VectorKMeans {
     })
   }
 
-  /** `iters` Lloyd rounds from the deterministic init. */
+  /** `iters` Lloyd rounds from the deterministic init.
+    *
+    * `quantize`: round every updated centroid component half-up to
+    * that many decimals after each round. Distributed double sums
+    * merge in shuffle-arrival order, so unquantized means carry
+    * run-to-run ulp-level noise; quantizing after every round pins
+    * the whole iteration trajectory, making fitted centroids
+    * REPRODUCIBLE across runs — the property that lets q50's oracle
+    * mirror them as literals. At 1e-6 on unit-scale embeddings the
+    * quantization is far below any cell-quality effect. */
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
-          iters: Int): Model = {
+          iters: Int, quantize: Option[Int] = None): Model = {
+    def q(v: Double): Double = quantize match {
+      case Some(s) =>
+        BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      case None => v
+    }
     var model = init(df, idCol, embCol, k)
     for (_ <- 0 until iters) {
       val assigned = model.assign(df, embCol)
@@ -92,7 +106,7 @@ object VectorKMeans {
           e => e("__m")).as("centroid"))
         .collect()
         .map(r => r.getInt(0) ->
-          r.getSeq[Double](1).toArray)
+          r.getSeq[Double](1).map(q).toArray)
         .toMap
       model = Model(model.centroids.map { case (cid, prev) =>
         cid -> means.getOrElse(cid, prev) // empty cluster keeps centroid

@@ -128,6 +128,49 @@ class VectorKMeansSpec extends SparkSpec {
     }
   }
 
+  test("fitted centroids beat the first-k stand-in (q50's centroid swap)") {
+    // clumpy corpus whose FIRST 8 vectors all sit in one clump — the
+    // adversarial case for the old vec_id<8 stand-in q50 used: all 8
+    // stand-in centroids land in clump 0, so whole far clumps collapse
+    // into single cells. The fitted model must spread cells (lower max
+    // cell share) and cut within-cell variance (lower k-means cost).
+    val rnd = new scala.util.Random(13)
+    val clumps = Array.fill(8)(Array.fill(16)(rnd.nextDouble() * 10 - 5))
+    val rows = (0 until 240).map { i =>
+      val c = if (i < 8) 0 else i % 8
+      (i.toLong, clumps(c).map(v => v + rnd.nextGaussian() * 0.2).toSeq)
+    }
+    val df = rows.toDF("vec_id", "emb")
+    val standin = VectorKMeans.Model(
+      rows.take(8).map { case (id, e) => id.toInt -> e.toArray }.toArray)
+    val fitted = VectorKMeans.fit(df, "vec_id", "emb", k = 8, iters = 3,
+      quantize = Some(6))
+    def maxCellFrac(m: VectorKMeans.Model): Double = {
+      val counts = m.assign(df, "emb").groupBy($"cluster").count()
+        .select($"count").as[Long].collect()
+      counts.max.toDouble / rows.size
+    }
+    assert(maxCellFrac(fitted) < maxCellFrac(standin),
+      s"fitted ${maxCellFrac(fitted)} vs standin ${maxCellFrac(standin)}")
+    assert(VectorKMeans.cost(fitted, df, "emb") <
+      VectorKMeans.cost(standin, df, "emb") / 2)
+  }
+
+  test("quantized fit is reproducible") {
+    // the property q50's oracle depends on: with quantize set, two
+    // fits of the same data produce bit-identical centroids (see
+    // VectorKMeans.fit scaladoc on distributed-sum ulp noise)
+    val df = blobs
+    val a = VectorKMeans.fit(df, "vec_id", "emb", k = 3, iters = 3,
+      quantize = Some(6))
+    val b = VectorKMeans.fit(df, "vec_id", "emb", k = 3, iters = 3,
+      quantize = Some(6))
+    assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+    // and every component sits exactly on the 1e-6 grid
+    assert(a.centroids.flatMap(_._2).forall(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == v))
+  }
+
   test("init is deterministic") {
     val a = VectorKMeans.init(blobs, "vec_id", "emb", 3)
     val b = VectorKMeans.init(blobs, "vec_id", "emb", 3)
