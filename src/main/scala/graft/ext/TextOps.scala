@@ -240,12 +240,28 @@ object TextOps {
     * exploded index (that double-join cost 2.5× this formulation).
     *
     * Output: (a_id, b_id, jaccard DOUBLE) with a_id < b_id. */
+  /** `maxShingleDf`: opt-in hot-shingle prune for web-scale corpora.
+    * Shingles whose document frequency exceeds the ceiling are dropped
+    * from CANDIDATE GENERATION only (verification still computes exact
+    * Jaccard over the full sets). The df-ASC prefix ordering already
+    * keeps hot shingles out of most prefixes; the ceiling additionally
+    * bounds the worst case — candidate volume grows as Σ df(shingle)²
+    * over indexed shingles, and at 100 TB of web text a boilerplate
+    * shingle shared by 10⁹ documents must not be indexable even from
+    * the shortest documents' prefixes. RECALL CAVEAT: a pair whose
+    * prefix overlap consists ONLY of shingles above the ceiling
+    * produces no candidate and is silently missed — sound for
+    * boilerplate-dominated collisions (which are overwhelmingly false
+    * positives at any useful threshold), but lossy in principle; leave
+    * unset where exactness matters (the sf0.1 oracle corpus measured
+    * net-negative for the prune, so q26 runs without it). */
   def jaccardPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, tNum: Int, tDen: Int,
-                   k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
+                   k: Int = ShingleK,
+                   maxShingleDf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val sets = shingleSets(docs, idCol, textCol, k)
-    val cand = prefixCandidates(sets, idCol, tNum, tDen)
+    val cand = prefixCandidates(sets, idCol, tNum, tDen, maxShingleDf)
     val inter = size(array_intersect(col("za.__sh"), col("zb.__sh"))).cast("double")
     cand
       .join(sets.as("za"), col("a_id") === col(s"za.$idCol"))
@@ -273,6 +289,7 @@ object TextOps {
           .as("__all"))
         .select(col(idCol),
           transform(col("__all"), e => e("shingle")).as("__sh"),
+          transform(col("__all"), e => e("__df")).as("__dfs"),
           size(col("__all")).as("__n")))
   }
 
@@ -281,8 +298,8 @@ object TextOps {
     * candidate-count bound is directly testable (TextOpsSpec's Zipfian
     * fixture: hot shingles must not generate candidates). */
   private[graft] def prefixCandidates(sets: org.apache.spark.sql.DataFrame,
-                                      idCol: String, tNum: Int,
-                                      tDen: Int): org.apache.spark.sql.DataFrame = {
+                                      idCol: String, tNum: Int, tDen: Int,
+                                      maxShingleDf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     // prefix length p = n - ceil(t*n) + 1, in exact integer arithmetic:
     // ceil(tNum*n/tDen) = (tNum*n + tDen - 1) DIV tDen. Column `/` is
     // double division; floor() of it is exact here (the true quotient
@@ -291,8 +308,20 @@ object TextOps {
     val n = col("__n")
     val ceilT = floor((n * tNum + lit(tDen - 1)) / lit(tDen.toDouble)).cast("int")
     val prefixLen = (n - ceilT + lit(1)).cast("int")
-    val prefix = sets.select(col(idCol),
-      explode(slice(col("__sh"), lit(1), prefixLen)).as("shingle"))
+    val prefix = maxShingleDf match {
+      case None =>
+        sets.select(col(idCol),
+          explode(slice(col("__sh"), lit(1), prefixLen)).as("shingle"))
+      case Some(ceil) =>
+        // hot-shingle prune (see jaccardPairs): dfs ride along sorted
+        // parallel to __sh, so the ceiling filters the exploded prefix
+        // without re-deriving document frequencies
+        sets.select(col(idCol), col("__dfs"),
+            posexplode(slice(col("__sh"), lit(1), prefixLen))
+              .as(Seq("__p", "shingle")))
+          .filter(element_at(col("__dfs"), col("__p") + 1) <= ceil)
+          .select(col(idCol), col("shingle"))
+    }
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") &&

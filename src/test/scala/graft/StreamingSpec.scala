@@ -349,4 +349,51 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq((1L, "quick brown fox"), (3L, "slow green turtle")))
     } finally q.stop()
   }
+
+  test("dedupDocsNear matches the batch simhash keep-first on random docs") {
+    // round-7 verdict #6: prove the streaming near-dup path equivalent
+    // to the batch SimHash dedup on the same inputs — same keep set,
+    // same drop set. Docs draw from a 5-token pool at lengths 1-3, so
+    // bag-of-tokens signature collisions (including reorderings) are
+    // dense; event time ascends and the TTL outlives the run, so the
+    // streaming first-wins rule coincides with the batch
+    // min-(ts, doc_id)-per-signature rule.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val pool = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val rows = (0 until 60).map { i =>
+      val text = Seq.fill(1 + rnd.nextInt(3))(pool(rnd.nextInt(pool.size)))
+        .mkString(" ")
+      (i.toLong, 100L + i, text)
+    }
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts_s", "text")
+      .select($"doc_id", timestamp_seconds($"ts_s").as("ts"), $"text")
+      .withWatermark("ts", "10 seconds")
+    val q = StreamingOps.dedupDocsNear(docs, ttlSeconds = 100000L)
+      .writeStream.format("memory").queryName("mq_neardedup_eq")
+      .outputMode("append").start()
+    try {
+      // three micro-batches in event-time order
+      rows.grouped(20).foreach { batch =>
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("mq_neardedup_eq")
+        .select($"doc_id").as[Long].collect().toSet
+      // batch reference: keep min (ts, doc_id) per simhash signature
+      graft.plans.GraftExtensions.register(spark)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(expr("graft_simhash(text)"))
+        .orderBy($"ts", $"doc_id")
+      val want = rows.toDF("doc_id", "ts_s", "text")
+        .select($"doc_id", timestamp_seconds($"ts_s").as("ts"), $"text")
+        .withColumn("__rn", row_number().over(w))
+        .filter($"__rn" === 1)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(want.size < rows.size, "fixture must contain duplicates")
+      assert(got == want)
+    } finally q.stop()
+  }
 }

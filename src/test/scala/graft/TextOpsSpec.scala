@@ -150,6 +150,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup: all-equal scores rank purely by id, incl. skewed groups") {
+    // adversarial tie case (round-7 verdict #7): every score equal, so
+    // the ENTIRE ranking is the id tiebreak, across partial-aggregate
+    // merges; one group is 25x the others to exercise skewed partials
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0L until 4L).flatMap { g =>
+      val n = if (g == 0) 500 else 20
+      // ids inserted in a scrambled order so heap eviction order != id order
+      (0 until n).map(i => (g, ((i * 37) % n).toLong, 1.0))
+    }
+    val df = rows.toDF("grp", "id", "score").repartition(7)
+    for (k <- Seq(1, 5, 20, 500)) {
+      val viaAgg = TextOps.topKPerGroup(df, Seq("grp"), $"score", $"id", k)
+        .select($"grp", $"id", $"rank")
+        .as[(Long, Long, Long)].collect().toSet
+      val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id")
+      val viaWindow = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"grp", $"id", $"rank")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaAgg == viaWindow, s"k=$k")
+    }
+  }
+
   test("graft_topk / graft_topk_str reject malformed k at analysis") {
     // round-7 advice: a foldable NON-numeric or null k must surface as
     // an AnalysisException (TypeCheckFailure), not a ClassCastException
@@ -280,6 +305,47 @@ class TextOpsSpec extends SparkSpec {
     Caching.release()
     assert(pairs.map(p => (p._1, p._2)) == Seq((41L, 42L)))
     assert(math.abs(pairs.head._3 - 13.0 / 15) < 1e-12)
+  }
+
+  test("jaccard hot-shingle prune: candidates collapse, recall holds") {
+    // SHORT docs defeat the pure prefix filter: 7 words -> 5 shingles,
+    // prefix length at t=4/5 is 2, so each doc indexes its unique
+    // shingle AND one df=D boilerplate shingle -> the D short docs all
+    // collide there (C(D,2) candidates, all verify-rejected at
+    // jaccard 4/6). Two longer docs are true near-dups via rare
+    // shingles. The df ceiling must kill the hot collisions without
+    // touching the true pair.
+    val d = 40
+    val docs = ((1 to d).map(i =>
+      (i.toLong, s"the quick brown fox jumps over u$i")) ++ Seq(
+      (d + 1L, "the quick brown fox jumps over " +
+        (1 to 9).map(j => s"dup$j").mkString(" ") + " tail1"),
+      (d + 2L, "the quick brown fox jumps over " +
+        (1 to 9).map(j => s"dup$j").mkString(" ") + " tail2")))
+      .toDF("doc_id", "text")
+    def cands(ceil: Option[Long]) = {
+      val c = TextOps.prefixCandidates(
+        TextOps.shingleSets(docs, "doc_id", "text", 3), "doc_id", 4, 5, ceil)
+        .count()
+      Caching.release()
+      c
+    }
+    val unpruned = cands(None)
+    val pruned = cands(Some(10L))
+    assert(unpruned >= d.toLong * (d - 1) / 2, s"fixture must blow up: $unpruned")
+    assert(pruned < 5, s"ceiling must collapse hot collisions: $pruned")
+    // recall at the tested threshold is unchanged: the one true pair
+    // survives (its candidates come from rare shingles), and the
+    // verified output is identical with and without the prune
+    def result(ceil: Option[Long]) = {
+      val r = TextOps.jaccardPairs(docs, "doc_id", "text", 4, 5,
+        maxShingleDf = ceil).as[(Long, Long, Double)].collect().toSet
+      Caching.release()
+      r
+    }
+    val exact = result(None)
+    assert(exact.map(p => (p._1, p._2)) == Set((41L, 42L)))
+    assert(result(Some(10L)) == exact)
   }
 
   test("graft_simhash equals the declarative explode + vote formulation") {
