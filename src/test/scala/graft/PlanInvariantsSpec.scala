@@ -150,6 +150,34 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("graft_bloom"), p)
   }
 
+  test("q80 corr input: one fact scan, two aggregates, no window") {
+    // the Spark half of the corr-clustering split: minute binning is
+    // one hash exchange, the k(k-1)/2-corr matrix is ONE global
+    // aggregate pass — no per-pair rescans, no window, and only the
+    // single 1-row corr result ever reaches the driver-side linkage
+    import org.apache.spark.sql.functions.{col, when}
+    val devices = Seq("click", "error", "purchase", "signup", "view")
+    val corr = graft.ext.CorrCluster.corrUpper(
+      graft.ext.CorrCluster.minuteBinned(Tables.events(spark, sf), col("ts"),
+        devices, t => when(col("event_type") === t, col("value"))), devices)
+    val p = corr.queryExecution.executedPlan.toString
+    assert(countOf(p, "FileScan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q50 fitted centroids ride as a broadcast local relation") {
+    // the centroid side must be a literal-backed LocalTableScan fed to
+    // a broadcast — never a second scan/shuffle of embeddings — and
+    // cell/probe ranking stays on the bounded graft_topk aggregate
+    val p = plan("q50_ivf_ann")
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q71 dup spans: interval-union coverage, no per-token explode") {
     val p = plan("q71_dup_spans")
     // coverage must come from the lead-window gap sum — the explode of
