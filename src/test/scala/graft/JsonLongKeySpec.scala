@@ -46,14 +46,26 @@ class JsonLongKeySpec extends SparkSpec {
   }
 
   test("two instances in one projection (distinct codegen locals)") {
-    val out = Seq((1L, """{"k":1,"z":2}"""), (2L, """{"z":5}"""))
-      .toDF("id", "j")
-      .select($"id",
-        call_function("graft_json_long", $"j", lit("k")).as("a"),
-        call_function("graft_json_long", $"j", lit("z")).as("b"))
-      .orderBy($"id")
-      .as[(Long, Option[Long], Option[Long])].collect().toSeq
-    assert(out == Seq((1L, Some(1L), Some(2L)), (2L, None, Some(5L))))
+    // codegen fallback DISABLED: if the generated code (incl. the
+    // hoisted key reference object) failed janino compilation, this
+    // would throw instead of silently running interpreted
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = Seq((1L, """{"k":1,"z":2}"""), (2L, """{"z":5}"""))
+        .toDF("id", "j")
+        .select($"id",
+          call_function("graft_json_long", $"j", lit("k")).as("a"),
+          call_function("graft_json_long", $"j", lit("z")).as("b"))
+        .orderBy($"id")
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq
+      assert(out == Seq((1L, Some(1L), Some(2L)), (2L, None, Some(5L))))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
   }
 
   test("fuzz: arbitrary garbage never throws (hand-written scanner)") {
