@@ -69,9 +69,15 @@ object Bench {
     // ratios untrustworthy); per-query spread is reported so a regression
     // can be told apart from sampling noise
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    // Interleave mode (A/B methodology): iterate round-robin across the
+    // selected queries instead of per-query blocks, so slow host-load
+    // drift over the minutes of a run hits every query's samples equally
+    // rather than biasing whichever query ran last. Use for within-run
+    // comparisons between queries; block mode stays the default so the
+    // per-round headline keeps its historical shape.
+    val interleave = sys.env.get("SPARK_GRAFT_BENCH_INTERLEAVE").contains("1")
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val results = names.map { name =>
-      val times = (1 to iters).map(_ => runOnce(name))
+    def summarize(name: String, times: Seq[Double]) = {
       val r =
         if (times.contains(-1.0)) name -> (-1.0, -1.0, -1.0)
         else {
@@ -84,6 +90,11 @@ object Bench {
         s"""[bench] {"q":"$name","median":${f(r._2._1)},"min":${f(r._2._2)},"max":${f(r._2._3)}}""")
       r
     }
+    val results =
+      if (interleave) {
+        val samples = (1 to iters).map(_ => names.map(n => n -> runOnce(n)))
+        names.map(n => summarize(n, samples.map(_.toMap.apply(n))))
+      } else names.map(name => summarize(name, (1 to iters).map(_ => runOnce(name))))
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, mn, mx)) =>

@@ -117,6 +117,30 @@ object CorrCluster {
     binned.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Shared driver step for [[deviceClusters]] / [[deviceOrderedMatrix]]:
+    * ONE collect of the k(k−1)/2 corr aggregates → (sorted devices,
+    * upper-triangle corr map, cluster assignment). */
+  private def clusteredCorr(df: DataFrame, ts: Column, devices: Seq[String],
+                            deviceValue: String => Column, threshold: Double)
+      : (IndexedSeq[String], Map[(String, String), Double], Seq[(String, Int)]) = {
+    val sorted = devices.sorted.toIndexedSeq
+    val corrRow = corrUpper(minuteBinned(df, ts, sorted, deviceValue), sorted)
+      .collect()(0) // ONE row of k(k-1)/2 doubles — driver-discipline
+    val k = sorted.size
+    val dist = Array.ofDim[Double](k, k)
+    val corrMap = Map.newBuilder[(String, String), Double]
+    var idx = 0
+    for (i <- 0 until k; j <- (i + 1) until k) {
+      val c = if (corrRow.isNullAt(idx)) 0.0 else corrRow.getDouble(idx)
+      corrMap += (sorted(i), sorted(j)) -> c
+      val d = math.max(1.0 - c, 0.0)
+      dist(i)(j) = d
+      dist(j)(i) = d
+      idx += 1
+    }
+    (sorted, corrMap.result(), averageLinkage(sorted, dist, threshold))
+  }
+
   /** End-to-end device clustering over an events-shaped frame: binned
     * corr (Spark) → distance 1−corr clipped ≥0 → driver-side average
     * linkage → (device, cluster_id) rows, ordered (cluster_id, device).
@@ -124,25 +148,37 @@ object CorrCluster {
   def deviceClusters(spark: SparkSession, df: DataFrame, ts: Column,
                      devices: Seq[String], deviceValue: String => Column,
                      threshold: Double): DataFrame = {
-    val sorted = devices.sorted
-    val corrRow = corrUpper(minuteBinned(df, ts, sorted, deviceValue), sorted)
-      .collect()(0) // ONE row of k(k-1)/2 doubles — driver-discipline
-    val k = sorted.size
-    val dist = Array.ofDim[Double](k, k)
-    var idx = 0
-    for (i <- 0 until k; j <- (i + 1) until k) {
-      val c = if (corrRow.isNullAt(idx)) 0.0 else corrRow.getDouble(idx)
-      val d = math.max(1.0 - c, 0.0)
-      dist(i)(j) = d
-      dist(j)(i) = d
-      idx += 1
-    }
-    val out = averageLinkage(sorted.toIndexedSeq, dist, threshold)
-      .map { case (dev, c) => Row(dev, c.toLong) }
+    val (_, _, clusters) = clusteredCorr(df, ts, devices, deviceValue, threshold)
+    val out = clusters.map { case (dev, c) => Row(dev, c.toLong) }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(out.asJava,
       StructType(Seq(StructField("device", StringType, nullable = false),
         StructField("cluster_id", LongType, nullable = false))))
+  }
+
+  /** End-to-end [[orderedMatrix]] over an events-shaped frame (q81):
+    * the notebook's cluster-ordered heatmap, long-form, with explicit
+    * axis positions so the block ordering itself is oracle-checkable
+    * (a row-set compare would accept ANY permutation). One k×k grid —
+    * heatmap-sized by construction, same driver-discipline as
+    * [[deviceClusters]]. */
+  def deviceOrderedMatrix(spark: SparkSession, df: DataFrame, ts: Column,
+                          devices: Seq[String], deviceValue: String => Column,
+                          threshold: Double): DataFrame = {
+    val (_, corrMap, clusters) = clusteredCorr(df, ts, devices, deviceValue, threshold)
+    val pos = clusters.sortBy { case (d, c) => (c, d) }.map(_._1)
+      .zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val out = orderedMatrix(clusters, corrMap).map { case (a, b, c) =>
+      Row(pos(a), pos(b), a, b, c)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava,
+      StructType(Seq(
+        StructField("pos_a", LongType, nullable = false),
+        StructField("pos_b", LongType, nullable = false),
+        StructField("device_a", StringType, nullable = false),
+        StructField("device_b", StringType, nullable = false),
+        StructField("corr_val", DoubleType, nullable = false))))
   }
 
   /** The notebook's cluster-ordered correlation matrix (the heatmap

@@ -70,9 +70,7 @@ object DedupClusters {
         import spark.implicits._
         mapping.toSeq.toDF("node", "rep")
       case None =>
-        val edges = p.union(
-          p.select(col("dst").as("src"), col("src").as("dst")))
-        propagateLabels(edges, maxIters)
+        starContract(p, maxIters)
     }
     allDocs.select(col(idCol))
       .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
@@ -102,24 +100,76 @@ object DedupClusters {
     parent.keys.map(n => (n, find(n))).toMap
   }
 
-  /** Distributed path: iterative min-label propagation to fixpoint
-    * over the graph's nodes only. */
-  private def propagateLabels(edges: DataFrame, maxIters: Int): DataFrame = {
-    var labels = graft.Caching.persisted(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("rep", col("node")))
-    var changed = 1L
+  /** Distributed path: alternating large-star / small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"). Each round, large-star links every node's LARGER
+    * neighbors to its current minimum, then small-star links its
+    * smaller-or-equal neighbors (and itself) to that minimum; both are
+    * one min-aggregation + one join over the edge frame. The component
+    * collapses to a star centered at its minimum in O(log n) rounds on
+    * ANY topology — including the adversarial long-chain case where
+    * plain min-label propagation needs O(diameter) rounds and the old
+    * 50-iteration cap quietly returned a NON-converged labeling
+    * (round-8 verdict #5). Non-convergence within `maxIters` now
+    * throws instead: a wrong dedup clustering must never ship
+    * silently.
+    *
+    * Returns (node, rep) for every non-minimum node of the graph;
+    * component minima are absent (the caller's coalesce labels them
+    * with their own id). */
+  private def starContract(pairs: DataFrame, maxIters: Int): DataFrame = {
+    // lineage cut: every round references `e` several times (sym view,
+    // join, convergence except), so the LOGICAL plan would grow ~4×
+    // per round — past ~10 rounds even rendering the tree overflows
+    // the stack. Restarting each round's frame from the persisted
+    // RDD keeps plan depth constant; the persisted parent stays
+    // registered with Caching for release
+    def cut(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    // canonical working set: (src, dst) with src > dst, deduped —
+    // both star steps emit edges pointing at a strictly smaller
+    // label, so the invariant is stable across rounds
+    var e = cut(graft.Caching.persisted(
+      pairs.filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()))
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIters) {
-      val msgs = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("rep"))
-      val next = graft.Caching.persisted(
-        labels.union(msgs).groupBy(col("node")).agg(min(col("rep")).as("rep")))
-      changed = next.join(labels.withColumnRenamed("rep", "__old"), "node")
-        .filter(col("rep") =!= col("__old")).count()
-      labels = next
+    while (!converged && it < maxIters) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ {u});
+      // every neighbor v > u re-links to m(u)
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("__u"), least(col("__mn"), col("src")).as("__m"))
+      val large = sym.filter(col("dst") > col("src"))
+        .join(mins, col("src") === col("__u"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star over the canonical (big → small) view: each node
+      // and its smaller neighbors re-link to the group minimum
+      val smins = large.groupBy(col("src")).agg(min(col("dst")).as("__m"))
+        .select(col("src").as("__u"), col("__m"))
+      val next = cut(graft.Caching.persisted(
+        large.join(smins, col("src") === col("__u"))
+          .select(col("dst").as("src"), col("__m").as("dst"))
+          .union(smins.select(col("__u").as("src"), col("__m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct()))
+      // fixpoint: the canonical edge set reproduced itself
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
       it += 1
     }
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIters " +
+        "large/small-star rounds — raise maxIters (rounds scale " +
+        "O(log n), so this indicates a pathological input)")
+    // at fixpoint every node's edges all point at its component min;
+    // the min-agg is a no-op that guarantees one row per node
+    e.groupBy(col("src")).agg(min(col("dst")).as("rep"))
+      .select(col("src").as("node"), col("rep"))
   }
 }

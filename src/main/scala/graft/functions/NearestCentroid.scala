@@ -71,6 +71,23 @@ case class NearestCentroid(emb: Expression, centroidsExpr: Expression)
       else if (row.numElements() != d)
         return TypeCheckResult.TypeCheckFailure(
           s"centroid rows must share one dimension, got $d and ${row.numElements()}")
+      // elements must be non-null finite doubles (round-8 advice): a
+      // null slot would read as an undefined getDouble, and a NaN
+      // distance at a low index pins the argmin there (`s < NaN` is
+      // false for every later centroid) — diverging from the array_min
+      // parity contract where NaN sorts greatest. Reject both loudly
+      // at analysis instead.
+      var j = 0
+      while (j < row.numElements()) {
+        if (row.isNullAt(j))
+          return TypeCheckResult.TypeCheckFailure(
+            s"centroid elements must be non-null (row $i, element $j)")
+        val v = row.getDouble(j)
+        if (v.isNaN || v.isInfinite)
+          return TypeCheckResult.TypeCheckFailure(
+            s"centroid elements must be finite (row $i, element $j: $v)")
+        j += 1
+      }
       i += 1
     }
     if (d == 0)

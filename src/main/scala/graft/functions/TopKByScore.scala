@@ -54,9 +54,19 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression,
         // lazy `k` cast (round-7 advice)
         kExpr.dataType match {
           case IntegerType | LongType if kExpr.foldable =>
-            if (kExpr.eval() != null && k > 0) TypeCheckResult.TypeCheckSuccess
-            else TypeCheckResult.TypeCheckFailure(
-              "k must be a positive non-null integer literal")
+            // range-check the RAW value: `k` truncates via intValue(),
+            // so a bigint past Int range would silently wrap (e.g.
+            // 4294967301L → 5) if only `k > 0` were checked
+            // (round-8 advice)
+            kExpr.eval() match {
+              case null => TypeCheckResult.TypeCheckFailure(
+                "k must be a positive non-null integer literal")
+              case v =>
+                val kl = v.asInstanceOf[Number].longValue()
+                if (kl > 0 && kl <= Int.MaxValue) TypeCheckResult.TypeCheckSuccess
+                else TypeCheckResult.TypeCheckFailure(
+                  s"k must be in [1, ${Int.MaxValue}], got $kl")
+            }
           case _ => TypeCheckResult.TypeCheckFailure(
             s"k must be a foldable int/bigint literal, got " +
               kExpr.dataType.simpleString)

@@ -343,6 +343,21 @@ object NilmQueries {
           CorrDevices, t => when($"event_type" === t, $"value"),
           threshold = 0.8)
         .orderBy($"cluster_id", $"device")
+    }),
+
+    // q80's companion (same notebook cell): the cluster-ordered
+    // correlation matrix the reference heatmaps — long-form with
+    // explicit (pos_a, pos_b) axis positions so the ORDERING (cluster
+    // blocks contiguous on both axes, devices sorted within a block)
+    // is itself hash-checked, not just the value set. Reference:
+    // ola_dataset/insights_oladatasets.ipynb cell 3 (reordered
+    // corr_df). k×k output — heatmap-sized by construction.
+    "q81_corr_heatmap" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.CorrCluster.deviceOrderedMatrix(s, events(s, d), $"ts",
+          CorrDevices, t => when($"event_type" === t, $"value"),
+          threshold = 0.8)
+        .orderBy($"pos_a", $"pos_b")
     })
   )
 
@@ -382,7 +397,46 @@ object NilmQueries {
     * rounded to 9 decimals on BOTH sides so float-sum-order noise
     * can't flip a merge decision; a cluster's label is its smallest
     * member device, making ids engine-independent. */
-  private def q80OracleSql: String = {
+  private def q80OracleSql: String =
+    s"""${corrClusterCtes}
+       SELECT device,
+         CAST(dense_rank() OVER (ORDER BY cluster) AS BIGINT) AS cluster_id
+       FROM it${CorrDevices.size - 1} ORDER BY cluster_id, device"""
+
+  /** q81's oracle: the SAME merge-sequence CTEs as q80, then devices
+    * ranked by (cluster_id, device) into axis positions and cross-
+    * joined against the symmetrized (diagonal = 1) corr values —
+    * exactly [[graft.ext.CorrCluster.orderedMatrix]]. */
+  private def q81OracleSql: String = {
+    val types = CorrDevices
+    val pairs = for {
+      i <- types.indices; j <- (i + 1) until types.size
+    } yield (types(i), types(j))
+    val corrSym = (pairs.map { case (a, b) =>
+      s"SELECT '$a' AS da, '$b' AS db, ${a}__$b AS c FROM corrm " +
+        s"UNION ALL SELECT '$b', '$a', ${a}__$b FROM corrm"
+    } ++ types.map(t =>
+      s"SELECT '$t', '$t', CAST(1 AS DOUBLE)")).mkString(" UNION ALL ")
+    s"""${corrClusterCtes},
+       ranked AS MATERIALIZED (
+         SELECT device, dense_rank() OVER (ORDER BY cluster) AS cid
+         FROM it${types.size - 1}),
+       ord AS MATERIALIZED (
+         SELECT device,
+           CAST(row_number() OVER (ORDER BY cid, device) AS BIGINT) AS pos
+         FROM ranked),
+       corrsym AS MATERIALIZED ($corrSym)
+       SELECT oa.pos AS pos_a, ob.pos AS pos_b,
+         oa.device AS device_a, ob.device AS device_b, cs.c AS corr_val
+       FROM ord oa CROSS JOIN ord ob
+       JOIN corrsym cs ON cs.da = oa.device AND cs.db = ob.device
+       ORDER BY pos_a, pos_b"""
+  }
+
+  /** Shared q80/q81 oracle prefix: corr matrix from scratch, then the
+    * deterministic greedy average-linkage merge sequence unrolled into
+    * k−1 MATERIALIZED steps (`it0`..`it{k-1}`); see [[q80OracleSql]]. */
+  private def corrClusterCtes: String = {
     val types = CorrDevices
     val pairs = for {
       i <- types.indices; j <- (i + 1) until types.size
@@ -420,14 +474,12 @@ object NilmQueries {
          FROM events GROUP BY 1),
        corrm AS MATERIALIZED (SELECT $corrCols FROM binned),
        dist AS MATERIALIZED ($distRows),
-       it0 AS MATERIALIZED ($it0)$merges
-       SELECT device,
-         CAST(dense_rank() OVER (ORDER BY cluster) AS BIGINT) AS cluster_id
-       FROM it${types.size - 1} ORDER BY cluster_id, device"""
+       it0 AS MATERIALIZED ($it0)$merges"""
   }
 
   val oracles: Map[String, String] = Map(
     "q80_corr_cluster" -> q80OracleSql,
+    "q81_corr_heatmap" -> q81OracleSql,
 
     "q22_min_duration" ->
       """WITH st AS (SELECT event_id, user_id, ts,

@@ -40,6 +40,35 @@ class DedupClustersSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
   }
 
+  test("adversarial long chain converges in O(log n) star rounds") {
+    // round-8 verdict #5: min-label propagation needed O(diameter)
+    // rounds, so a chain longer than maxIters quietly returned a
+    // partial labeling. The large/small-star contraction must collapse
+    // a 300-node path well inside the default 50-round cap (it needs
+    // ~log n rounds).
+    val n = 300
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, i - 1L)).toDF("a_id", "b_id")
+    val got = DedupClusters.connectedComponents(docs, "doc_id", pairs,
+        driverMaxEdges = 0) // force the distributed path
+      .as[(Long, Long)].collect()
+    Caching.release()
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("non-convergence is a hard failure, not a silent partial labeling") {
+    val n = 64
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, i - 1L)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(docs, "doc_id", pairs,
+        driverMaxEdges = 0, maxIters = 2).collect()
+    }
+    Caching.release()
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("property: both paths equal a naive fixpoint on random graphs") {
     // the round-6 gap: each path was tested, not their AGREEMENT on the
     // same graphs — generate random edge lists and check driver

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Suite-wide codegen guarantee for every registered graft_* native
+  * expression (round-8 verdict #3): with `spark.sql.codegen.fallback=false`
+  * and `factoryMode=CODEGEN_ONLY`, a janino failure in ANY generated
+  * expression throws instead of silently degrading to interpreted. Each
+  * query is then re-run under `NO_CODEGEN` and the results are asserted
+  * identical, so the compiled and interpreted paths can never drift apart
+  * unnoticed (the JsonLongKeySpec check generalized to all 13 natives).
+  */
+class NativeCodegenSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withFactoryMode[A](mode: String)(body: => A): A = {
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  /** Collect as fully-rendered strings: Row.equals compares Array[Byte]
+    * (bloom blobs) by reference, so binary goes through hex() in the
+    * queries and everything else renders stably via toString. */
+  private def snapshot(df: => DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def assertCodegenParity(df: => DataFrame): Unit = {
+    val compiled = withFactoryMode("CODEGEN_ONLY")(snapshot(df))
+    val interpreted = withFactoryMode("NO_CODEGEN")(snapshot(df))
+    assert(compiled == interpreted)
+    assert(compiled.nonEmpty)
+  }
+
+  // repartition puts an Exchange between the LocalRelation and the
+  // projection — without it ConvertToLocalRelation folds the whole
+  // select into a LocalTableScan at OPTIMIZATION time (interpreted
+  // eval, nothing codegen'd) and the test would assert nothing
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", """{"k":7,"z":1}"""),
+    (2L, "pack my box with five dozen liquor jugs", """{"z":5}"""),
+    (3L, "sphinx of black quartz judge my vow", """{"k":-3}"""),
+    (4L, "", "not json")
+  ).toDF("id", "text", "j").repartition(2)
+
+  test("all 9 scalar natives compile in ONE whole-stage span (fallback off)") {
+    def q = docs.select(
+      $"id",
+      call_function("graft_fingerprint", $"text").as("fp"),
+      call_function("graft_simhash", $"text").as("sh"),
+      call_function("graft_minhash_sig", $"text").as("mh"),
+      call_function("graft_char_entropy", $"text").as("ent"),
+      call_function("graft_json_long", $"j", lit("k")).as("jl"),
+      call_function("graft_dot",
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("dot"),
+      call_function("graft_byte_hist", encode($"text", "UTF-8"), lit(0)).as("bh"),
+      call_function("graft_nearest_centroid",
+        array($"ent", $"ent"),
+        array(array(lit(0.0), lit(0.0)), array(lit(4.0), lit(4.0)))).as("nc")
+    ).orderBy($"id")
+    withFactoryMode("CODEGEN_ONLY") {
+      val df = q
+      // sanity on actual values, not just absence of a throw
+      val rows = df.collect()
+      assert(rows.length == 4)
+      val r1 = rows.head
+      assert(r1.getAs[Long]("jl") == 7L)
+      assert(math.abs(r1.getAs[Double]("dot") - 11.0) < 1e-12)
+      assert(r1.getAs[Double]("ent") > 0.0)
+      // inspect AFTER execution: AQE only finalizes the
+      // WholeStageCodegen wrapping once the plan has actually run.
+      // The compact tree renders a codegen stage as the `*(n)` prefix;
+      // the Project carrying the natives must sit inside one.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("graft_fingerprint") && l.contains("*(")),
+        s"scalar natives fell out of whole-stage codegen:\n$plan")
+    }
+    assertCodegenParity(q)
+  }
+
+  test("graft_bloom_contains compiles with a real aggregated blob literal") {
+    // blob must be foldable: aggregate it first, then embed as a literal
+    val blob = docs.agg(
+      call_function("graft_bloom", $"text", lit(100L), lit(0.01)).as("b"))
+      .head().getAs[Array[Byte]]("b")
+    def q = docs.select($"id",
+        call_function("graft_bloom_contains", lit(blob), $"text").as("hit"))
+      .orderBy($"id")
+    withFactoryMode("CODEGEN_ONLY") {
+      assert(q.collect().forall(_.getAs[Boolean]("hit")))
+    }
+    assertCodegenParity(q)
+  }
+
+  test("all 4 native aggregates run with codegen fallback disabled") {
+    // TypedImperativeAggregates sit inside ObjectHashAggregate; the
+    // surrounding projections/exchange stages still must compile
+    def q = docs
+      .withColumn("g", $"id" % 2)
+      .groupBy($"g")
+      .agg(
+        call_function("graft_topk", $"id".cast("double"), $"id", lit(2)).as("topk"),
+        call_function("graft_topk_str", $"id".cast("double"), $"text", lit(2)).as("topks"),
+        call_function("graft_heavy_hitters", $"text", lit(4)).as("hh"),
+        hex(call_function("graft_bloom", $"text", lit(100L), lit(0.01))).as("bloom"))
+      .orderBy($"g")
+    withFactoryMode("CODEGEN_ONLY")(assert(q.collect().length == 2))
+    assertCodegenParity(q)
+  }
+}

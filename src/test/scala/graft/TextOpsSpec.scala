@@ -191,9 +191,20 @@ class TextOpsSpec extends SparkSpec {
         analyzed(call_function("graft_topk_str", $"score", $"term", bad))
       }
     }
-    // bigint k is fine (column-literal promotion)
+    // bigint k is fine (column-literal promotion)...
     analyzed(call_function("graft_topk", $"score", $"id", lit(3L)))
     analyzed(call_function("graft_topk_str", $"score", $"term", lit(3L)))
+    // ...but a bigint PAST Int range must fail analysis, not silently
+    // truncate through Number.intValue() (4294967301L → k=5)
+    // (round-8 advice)
+    for (big <- Seq(lit(4294967301L), lit(Long.MaxValue))) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        analyzed(call_function("graft_topk", $"score", $"id", big))
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        analyzed(call_function("graft_topk_str", $"score", $"term", big))
+      }
+    }
   }
 
   test("dot / l2norm / cosine basics") {

@@ -171,9 +171,56 @@ class VectorKMeansSpec extends SparkSpec {
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble == v))
   }
 
+  test("nearest-centroid rejects null/NaN/Inf centroid elements at analysis") {
+    // round-8 advice: a null element would read as an undefined
+    // getDouble, and a NaN distance at a low index pins the argmin
+    // (`s < NaN` is false forever) — both must fail analysis loudly
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("emb")
+    for (bad <- Seq(
+        "array(array(1.0D, cast(null as double)))",
+        "array(array(cast('NaN' as double), 0.0D), array(1.0D, 1.0D))",
+        "array(array(cast('Infinity' as double), 0.0D))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.selectExpr(s"graft_nearest_centroid(emb, $bad)")
+          .queryExecution.analyzed
+      }
+      // the NEW element checks, not an incidental type mismatch
+      assert(e.getMessage.contains("centroid elements must be"), e.getMessage)
+    }
+    // a well-formed literal still analyzes (D suffix: SQL 1.0 is DECIMAL)
+    df.selectExpr("graft_nearest_centroid(emb, array(array(1.0D, 2.0D)))")
+      .queryExecution.analyzed
+  }
+
   test("init is deterministic") {
     val a = VectorKMeans.init(blobs, "vec_id", "emb", 3)
     val b = VectorKMeans.init(blobs, "vec_id", "emb", 3)
     assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
+  }
+
+  test("fit on sf0.01 reproduces the q50 oracle's embedded literals") {
+    // q50's verify gate depends on the runtime fit landing exactly on
+    // the centroid literals pasted into the oracle SQL; quantize=6
+    // absorbs distributed-sum ulp noise EXCEPT when a component mean
+    // sits within a few ulps of a 0.5e-6 rounding boundary. Pinning
+    // the equality here means drift (testdata change, fit change, a
+    // boundary case) fails CI loudly instead of flaking at the
+    // driver's gate (round-8 advice).
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+    val model = VectorKMeans.fit(e, "vec_id", "emb", k = 8, iters = 2,
+      quantize = Some(6))
+    def f(v: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+    val fitted = model.centroids.map { case (cid, c) =>
+      s"($cid,[${c.map(f).mkString(",")}])"
+    }.mkString(",")
+    val embedded =
+      graft.queries.DocumentQueries.q50CentroidValuesSql.replaceAll("\\s+", "")
+    assert(fitted == embedded,
+      "fitted centroids no longer match q50CentroidValuesSql — " +
+        "regenerate with graft.tools.PrintQ50Centroids")
   }
 }
