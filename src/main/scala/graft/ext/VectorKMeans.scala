@@ -19,11 +19,14 @@ import org.apache.spark.sql.functions._
   *     map-side-combinable groupBy average — a single shuffle of
   *     n×dim skinny rows per iteration.
   *
-  * Initialization is deterministic: the k vectors with the smallest
-  * `md5(id)` — a reproducible pseudo-random spread (the k-means||
-  * oversampling refinement would drop in here; for IVF cell quality a
-  * hash-spread init + a few Lloyd rounds is the standard trade).
-  * Empty clusters keep their previous centroid. */
+  * Initialization is deterministic and selectable ([[Init]]): the
+  * default [[HashSpread]] takes the k vectors with the smallest
+  * `md5(id)` — a reproducible pseudo-random spread, the standard
+  * trade for IVF cell quality on well-mixed corpora — and
+  * [[KMeansParallel]] is the k-means|| oversampling init
+  * ([[initParallel]]) for clumpy real embeddings where hash seeding
+  * strands whole clumps in one cell. Both are run-to-run
+  * reproducible. Empty clusters keep their previous centroid. */
 object VectorKMeans {
 
   /** One fitted model: centroids indexed 0..k-1. */
@@ -64,6 +67,24 @@ object VectorKMeans {
     }
   }
 
+  /** Initialization strategy for [[fit]]. */
+  sealed trait Init
+  /** The k vectors with smallest md5(id) — a reproducible
+    * pseudo-random spread ([[init]]); [[fit]]'s default and what
+    * q50's oracle mirrors. */
+  case object HashSpread extends Init
+  /** k-means|| oversampling (Bahmani et al., "Scalable k-means++",
+    * VLDB 2012), fully deterministic: `rounds` passes each sample
+    * points with probability min(1, oversample · d²(x, C)/φ) using an
+    * md5-derived coin, then the population-weighted candidate set is
+    * reduced to k driver-side. Candidates ≈ oversample · rounds —
+    * dimension-sized, never corpus-sized (`oversample` ≤ 0 means
+    * 2k, the paper's recommended order). The cell-balance lever for
+    * clumpy real embeddings, where a pure hash spread seeds
+    * proportionally to clump mass and strands far clumps in one
+    * cell. */
+  final case class KMeansParallel(rounds: Int = 2, oversample: Int = 0) extends Init
+
   /** Deterministic init: k distinct vectors with smallest md5(id). */
   def init(df: DataFrame, idCol: String, embCol: String, k: Int): Model = {
     val rows = df
@@ -87,13 +108,18 @@ object VectorKMeans {
     * mirror them as literals. At 1e-6 on unit-scale embeddings the
     * quantization is far below any cell-quality effect. */
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
-          iters: Int, quantize: Option[Int] = None): Model = {
+          iters: Int, quantize: Option[Int] = None,
+          seeding: Init = HashSpread): Model = {
     def q(v: Double): Double = quantize match {
       case Some(s) =>
         BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
       case None => v
     }
-    var model = init(df, idCol, embCol, k)
+    var model = seeding match {
+      case HashSpread => init(df, idCol, embCol, k)
+      case KMeansParallel(rounds, oversample) =>
+        initParallel(df, idCol, embCol, k, rounds, oversample)
+    }
     for (_ <- 0 until iters) {
       val assigned = model.assign(df, embCol)
       // element-wise mean per cluster: skinny explode + one shuffle
@@ -113,6 +139,99 @@ object VectorKMeans {
       })
     }
     model
+  }
+
+  /** k-means|| init (see [[KMeansParallel]]). Deterministic: the seed
+    * candidate is [[init]]'s first pick, per-round coins hash
+    * (id, round), and the driver-side reduction breaks ties by
+    * candidate order. Each round is one broadcast-assignment pass
+    * (φ) plus one bounded collect — the same per-round shuffle shape
+    * as a [[fit]] iteration, minus the centroid-update exchange. */
+  def initParallel(df: DataFrame, idCol: String, embCol: String, k: Int,
+                   rounds: Int = 2, oversample: Int = 0): Model = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val l = if (oversample > 0) oversample else 2 * k
+    var cands = Vector(init(df, idCol, embCol, 1).centroids(0)._2)
+    for (r <- 1 to rounds) {
+      val m = Model(cands.zipWithIndex.map { case (c, i) => i -> c }.toArray)
+      val d2 = m.nearestExpr(col(embCol))("dist2")
+      val phiRow = df.agg(sum(d2)).head()
+      val phi = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDouble(0)
+      if (phi > 0) {
+        // md5 coin in [0,1): 15 hex chars = 60 uniform bits / 2^60
+        val coin = conv(substring(md5(concat(col(idCol).cast("string"),
+          lit(s"|kmpar|$r"))), 1, 15), 16, 10).cast("double") /
+          lit(math.pow(2.0, 60))
+        // expected ~l draws; the orderBy(coin)+limit keeps the collect
+        // BOUNDED and deterministic even on adversarial distributions
+        val drawn = df
+          .select(col(idCol).as("__id"), col(embCol).as("__e"),
+            coin.as("__u"), d2.as("__d2"))
+          .filter(col("__u") < least(lit(1.0), col("__d2") * l / lit(phi)))
+          .orderBy(col("__u"), col("__id"))
+          .limit(4 * l)
+          .collect()
+          .map(_.getSeq[Any](1).map(_.toString.toDouble).toArray)
+        cands = cands ++ drawn
+      }
+    }
+    // weight candidates by the population they capture (one pass)
+    val cm = Model(cands.zipWithIndex.map { case (c, i) => i -> c }.toArray)
+    val w = df.select(cm.assignExpr(col(embCol)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Model(reduceWeighted(cands,
+      cands.indices.map(i => w.getOrElse(i, 0L).toDouble), k))
+  }
+
+  /** Driver-side reduction of a weighted candidate set to k centers:
+    * greedy farthest-point seeding (first = heaviest candidate, each
+    * next maximizes weight · d² to the chosen set; ties → lowest
+    * index) followed by 5 weighted Lloyd rounds over the candidates.
+    * O(|cands|² · dim) with |cands| ≈ oversample · rounds — driver
+    * discipline, same k-sized-data argument as
+    * [[graft.ext.CorrCluster.averageLinkage]]. */
+  private def reduceWeighted(cands: Vector[Array[Double]],
+                             weights: Seq[Double],
+                             k: Int): Array[(Int, Array[Double])] = {
+    require(cands.nonEmpty, "no candidates")
+    val n = cands.size
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    if (n <= k)
+      return cands.zipWithIndex.map { case (c, i) => i -> c }.toArray
+    // greedy seeding: heaviest first, then weight-scaled farthest point
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      weights.zipWithIndex.maxBy { case (wt, i) => (wt, -i) }._2)
+    while (chosen.size < k) {
+      val next = (0 until n).filterNot(chosen.contains).maxBy { i =>
+        (weights(i) * chosen.map(c => dist2(cands(i), cands(c))).min, -i)
+      }
+      chosen += next
+    }
+    var centers = chosen.map(cands(_)).toArray
+    // weighted Lloyd over the candidate set
+    for (_ <- 0 until 5) {
+      val assign = (0 until n).map(i =>
+        centers.indices.minBy(c => (dist2(cands(i), centers(c)), c)))
+      centers = centers.indices.map { c =>
+        val members = (0 until n).filter(i => assign(i) == c && weights(i) > 0)
+        if (members.isEmpty) centers(c)
+        else {
+          val tw = members.map(weights).sum
+          val acc = new Array[Double](centers(c).length)
+          members.foreach { i =>
+            var j = 0
+            while (j < acc.length) { acc(j) += cands(i)(j) * weights(i); j += 1 }
+          }
+          acc.map(_ / tw)
+        }
+      }.toArray
+    }
+    centers.zipWithIndex.map { case (c, i) => i -> c }
   }
 
   /** Within-cluster sum of squared distances (convergence metric) —

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput datapoints (round-8 verdict #7): drives the two
+  * flagship StreamingOps shapes from a `rate` source and reports
+  * sustained rows/s, grounding the "same schema, swap readStream"
+  * claim with a measured number:
+  *
+  *   - `bucketMean` — watermarked event-time windowed aggregation (the
+  *     shuffle-bearing shape: state store + exchange per microbatch);
+  *   - `dedupDocsNear` — SimHash-keyed TTL'd stateful dedup (the
+  *     flatMapGroupsWithState shape; the native `graft_simhash`
+  *     projection runs per input row).
+  *
+  * Method: rate source at SPARK_GRAFT_STREAM_RPS rows/s (default
+  * 200000) for SPARK_GRAFT_STREAM_SECS seconds (default 30), noop
+  * sink, throughput = median `processedRowsPerSecond` over completed
+  * micro-batches after the first two (JIT + state-store warmup).
+  * A result ≈ the offered rate means source-bound (raise the rate);
+  * the reported number is a LOWER bound on pipeline capacity either
+  * way. Prints one JSON line.
+  *
+  * Run: `tools/streaming_bench.sh` or
+  * `sbt -batch "runMain graft.StreamingBench"`.
+  */
+object StreamingBench {
+
+  private def medianRate(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+    val rates = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .drop(2) // warmup batches
+      .map(_.processedRowsPerSecond)
+      .filterNot(_.isNaN)
+      .sorted
+    if (rates.isEmpty) -1.0 else rates(rates.length / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "200000").toLong
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    def rate(): DataFrame = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .option("numPartitions", 8)
+      .load()
+
+    def run(name: String, out: DataFrame): Double = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sb_$name").toString
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      Thread.sleep(secs * 1000L)
+      val r = medianRate(q)
+      q.stop()
+      r
+    }
+
+    // shape 1: watermarked bucket mean over (device, 1-min window)
+    val readings = rate().select(
+      col("timestamp").as("ts"),
+      concat(lit("d"), pmod(col("value"), lit(50))).as("device"),
+      (col("value") % 1000).cast("double").as("apower"))
+    val bucketRate = run("bucket",
+      graft.streaming.StreamingOps.bucketMean(readings, "1 minute", "10 seconds"))
+
+    // shape 2: SimHash-keyed near-dup dedup; every ~4 consecutive rows
+    // share a signature (token reordering within the group), so the
+    // stateful core actually exercises both first-wins and drop paths
+    val docs = rate().select(
+      col("value").as("doc_id"),
+      col("timestamp").as("ts"),
+      concat_ws(" ", (0 until 20).map(j =>
+        concat(lit("w"), pmod(col("value").divide(lit(4)).cast("long") * 31 +
+          j * 7, lit(5000)))): _*).as("text"))
+      .withWatermark("ts", "10 seconds")
+    val dedupRate = run("dedup",
+      graft.streaming.StreamingOps.dedupDocsNear(docs, ttlSeconds = 3600).toDF())
+
+    def f(v: Double) = "%.0f".formatLocal(java.util.Locale.ROOT, v)
+    val line = s"""{"offered_rps":$rps,"secs":$secs,""" +
+      s""""bucket_mean_rows_per_sec":${f(bucketRate)},""" +
+      s""""dedup_near_rows_per_sec":${f(dedupRate)}}"""
+    println(line)
+    System.err.println(line)
+    spark.stop()
+  }
+}

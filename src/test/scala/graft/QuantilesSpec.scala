@@ -51,4 +51,27 @@ class QuantilesSpec extends SparkSpec {
     assert(exact == Map("ch8" -> 8L, "ch30" -> 30L))
     assert(rates(approx = true) == exact)
   }
+
+  test("assertExactFeasible: loud failure replaces the silent exact-path OOM") {
+    // round-8 verdict #8: the exact-percentile buffer caveat lived
+    // only in a comment; the guard turns a skewed group into a thrown
+    // bound violation instead of an executor OOM
+    val df = ((1 to 100).map(i => ("skewed", i.toDouble)) ++
+      (1 to 5).map(i => ("small", i.toDouble))).toDF("g", "v")
+    val e = intercept[IllegalStateException] {
+      Quantiles.assertExactFeasible(df, Seq($"g"), $"v", maxPerGroup = 50)
+    }
+    assert(e.getMessage.contains("100"))
+    // at the bound: feasible, no throw
+    Quantiles.assertExactFeasible(df, Seq($"g"), $"v", maxPerGroup = 100)
+    // global aggregate form (empty groupCols)
+    intercept[IllegalStateException] {
+      Quantiles.assertExactFeasible(df, Seq(), $"v", maxPerGroup = 50)
+    }
+    Quantiles.assertExactFeasible(df, Seq(), $"v", maxPerGroup = 105)
+    // nulls don't count against the bound (percentile skips them)
+    val withNulls = df.withColumn("v",
+      when($"v" > 2, $"v").otherwise(lit(null).cast("double")))
+    Quantiles.assertExactFeasible(withNulls, Seq($"g"), $"v", maxPerGroup = 98)
+  }
 }

@@ -199,6 +199,51 @@ class VectorKMeansSpec extends SparkSpec {
     assert(a.centroids.map(_._2.toSeq).toSeq == b.centroids.map(_._2.toSeq).toSeq)
   }
 
+  test("k-means|| seeding beats hash-spread on an adversarial clumpy corpus") {
+    // 4 well-separated 8-d clumps of 49 points each, PLUS the 4 ids
+    // with the smallest md5 — i.e. exactly the hash-spread seeds —
+    // all planted in clump 0. HashSpread therefore seeds every
+    // centroid inside one clump and 2 Lloyd rounds cannot un-merge
+    // the far clumps; the d²-weighted k-means|| oversampling must
+    // reach them (lower max cell share, lower cost). Deterministic
+    // end to end — md5 seeds, md5 coins, tie-broken reduction.
+    val n = 200
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seedIds = (0L until n).sortBy(id => md5hex(id.toString)).take(4).toSet
+    val centers = Seq(
+      Array.fill(8)(0.0),
+      Array.tabulate(8)(j => if (j % 2 == 0) 100.0 else -100.0),
+      Array.fill(8)(100.0),
+      Array.tabulate(8)(j => if (j < 4) -100.0 else 100.0))
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until n).map { id =>
+      val c = if (seedIds(id)) 0 else (id % 4).toInt
+      (id, centers(c).map(v => v + rnd.nextGaussian() * 0.5).toSeq)
+    }
+    val df = rows.toDF("vec_id", "emb")
+    def maxCellShare(m: VectorKMeans.Model): Double = {
+      val counts = m.assign(df, "emb").groupBy($"cluster").count()
+        .select($"count").as[Long].collect()
+      counts.max.toDouble / n
+    }
+    val hash = VectorKMeans.fit(df, "vec_id", "emb", k = 4, iters = 2)
+    val par = VectorKMeans.fit(df, "vec_id", "emb", k = 4, iters = 2,
+      seeding = VectorKMeans.KMeansParallel())
+    assert(maxCellShare(par) < maxCellShare(hash),
+      s"par ${maxCellShare(par)} vs hash ${maxCellShare(hash)}")
+    assert(VectorKMeans.cost(par, df, "emb") <
+      VectorKMeans.cost(hash, df, "emb"))
+    // balanced clumps: the || fit must put each clump in its own cell
+    assert(maxCellShare(par) < 0.30)
+    // reproducible: the property every fit path shares
+    val par2 = VectorKMeans.fit(df, "vec_id", "emb", k = 4, iters = 2,
+      seeding = VectorKMeans.KMeansParallel())
+    assert(par.centroids.map(_._2.toSeq).toSeq ==
+      par2.centroids.map(_._2.toSeq).toSeq)
+  }
+
   test("fit on sf0.01 reproduces the q50 oracle's embedded literals") {
     // q50's verify gate depends on the runtime fit landing exactly on
     // the centroid literals pasted into the oracle SQL; quantize=6
