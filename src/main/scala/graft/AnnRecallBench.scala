@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN quality datapoints: recall@k of the approximate similarity-search
+  * paths against the brute-force ground truth, on the REAL embeddings
+  * table — the number a user choosing between q27/q28/q82/q50 actually
+  * needs (correctness oracles pin that each path computes what it
+  * promises; this measures how much of the true neighborhood the
+  * approximations keep, and at what candidate volume):
+  *
+  *   - LSH, exact bucket (the q28 shape);
+  *   - LSH, multi-probe Hamming-1 (the q82 shape — the recall lever);
+  *   - IVF with fitted centroids at nprobe = 1, 2, 4 (the q50 shape).
+  *
+  * For each method: recall@k averaged over the query set, plus the
+  * scanned-candidate fraction (scored pairs / brute-force pairs) — the
+  * recall-vs-cost trade that decides ANN viability at 100 TB, where
+  * the fraction IS the cost. Prints one JSON line.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_ANN_K (default 10), SPARK_GRAFT_ANN_QUERIES (default
+  * 50), SPARK_GRAFT_ANN_CELLS (default 16).
+  */
+object AnnRecallBench {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    import graft.ext.TextOps.{topKPerGroup, withLshBucket, lshProbeBuckets,
+      cosine, l2norm}
+
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "10").toInt
+    val nQ = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "50").toLong
+    val kCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
+
+    val e = Caching.persisted(withLshBucket(
+      Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+        .withColumn("nrm", l2norm($"emb")),
+      "vec_id", "emb"))
+    val n = e.count()
+    val qvec = e.filter($"vec_id" < nQ)
+      .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+        $"nrm".as("qnrm"), $"bucket".as("qbucket"))
+
+    /** (recall@k vs `truth`, scanned-pair fraction) of a scored frame
+      * with columns (query_id, neighbor_id, cos). */
+    def measure(scored: DataFrame,
+                truth: Map[Long, Set[Long]]): (Double, Double) = {
+      val cands = scored.count()
+      val top = topKPerGroup(scored.distinct(), Seq("query_id"),
+          col("cos"), col("neighbor_id"), k)
+        .select($"query_id", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val recall = truth.map { case (q, t) =>
+        top.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size
+      }.sum / truth.size
+      (recall, cands.toDouble / (nQ * (n - 1)))
+    }
+
+    // ground truth: brute force (the q27 shape at k)
+    val bruteScored = e.join(broadcast(qvec.drop("qbucket")),
+        $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+    val truth = topKPerGroup(bruteScored, Seq("query_id"),
+        col("cos"), col("neighbor_id"), k)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    // LSH, exact bucket (q28)
+    val (rLsh, fLsh) = measure(
+      e.join(broadcast(qvec),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
+      truth)
+
+    // LSH, multi-probe Hamming-1 (q82)
+    val probesQ = qvec.select($"query_id", $"qemb", $"qnrm",
+      explode(lshProbeBuckets($"qbucket")).as("pbucket"))
+    val (rMp, fMp) = measure(
+      e.join(broadcast(probesQ),
+          $"bucket" === $"pbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
+      truth)
+
+    // IVF (q50 shape): fitted cells, probe nprobe nearest cells
+    val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
+      "vec_id", "emb", k = kCells, iters = 2)
+    val cent = model.centroids.toSeq
+      .map { case (cid, c) => (cid.toLong, c.toSeq) }
+      .toDF("cent_id", "cemb")
+      .withColumn("cnrm", l2norm($"cemb"))
+    val simToCent = e.join(broadcast(cent))
+      .select($"vec_id", $"cent_id",
+        cosine($"emb", $"cemb", $"nrm", $"cnrm").as("csim"))
+    val cells = Caching.persisted(topKPerGroup(simToCent, Seq("vec_id"),
+        $"csim", $"cent_id", 1)
+      .select($"vec_id", $"id".as("cell")))
+    val assigned = e.join(cells, "vec_id")
+    val ivf = Seq(1, 2, 4).map { p =>
+      val probes = topKPerGroup(simToCent.filter($"vec_id" < nQ),
+          Seq("vec_id"), $"csim", $"cent_id", p)
+        .select($"vec_id".as("query_id"), $"id".as("cell"))
+      val (r, f) = measure(
+        assigned
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(qvec.drop("qbucket")), Seq("query_id"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
+        truth)
+      (p, r, f)
+    }
+
+    Caching.release()
+    def f6(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val ivfJson = ivf.map { case (p, r, f) =>
+      s""""ivf_p$p":{"recall":${f6(r)},"cand_frac":${f6(f)}}"""
+    }.mkString(",")
+    val line = s"""{"n":$n,"k":$k,"queries":$nQ,"cells":$kCells,""" +
+      s""""lsh_exact":{"recall":${f6(rLsh)},"cand_frac":${f6(fLsh)}},""" +
+      s""""lsh_multiprobe":{"recall":${f6(rMp)},"cand_frac":${f6(fMp)}},""" +
+      ivfJson + "}"
+    println(line)
+    System.err.println(line)
+    spark.stop()
+  }
+}

@@ -213,6 +213,24 @@ object TextOps {
   def lshBucket(emb: Column): Column =
     concat((0 until LshPlanes).map(j => lshBit(j, emb)): _*)
 
+  /** Multi-probe LSH (Lv et al., VLDB'07 — public literature): the
+    * query's own bucket plus every bucket at Hamming distance 1 (one
+    * sign bit flipped). A vector whose projection sits near one
+    * hyperplane lands on the wrong side of that plane's sign bit with
+    * probability ~ margin/π — the dominant LSH miss mode — so probing
+    * the 1-flip neighborhood recovers most of it at (LshPlanes+1)×
+    * the candidate volume instead of the 2^LshPlanes× of brute force.
+    * Pure string surgery on the bucket key (codegen-able built-ins);
+    * the probe side explodes, the corpus side stays single-bucket, so
+    * joins remain bucket-local. */
+  def lshProbeBuckets(bucket: Column): Column =
+    array(bucket +: (1 to LshPlanes).map { i =>
+      concat(
+        substring(bucket, 1, i - 1),
+        when(substring(bucket, i, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(bucket, i + 1, LshPlanes - i))
+    }: _*)
+
   /** Exact n-gram Jaccard pairs (similarity >= tNum/tDen) via an
     * inverted shingle index with PREFIX FILTERING (the AllPairs/PPJoin
     * family, Bayardo et al., WWW'07 — public literature): under any

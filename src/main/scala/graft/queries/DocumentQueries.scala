@@ -1376,6 +1376,38 @@ object DocumentQueries {
         .select($"doc_id", $"n_chars",
           round(call_function("graft_char_entropy", $"text"), 6).as("entropy"))
         .orderBy($"doc_id")
+    }),
+
+    // Multi-probe LSH ANN (Lv et al., VLDB'07): q28's bucketed search
+    // plus each query probing its Hamming-1 neighbor buckets — the
+    // recall lever for sign-LSH's dominant miss mode (a true neighbor
+    // sitting just across ONE hyperplane). Only the broadcast query
+    // side fans out (×(planes+1)); the corpus stays single-bucket and
+    // every join is still bucket-local, so the scale shape is q28's.
+    // Measured recall vs the q27 brute-force ground truth: SCALE.md
+    // "ANN recall" table (graft.AnnRecallBench).
+    "q82_lsh_multiprobe" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = graft.Caching.persisted(withLshBucket(
+        embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb"))
+      // a (query, neighbor) pair arises from exactly one probe bucket
+      // (the neighbor's own), so the explode introduces no duplicates
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"),
+          explode(graft.ext.TextOps.lshProbeBuckets($"bucket")).as("qbucket"))
+      val scored = e.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
     })
   )
 
@@ -1482,6 +1514,31 @@ object DocumentQueries {
          SELECT d.doc_id, d.n_chars,
            CASE WHEN d.text IS NULL THEN NULL
                 ELSE coalesce(e.entropy, 0.0) END AS entropy
-         FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id"""
+         FROM documents d LEFT JOIN e USING (doc_id) ORDER BY d.doc_id""",
+
+    "q82_lsh_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
+           $lshBucketSql bucket FROM e),
+         q0 AS (SELECT vec_id query_id, emb qemb, nrm qnrm, bucket qbucket
+           FROM n WHERE vec_id < 20),
+         fl(i) AS (VALUES ${(0 to LshPlanes).map(i => s"($i)").mkString(", ")}),
+         q AS (SELECT query_id, qemb, qnrm,
+           CASE WHEN i = 0 THEN qbucket
+                ELSE substr(qbucket, 1, i - 1) ||
+                  (CASE WHEN substr(qbucket, i, 1) = '1'
+                        THEN '0' ELSE '1' END) ||
+                  substr(qbucket, i + 1)
+           END pbucket
+           FROM q0, fl),
+         p AS (SELECT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM n JOIN q ON bucket = pbucket AND vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank"""
   )
 }

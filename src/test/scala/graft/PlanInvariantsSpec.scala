@@ -113,6 +113,17 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "InMemoryTableScan") >= 4, p)
   }
 
+  test("q82 multiprobe lsh: bucket-equality hash join, never a cartesian") {
+    val p = plan("q82_lsh_multiprobe")
+    // the probe-bucket explode must stay a JOIN KEY fan-out (queries ×
+    // (planes+1) broadcast rows), never degrade the bucket join into a
+    // nested-loop over the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q26 jaccard: prefix-filtered self-join, never a cartesian product") {
     val p = plan("q26_jaccard_pairs")
     assert(!p.contains("CartesianProduct"), p)
