@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ANN_K (default 10), SPARK_GRAFT_ANN_QUERIES (default
-  * 50), SPARK_GRAFT_ANN_CELLS (default 16).
+  * 50), SPARK_GRAFT_ANN_CELLS (default 16), SPARK_GRAFT_ANN_PLANES
+  * (default 4 — the LSH bucket-granularity knob).
   */
 object AnnRecallBench {
 
@@ -43,12 +44,14 @@ object AnnRecallBench {
     val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "10").toInt
     val nQ = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "50").toLong
     val kCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
+    val planes = sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES",
+      graft.ext.TextOps.LshPlanes.toString).toInt
 
     val e = Caching.persisted(withLshBucket(
       Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
         .withColumn("nrm", l2norm($"emb")),
-      "vec_id", "emb"))
+      "vec_id", "emb", planes = planes))
     val n = e.count()
     val qvec = e.filter($"vec_id" < nQ)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"),
@@ -89,7 +92,7 @@ object AnnRecallBench {
 
     // LSH, multi-probe Hamming-1 (q82)
     val probesQ = qvec.select($"query_id", $"qemb", $"qnrm",
-      explode(lshProbeBuckets($"qbucket")).as("pbucket"))
+      explode(lshProbeBuckets($"qbucket", planes)).as("pbucket"))
     val (rMp, fMp) = measure(
       e.join(broadcast(probesQ),
           $"bucket" === $"pbucket" && $"vec_id" =!= $"query_id")
@@ -132,6 +135,7 @@ object AnnRecallBench {
       s""""ivf_p$p":{"recall":${f6(r)},"cand_frac":${f6(f)}}"""
     }.mkString(",")
     val line = s"""{"n":$n,"k":$k,"queries":$nQ,"cells":$kCells,""" +
+      s""""planes":$planes,""" +
       s""""lsh_exact":{"recall":${f6(rLsh)},"cand_frac":${f6(fLsh)}},""" +
       s""""lsh_multiprobe":{"recall":${f6(rMp)},"cand_frac":${f6(fMp)}},""" +
       ivfJson + "}"

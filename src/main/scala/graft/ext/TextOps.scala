@@ -209,9 +209,13 @@ object TextOps {
     when(proj > 0, lit("1")).otherwise(lit("0"))
   }
 
-  /** Concatenated sign bits of all LSH planes → bucket key string. */
-  def lshBucket(emb: Column): Column =
-    concat((0 until LshPlanes).map(j => lshBit(j, emb)): _*)
+  /** Concatenated sign bits of `planes` LSH planes → bucket key
+    * string. The plane count is the bucket-granularity knob: expected
+    * bucket size is n / 2^planes, so a 100 TB corpus runs 20-30 planes
+    * (with [[lshProbeBuckets]] recovering the recall each added plane
+    * costs), while the 4-plane default matches the q28/q82 oracles. */
+  def lshBucket(emb: Column, planes: Int = LshPlanes): Column =
+    concat((0 until planes).map(j => lshBit(j, emb)): _*)
 
   /** Multi-probe LSH (Lv et al., VLDB'07 — public literature): the
     * query's own bucket plus every bucket at Hamming distance 1 (one
@@ -222,13 +226,14 @@ object TextOps {
     * the candidate volume instead of the 2^LshPlanes× of brute force.
     * Pure string surgery on the bucket key (codegen-able built-ins);
     * the probe side explodes, the corpus side stays single-bucket, so
-    * joins remain bucket-local. */
-  def lshProbeBuckets(bucket: Column): Column =
-    array(bucket +: (1 to LshPlanes).map { i =>
+    * joins remain bucket-local. `planes` must match the bucket's
+    * [[lshBucket]]/[[withLshBucket]] plane count. */
+  def lshProbeBuckets(bucket: Column, planes: Int = LshPlanes): Column =
+    array(bucket +: (1 to planes).map { i =>
       concat(
         substring(bucket, 1, i - 1),
         when(substring(bucket, i, 1) === "1", lit("0")).otherwise(lit("1")),
-        substring(bucket, i + 1, LshPlanes - i))
+        substring(bucket, i + 1, planes - i))
     }: _*)
 
   /** Exact n-gram Jaccard pairs (similarity >= tNum/tDen) via an
@@ -377,9 +382,10 @@ object TextOps {
     * `idCol`; adds a `bucket` column. `maxDim` bounds the sign table
     * (positions beyond the actual embedding width join away). */
   def withLshBucket(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    embCol: String, maxDim: Int = 4096): org.apache.spark.sql.DataFrame = {
+                    embCol: String, maxDim: Int = 4096,
+                    planes: Int = LshPlanes): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    val signCols = (0 until LshPlanes).map(j =>
+    val signCols = (0 until planes).map(j =>
       ((conv(substring(md5(concat(lit(s"plane_${j}_"), col("id"))), 1, 1), 16, 10)
         .cast("int").bitwiseAND(lit(1))) * 2 - 1).cast("double").as(s"__s$j"))
     val signs = spark.range(1, maxDim + 1)
@@ -387,13 +393,13 @@ object TextOps {
     val ex = df
       .select(col(idCol).as("__id"), posexplode(col(embCol)).as(Seq("__p", "__v")))
       .select(col("__id"), (col("__p") + 1).cast("int").as("__i"), col("__v"))
-    val projAggs = (0 until LshPlanes).map(j =>
+    val projAggs = (0 until planes).map(j =>
       sum(col("__v") * col(s"__s$j")).as(s"__proj$j"))
     val buckets = ex.join(broadcast(signs), Seq("__i"))
       .groupBy(col("__id"))
       .agg(projAggs.head, projAggs.tail: _*)
       .select(col("__id"),
-        concat((0 until LshPlanes).map(j =>
+        concat((0 until planes).map(j =>
           when(col(s"__proj$j") > 0, "1").otherwise("0")): _*).as("bucket"))
     df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
   }

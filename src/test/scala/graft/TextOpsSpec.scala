@@ -231,6 +231,26 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(viaJoin == viaHof)
     assert(viaHof.values.toSet.size > 1) // fixture actually spans buckets
+
+    // the plane-count knob (the 100 TB bucket-granularity lever):
+    // parity must hold at a non-default count too, the first 4 bits
+    // must be the default bucket (planes share the md5 seed by index),
+    // and 8 planes must split buckets strictly finer than 4
+    val viaHof8 = df.select($"vec_id",
+        TextOps.lshBucket($"emb", planes = 8).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    val viaJoin8 = TextOps.withLshBucket(df, "vec_id", "emb", planes = 8)
+      .select($"vec_id", $"bucket")
+      .as[(Long, String)].collect().toMap
+    assert(viaJoin8 == viaHof8)
+    assert(viaHof8.forall { case (id, b) =>
+      b.length == 8 && b.take(4) == viaHof(id) })
+    assert(viaHof8.values.toSet.size > viaHof.values.toSet.size)
+    // probe list length follows the plane count
+    val p8 = Seq("01101100").toDF("b")
+      .select(TextOps.lshProbeBuckets($"b", planes = 8).as("p"))
+      .as[Seq[String]].head()
+    assert(p8.size == 9 && p8.distinct.size == 9 && p8.head == "01101100")
   }
 
   test("jaccardPairs (prefix filter) equals the naive inverted-index join") {
