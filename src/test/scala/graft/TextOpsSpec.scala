@@ -471,6 +471,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.distinct.size == out.size)
   }
 
+  test("property: lshProbeBuckets is the exact Hamming-1 closed ball") {
+    // for any plane count and any bucket: planes+1 distinct probes,
+    // the bucket itself first, every other probe at Hamming distance
+    // exactly 1, and every distance-1 string present (completeness —
+    // a dropped flip is a silent recall loss no corpus test catches)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      p <- Gen.choose(1, 10)
+      bits <- Gen.listOfN(p, Gen.oneOf("0", "1"))
+    } yield bits.mkString
+    val prop = Prop.forAll(gen) { b =>
+      val probes = Seq(b).toDF("b")
+        .select(TextOps.lshProbeBuckets($"b", planes = b.length).as("p"))
+        .as[Seq[String]].head()
+      def ham(x: String, y: String) = x.zip(y).count { case (a, c) => a != c }
+      val ball = (0 until b.length).map(i =>
+        b.updated(i, if (b(i) == '1') '0' else '1')).toSet + b
+      probes.size == b.length + 1 && probes.head == b &&
+        probes.toSet == ball && probes.tail.forall(ham(_, b) == 1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("multi-probe lsh: strict candidate superset of the exact bucket") {
     // recall@k monotonicity follows from candidate-set containment, so
     // the q82-beats-q28 recall claim is pinned structurally here (the
