@@ -58,9 +58,12 @@ object AnnRecallBench {
         $"nrm".as("qnrm"), $"bucket".as("qbucket"))
 
     /** (recall@k vs `truth`, scanned-pair fraction) of a scored frame
-      * with columns (query_id, neighbor_id, cos). */
-    def measure(scored: DataFrame,
+      * with columns (query_id, neighbor_id, cos). Persisted: the frame
+      * is acted on twice (count + top-k), and the join behind it would
+      * otherwise recompute every cosine both times. */
+    def measure(scoredIn: DataFrame,
                 truth: Map[Long, Set[Long]]): (Double, Double) = {
+      val scored = Caching.persisted(scoredIn)
       val cands = scored.count()
       val top = topKPerGroup(scored.distinct(), Seq("query_id"),
           col("cos"), col("neighbor_id"), k)

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
 object StreamingBench {
 
   private def medianRate(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+    // warmup cut by batchId, not position: recentProgress is a ~100-entry
+    // ring buffer, so on long runs the first batches are already evicted
+    // and a positional drop(2) would discard steady-state samples instead
     val rates = q.recentProgress.toSeq
-      .filter(_.numInputRows > 0)
-      .drop(2) // warmup batches
+      .filter(p => p.numInputRows > 0 && p.batchId >= 2)
       .map(_.processedRowsPerSecond)
       .filterNot(_.isNaN)
       .sorted
@@ -74,15 +76,21 @@ object StreamingBench {
     val bucketRate = run("bucket",
       graft.streaming.StreamingOps.bucketMean(readings, "1 minute", "10 seconds"))
 
-    // shape 2: SimHash-keyed near-dup dedup; every ~4 consecutive rows
-    // share a signature (token reordering within the group), so the
-    // stateful core actually exercises both first-wins and drop paths
+    // shape 2: SimHash-keyed near-dup dedup; every 4 consecutive rows
+    // share a word SET but in a row-dependent rotation (value % 4), so
+    // the stateful core exercises both first-wins and drop paths AND
+    // the drops come from SimHash's order-invariance, not byte-equal text
     val docs = rate().select(
       col("value").as("doc_id"),
       col("timestamp").as("ts"),
-      concat_ws(" ", (0 until 20).map(j =>
-        concat(lit("w"), pmod(col("value").divide(lit(4)).cast("long") * 31 +
-          j * 7, lit(5000)))): _*).as("text"))
+      (0 until 4).foldLeft(lit(null).cast("string")) { (acc, r) =>
+        when(pmod(col("value"), lit(4)) === r,
+          concat_ws(" ", (0 until 20).map { j =>
+            val jr = (j + 5 * r) % 20 // rotate the word order per row
+            concat(lit("w"), pmod(col("value").divide(lit(4)).cast("long")
+              * 31 + jr * 7, lit(5000)))
+          }: _*)).otherwise(acc)
+      }.as("text"))
       .withWatermark("ts", "10 seconds")
     val dedupRate = run("dedup",
       graft.streaming.StreamingOps.dedupDocsNear(docs, ttlSeconds = 3600).toDF())

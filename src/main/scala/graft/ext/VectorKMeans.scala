@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   * trade for IVF cell quality on well-mixed corpora — and
   * [[KMeansParallel]] is the k-means|| oversampling init
   * ([[initParallel]]) for clumpy real embeddings where hash seeding
-  * strands whole clumps in one cell. Both are run-to-run
-  * reproducible. Empty clusters keep their previous centroid. */
+  * strands whole clumps in one cell. Both are deterministic in their
+  * draws (md5 seeds and coins); EXACT run-to-run equality of fitted
+  * centroids additionally needs `quantize` — unquantized distributed
+  * means carry shuffle-order ulp noise (see [[fit]]). Empty clusters
+  * keep their previous centroid. */
 object VectorKMeans {
 
   /** One fitted model: centroids indexed 0..k-1. */
@@ -180,6 +183,12 @@ object VectorKMeans {
     val w = df.select(cm.assignExpr(col(embCol)).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // degenerate corpus (e.g. one outlier holding ~all of φ clips every
+    // other draw probability to ~0): fewer candidates than centers
+    // would silently fit an under-sized model — fail loudly instead
+    require(cands.size >= k,
+      s"k-means|| drew only ${cands.size} candidates for k=$k; " +
+        "raise rounds/oversample or use HashSpread init")
     Model(reduceWeighted(cands,
       cands.indices.map(i => w.getOrElse(i, 0L).toDouble), k))
   }

@@ -524,8 +524,9 @@ class TextOpsSpec extends SparkSpec {
 
   test("prefix candidates grow sublinearly vs all-pairs (planted-dup corpus)") {
     // round-8 verdict #4's spec half, on the SAME deterministic
-    // generator DedupScaleBench measures (10% planted near-dups,
-    // boilerplate every 11th word): doubling the corpus quadruples
+    // generator DedupScaleBench measures (10% planted near-dups; every
+    // doc OPENS with one of 20 boilerplate runs, so each opening
+    // shingle has df ≈ n/20): doubling the corpus quadruples
     // all-pairs but must grow PPJoin candidates ~linearly (planted
     // pairs are linear in n; prefix overlap on the hash-spread tail
     // is rare). The measured curve at bench scale lives in SCALE.md;
