@@ -113,6 +113,21 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "InMemoryTableScan") >= 4, p)
   }
 
+  test("q28 lsh ann: bucket-equality hash join, never a cartesian") {
+    val p = plan("q28_lsh_ann")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q45 embed neardup: bucket-keyed self-join, never a cartesian") {
+    val p = plan("q45_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both sides of the self-join read the one persisted bucketed frame
+    assert(countOf(p, "InMemoryTableScan") >= 2, p)
+  }
+
   test("q82 multiprobe lsh: bucket-equality hash join, never a cartesian") {
     val p = plan("q82_lsh_multiprobe")
     // the probe-bucket explode must stay a JOIN KEY fan-out (queries ×
