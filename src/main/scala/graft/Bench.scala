@@ -92,7 +92,16 @@ object Bench {
     }
     val results =
       if (interleave) {
-        val samples = (1 to iters).map(_ => names.map(n => n -> runOnce(n)))
+        // emit each round's samples as they land: block mode's
+        // incremental safeguard (a partial run still leaves records)
+        // would otherwise not kick in until the full iters×queries
+        // matrix finished
+        val samples = (1 to iters).map { it =>
+          val round = names.map(n => n -> runOnce(n))
+          System.err.println(s"""[bench] {"iter":$it,${round.map { case (n, t) =>
+            "\"" + n + "\":" + f(t) }.mkString(",")}}""")
+          round
+        }
         names.map(n => summarize(n, samples.map(_.toMap.apply(n))))
       } else names.map(name => summarize(name, (1 to iters).map(_ => runOnce(name))))
     val qs = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }

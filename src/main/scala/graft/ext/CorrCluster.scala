@@ -166,7 +166,10 @@ object CorrCluster {
                           devices: Seq[String], deviceValue: String => Column,
                           threshold: Double): DataFrame = {
     val (_, corrMap, clusters) = clusteredCorr(df, ts, devices, deviceValue, threshold)
-    val pos = clusters.sortBy { case (d, c) => (c, d) }.map(_._1)
+    // positions come from the SAME order the matrix rows are emitted in
+    // (clusterOrder) — a second independent sort here could silently
+    // diverge from the row blocks if one tie-break ever changed
+    val pos = clusterOrder(clusters)
       .zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     val out = orderedMatrix(clusters, corrMap).map { case (a, b, c) =>
       Row(pos(a), pos(b), a, b, c)
@@ -187,9 +190,15 @@ object CorrCluster {
     * are contiguous on both axes. Diagonal = 1. */
   def orderedMatrix(clusters: Seq[(String, Int)],
                     corr: Map[(String, String), Double]): Seq[(String, String, Double)] = {
-    val order = clusters.sortBy { case (d, c) => (c, d) }.map(_._1)
+    val order = clusterOrder(clusters)
     def c(a: String, b: String): Double =
       if (a == b) 1.0 else corr.getOrElse((a, b), corr((b, a)))
     for (a <- order; b <- order) yield (a, b, c(a, b))
   }
+
+  /** The single definition of the heatmap axis order — (cluster_id,
+    * device) ascending, cluster blocks contiguous. Both the emitted
+    * matrix rows and the axis positions derive from this one sort. */
+  def clusterOrder(clusters: Seq[(String, Int)]): Seq[String] =
+    clusters.sortBy { case (d, c) => (c, d) }.map(_._1)
 }

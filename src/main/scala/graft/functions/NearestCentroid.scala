@@ -55,6 +55,19 @@ case class NearestCentroid(emb: Expression, centroidsExpr: Expression)
         "graft_nearest_centroid expects (array<double>, " +
           "foldable array<array<double>>), got " +
           s"(${emb.dataType.simpleString}, ${centroidsExpr.dataType.simpleString})")
+    contentCheck
+  }
+
+  /** The O(k×dim) matrix-content validation, memoized per instance:
+    * `checkInputDataTypes` is re-entered via the `resolved` lazy val on
+    * expression copies throughout analysis/optimization, and paying an
+    * eval + full-matrix scan on every call would re-introduce the
+    * analysis-time bloat this expression exists to remove (at k=512 ×
+    * dim=768 that is ~400k element reads per call). */
+  @transient private lazy val contentCheck: TypeCheckResult =
+    computeContentCheck()
+
+  private def computeContentCheck(): TypeCheckResult = {
     val m = centroidsExpr.eval()
     if (m == null)
       return TypeCheckResult.TypeCheckFailure("centroid matrix must be non-null")

@@ -18,12 +18,20 @@ class NativeCodegenSpec extends SparkSpec {
   private def withFactoryMode[A](mode: String)(body: => A): A = {
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    val prevWhole = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    // factoryMode only governs CodeGeneratorWithInterpretedFallback
+    // (UnsafeProjection etc.) — whole-stage codegen would still call
+    // doGenCode in the NO_CODEGEN arm, making "interpreted" vacuously
+    // equal to "compiled". Disable it so that arm truly runs eval().
+    if (mode == "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try body
     finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
       spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWhole)
     }
   }
 
@@ -51,7 +59,8 @@ class NativeCodegenSpec extends SparkSpec {
     (4L, "", "not json")
   ).toDF("id", "text", "j").repartition(2)
 
-  test("all 9 scalar natives compile in ONE whole-stage span (fallback off)") {
+  test("8 scalar natives compile in ONE whole-stage span (fallback off; " +
+    "bloom_contains needs a foldable blob, spanned separately below)") {
     def q = docs.select(
       $"id",
       call_function("graft_fingerprint", $"text").as("fp"),
