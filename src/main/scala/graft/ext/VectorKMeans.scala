@@ -174,7 +174,7 @@ object VectorKMeans {
           .orderBy(col("__u"), col("__id"))
           .limit(4 * l)
           .collect()
-          .map(_.getSeq[Any](1).map(_.toString.toDouble).toArray)
+          .map(_.getSeq[Double](1).toArray)
         cands = cands ++ drawn
       }
     }
