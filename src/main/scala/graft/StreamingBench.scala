@@ -28,11 +28,16 @@ import org.apache.spark.sql.functions._
 object StreamingBench {
 
   private def medianRate(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
-    // warmup cut by batchId, not position: recentProgress is a ~100-entry
-    // ring buffer, so on long runs the first batches are already evicted
-    // and a positional drop(2) would discard steady-state samples instead
-    val rates = q.recentProgress.toSeq
-      .filter(p => p.numInputRows > 0 && p.batchId >= 2)
+    // warmup cut: drop the first two ROW-PROCESSING batches still in
+    // the buffer (batch 0/1 often carry zero rows, so a bare batchId
+    // cut would keep the JIT/state-store-cold batches 2-3 in the
+    // median; and recentProgress is a ~100-entry ring buffer, so a
+    // positional drop(2) on long runs discards steady-state samples
+    // after the true warmup entries were evicted)
+    val rows = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val cut = rows.map(_.batchId).minOption.getOrElse(0L) + 2
+    val rates = rows
+      .filter(_.batchId >= cut)
       .map(_.processedRowsPerSecond)
       .filterNot(_.isNaN)
       .sorted

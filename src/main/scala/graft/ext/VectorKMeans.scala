@@ -25,11 +25,13 @@ import org.apache.spark.sql.functions._
   * trade for IVF cell quality on well-mixed corpora — and
   * [[KMeansParallel]] is the k-means|| oversampling init
   * ([[initParallel]]) for clumpy real embeddings where hash seeding
-  * strands whole clumps in one cell. Both are deterministic in their
-  * draws (md5 seeds and coins); EXACT run-to-run equality of fitted
-  * centroids additionally needs `quantize` — unquantized distributed
-  * means carry shuffle-order ulp noise (see [[fit]]). Empty clusters
-  * keep their previous centroid. */
+  * strands whole clumps in one cell. Draws use md5 seeds and coins —
+  * no RNG state — but the k-means|| draw THRESHOLD depends on φ (a
+  * distributed double sum with shuffle-merge-order ulp noise), so its
+  * candidate set is reproducible except in the astronomically
+  * unlikely case of a coin landing within an ulp of its threshold;
+  * EXACT equality of fitted centroids additionally needs `quantize`
+  * (see [[fit]]). Empty clusters keep their previous centroid. */
 object VectorKMeans {
 
   /** One fitted model: centroids indexed 0..k-1. */
@@ -178,17 +180,18 @@ object VectorKMeans {
         cands = cands ++ drawn
       }
     }
+    // degenerate corpus (e.g. one outlier holding ~all of φ clips every
+    // other draw probability to ~0): fewer candidates than centers
+    // would silently fit an under-sized model — fail loudly, and BEFORE
+    // paying the full-corpus weighting pass below
+    require(cands.size >= k,
+      s"k-means|| drew only ${cands.size} candidates for k=$k; " +
+        "raise rounds/oversample or use HashSpread init")
     // weight candidates by the population they capture (one pass)
     val cm = Model(cands.zipWithIndex.map { case (c, i) => i -> c }.toArray)
     val w = df.select(cm.assignExpr(col(embCol)).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // degenerate corpus (e.g. one outlier holding ~all of φ clips every
-    // other draw probability to ~0): fewer candidates than centers
-    // would silently fit an under-sized model — fail loudly instead
-    require(cands.size >= k,
-      s"k-means|| drew only ${cands.size} candidates for k=$k; " +
-        "raise rounds/oversample or use HashSpread init")
     Model(reduceWeighted(cands,
       cands.indices.map(i => w.getOrElse(i, 0L).toDouble), k))
   }

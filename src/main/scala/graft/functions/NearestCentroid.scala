@@ -58,19 +58,30 @@ case class NearestCentroid(emb: Expression, centroidsExpr: Expression)
     contentCheck
   }
 
-  /** The O(k×dim) matrix-content validation, memoized per instance:
-    * `checkInputDataTypes` is re-entered via the `resolved` lazy val on
-    * expression copies throughout analysis/optimization, and paying an
-    * eval + full-matrix scan on every call would re-introduce the
-    * analysis-time bloat this expression exists to remove (at k=512 ×
-    * dim=768 that is ~400k element reads per call). */
-  @transient private lazy val contentCheck: TypeCheckResult =
-    computeContentCheck()
-
-  private def computeContentCheck(): TypeCheckResult = {
+  /** The O(k×dim) matrix-content validation, memoized by IDENTITY of
+    * the evaluated literal value: `checkInputDataTypes` is re-entered
+    * via the `resolved` lazy val on expression COPIES throughout
+    * analysis/optimization, and copies share the same Literal child
+    * (and therefore the same evaluated value object) — so a
+    * value-keyed cache is the only memo that survives copying, where
+    * a per-instance lazy val would re-scan per copy (at k=512 ×
+    * dim=768 that is ~400k element reads each time). */
+  private def contentCheck: TypeCheckResult = {
     val m = centroidsExpr.eval()
     if (m == null)
       return TypeCheckResult.TypeCheckFailure("centroid matrix must be non-null")
+    val cached = NearestCentroid.checked.get(m)
+    if (cached != null) return cached
+    val r = computeContentCheck(m)
+    // crude bound: the cache holds strong refs; distinct centroid
+    // literals per JVM are few (one per fitted model), but don't let a
+    // pathological caller grow it without limit
+    if (NearestCentroid.checked.size > 64) NearestCentroid.checked.clear()
+    NearestCentroid.checked.put(m, r)
+    r
+  }
+
+  private def computeContentCheck(m: Any): TypeCheckResult = {
     val arr = m.asInstanceOf[ArrayData]
     if (arr.numElements() == 0)
       return TypeCheckResult.TypeCheckFailure("centroid matrix must be non-empty")
@@ -193,4 +204,12 @@ case class NearestCentroid(emb: Expression, centroidsExpr: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroid =
     copy(emb = newLeft, centroidsExpr = newRight)
+}
+
+object NearestCentroid {
+  /** Identity-keyed content-check memo (see [[NearestCentroid.contentCheck]]);
+    * identity keys avoid the O(k×dim) hashCode/equals a value-keyed map
+    * would itself pay per lookup. */
+  private val checked = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[Any, TypeCheckResult]())
 }

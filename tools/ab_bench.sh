@@ -17,6 +17,11 @@ set -eu
 BASELINE_DIR="${1:?usage: ab_bench.sh <baseline-worktree-dir> [query-list]}"
 [ -f "$BASELINE_DIR/build.sbt" ] || {
   echo "no sbt project at $BASELINE_DIR" >&2; exit 1; }
+HEAD_SHA="$(git -C "$(dirname "$0")/.." rev-parse HEAD)"
+BASE_SHA="$(git -C "$BASELINE_DIR" rev-parse HEAD 2>/dev/null || echo none)"
+[ "$HEAD_SHA" != "$BASE_SHA" ] || {
+  echo "baseline is the same commit as HEAD ($HEAD_SHA) — the A/B would" \
+       "compare a binary against itself" >&2; exit 1; }
 QS="${2:-q15,q16,q21,q22,q23,q46,q47,q09,q11,q19,q25}"
 export SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 export SPARK_GRAFT_BENCH_ONLY="$QS"
