@@ -37,8 +37,8 @@ object AnnRecallBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
-    import graft.ext.TextOps.{topKPerGroup, withLshBucket, lshProbeBuckets,
-      cosine, l2norm}
+    import graft.ext.TextOps.{topKPerGroup, withLshBucketMargins,
+      lshProbeBuckets, lshProbeBucketsByMargin, cosine, l2norm}
 
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = sys.env.getOrElse("SPARK_GRAFT_ANN_K", "10").toInt
@@ -47,7 +47,9 @@ object AnnRecallBench {
     val planes = sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES",
       graft.ext.TextOps.LshPlanes.toString).toInt
 
-    val e = Caching.persisted(withLshBucket(
+    // margins ride along the same grouped sums (no extra pass); only
+    // the query side reads them — for the margin-ordered probe rows
+    val e = Caching.persisted(withLshBucketMargins(
       Tables.embeddings(spark, dir)
         .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
         .withColumn("nrm", l2norm($"emb")),
@@ -55,7 +57,7 @@ object AnnRecallBench {
     val n = e.count()
     val qvec = e.filter($"vec_id" < nQ)
       .select($"vec_id".as("query_id"), $"emb".as("qemb"),
-        $"nrm".as("qnrm"), $"bucket".as("qbucket"))
+        $"nrm".as("qnrm"), $"bucket".as("qbucket"), $"margins".as("qmargins"))
 
     /** (recall@k vs `truth`, scanned-pair fraction) of a scored frame
       * with columns (query_id, neighbor_id, cos). Persisted: the frame
@@ -76,7 +78,7 @@ object AnnRecallBench {
     }
 
     // ground truth: brute force (the q27 shape at k)
-    val bruteScored = e.join(broadcast(qvec.drop("qbucket")),
+    val bruteScored = e.join(broadcast(qvec.drop("qbucket", "qmargins")),
         $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
@@ -93,7 +95,7 @@ object AnnRecallBench {
           cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
       truth)
 
-    // LSH, multi-probe Hamming-1 (q82)
+    // LSH, multi-probe Hamming-1 (q82): the full ball, planes+1 probes
     val probesQ = qvec.select($"query_id", $"qemb", $"qnrm",
       explode(lshProbeBuckets($"qbucket", planes)).as("pbucket"))
     val (rMp, fMp) = measure(
@@ -103,37 +105,42 @@ object AnnRecallBench {
           cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
       truth)
 
-    // IVF (q50 shape): fitted cells, probe nprobe nearest cells
-    val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
-      "vec_id", "emb", k = kCells, iters = 2)
-    val cent = model.centroids.toSeq
-      .map { case (cid, c) => (cid.toLong, c.toSeq) }
-      .toDF("cent_id", "cemb")
-      .withColumn("cnrm", l2norm($"cemb"))
-    val simToCent = e.join(broadcast(cent))
-      .select($"vec_id", $"cent_id",
-        cosine($"emb", $"cemb", $"nrm", $"cnrm").as("csim"))
-    val cells = Caching.persisted(topKPerGroup(simToCent, Seq("vec_id"),
-        $"csim", $"cent_id", 1)
-      .select($"vec_id", $"id".as("cell")))
-    val assigned = e.join(cells, "vec_id")
-    val ivf = Seq(1, 2, 4).map { p =>
-      val probes = topKPerGroup(simToCent.filter($"vec_id" < nQ),
-          Seq("vec_id"), $"csim", $"cent_id", p)
-        .select($"vec_id".as("query_id"), $"id".as("cell"))
+    // LSH, margin-ORDERED multi-probe (Lv et al. probe sequence): only
+    // the T most doubtful planes flip — the curve that matters at
+    // 20-30 planes, where the full ball is 21-31 probes
+    val tProbes = Seq(1, planes / 2, planes)
+      .filter(_ >= 1).distinct.sorted
+    val mpMargin = tProbes.map { t =>
+      val pq = qvec.select($"query_id", $"qemb", $"qnrm",
+        explode(lshProbeBucketsByMargin($"qbucket", $"qmargins", t))
+          .as("pbucket"))
       val (r, f) = measure(
-        assigned
-          .join(broadcast(probes), Seq("cell"))
-          .join(broadcast(qvec.drop("qbucket")), Seq("query_id"))
-          .filter($"vec_id" =!= $"query_id")
+        e.join(broadcast(pq),
+            $"bucket" === $"pbucket" && $"vec_id" =!= $"query_id")
           .select($"query_id", $"vec_id".as("neighbor_id"),
             cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
+        truth)
+      (t, r, f)
+    }
+
+    // IVF (q50 shape) through the library API knob
+    // (VectorKMeans.ivfCandidates, round 10): fitted cells, probe
+    // nprobe nearest cells
+    val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
+      "vec_id", "emb", k = kCells, iters = 2)
+    val ivf = Seq(1, 2, 4).map { p =>
+      val (r, f) = measure(
+        graft.ext.VectorKMeans.ivfCandidates(e, "vec_id", "emb", "nrm",
+          model, $"vec_id" < nQ, nprobe = p),
         truth)
       (p, r, f)
     }
 
     Caching.release()
     def f6(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val marginJson = mpMargin.map { case (t, r, f) =>
+      s""""lsh_mp_margin_t$t":{"recall":${f6(r)},"cand_frac":${f6(f)}}"""
+    }.mkString(",")
     val ivfJson = ivf.map { case (p, r, f) =>
       s""""ivf_p$p":{"recall":${f6(r)},"cand_frac":${f6(f)}}"""
     }.mkString(",")
@@ -141,7 +148,7 @@ object AnnRecallBench {
       s""""planes":$planes,""" +
       s""""lsh_exact":{"recall":${f6(rLsh)},"cand_frac":${f6(fLsh)}},""" +
       s""""lsh_multiprobe":{"recall":${f6(rMp)},"cand_frac":${f6(fMp)}},""" +
-      ivfJson + "}"
+      marginJson + "," + ivfJson + "}"
     println(line)
     System.err.println(line)
     spark.stop()

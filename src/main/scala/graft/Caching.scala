@@ -23,12 +23,27 @@ import org.apache.spark.storage.StorageLevel
 object Caching {
 
   private val tracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private var high = 0
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for [[release]]. */
   def persisted(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked += p
+    high = math.max(high, tracked.size)
     p
+  }
+
+  /** Unpersist ONE registered frame early — for iterative operators
+    * whose round-t frame supersedes round t−1 (star-contraction edge
+    * frames): once the new round is materialized nothing re-reads the
+    * old one, so holding every generation until [[release]] is pure
+    * memory pressure. No-op if `df` is not (or no longer) registered. */
+  def drop(df: DataFrame): Unit = synchronized {
+    val i = tracked.indexWhere(_ eq df)
+    if (i >= 0) {
+      tracked.remove(i)
+      df.unpersist(false)
+    }
   }
 
   /** Unpersist every frame registered since the last release.
@@ -36,8 +51,14 @@ object Caching {
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(false))
     tracked.clear()
+    high = 0
   }
 
   /** Number of currently-registered (unreleased) frames. */
   def trackedCount: Int = synchronized(tracked.size)
+
+  /** High-water mark of concurrently-registered frames since the last
+    * [[release]] — lets a spec pin that an O(log n)-round iterative
+    * operator holds a CONSTANT number of frames, not one per round. */
+  def highWaterMark: Int = synchronized(high)
 }

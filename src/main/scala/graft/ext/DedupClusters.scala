@@ -122,18 +122,29 @@ object DedupClusters {
     // join, convergence except), so the LOGICAL plan would grow ~4×
     // per round — past ~10 rounds even rendering the tree overflows
     // the stack. Restarting each round's frame from the persisted
-    // RDD keeps plan depth constant; the persisted parent stays
-    // registered with Caching for release
+    // RDD keeps plan depth constant. The `df.rdd` hop does pay an
+    // external-Row encoder round-trip on first read of each round's
+    // frame (round-9 advice) — accepted: the frame is two longs wide,
+    // the conversion is one map over the graph-sized (not corpus-
+    // sized) edge set per round, and the alternative (localCheckpoint)
+    // persists OUTSIDE the Caching registry that CLAUDE.md requires
+    // library persists to flow through.
     def cut(df: DataFrame): DataFrame =
       df.sparkSession.createDataFrame(df.rdd, df.schema)
     // canonical working set: (src, dst) with src > dst, deduped —
     // both star steps emit edges pointing at a strictly smaller
     // label, so the invariant is stable across rounds
-    var e = cut(graft.Caching.persisted(
+    var ePersisted = graft.Caching.persisted(
       pairs.filter(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
-        .distinct()))
+        .distinct())
+    var e = cut(ePersisted)
+    var eCount = e.count()
+    // the caller's persisted pair frame fed only the canonical edge
+    // set just materialized — drop it now rather than holding the raw
+    // (pre-dedup) pair graph through every contraction round
+    graft.Caching.drop(pairs)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -152,15 +163,28 @@ object DedupClusters {
       // and its smaller neighbors re-link to the group minimum
       val smins = large.groupBy(col("src")).agg(min(col("dst")).as("__m"))
         .select(col("src").as("__u"), col("__m"))
-      val next = cut(graft.Caching.persisted(
+      val nextPersisted = graft.Caching.persisted(
         large.join(smins, col("src") === col("__u"))
           .select(col("dst").as("src"), col("__m").as("dst"))
           .union(smins.select(col("__u").as("src"), col("__m").as("dst")))
           .filter(col("src") =!= col("dst"))
-          .distinct()))
-      // fixpoint: the canonical edge set reproduced itself
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+          .distinct())
+      val next = cut(nextPersisted)
+      // fixpoint: the canonical edge set reproduced itself. Both sets
+      // are distinct, so equal counts + one empty one-sided difference
+      // ⇒ equality; the previous round's count is carried forward, so
+      // a non-fixpoint round (counts differ — the common case) costs
+      // ONE action, and only the near-fixpoint rounds pay the exceptAll
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
+      // round t's edge frame supersedes round t−1's: nothing re-reads
+      // the old generation once the new one is materialized (round-9
+      // verdict #1 — holding every generation until the caller's
+      // release was O(rounds) candidate-graph-sized cache pressure)
+      graft.Caching.drop(ePersisted)
+      ePersisted = nextPersisted
       e = next
+      eCount = nextCount
       it += 1
     }
     if (!converged) throw new IllegalStateException(

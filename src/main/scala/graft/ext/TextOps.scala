@@ -227,14 +227,60 @@ object TextOps {
     * Pure string surgery on the bucket key (codegen-able built-ins);
     * the probe side explodes, the corpus side stays single-bucket, so
     * joins remain bucket-local. `planes` must match the bucket's
-    * [[lshBucket]]/[[withLshBucket]] plane count. */
-  def lshProbeBuckets(bucket: Column, planes: Int = LshPlanes): Column =
-    array(bucket +: (1 to planes).map { i =>
+    * [[lshBucket]]/[[withLshBucket]] plane count — a mismatch raises
+    * at runtime (a truncated/overlong probe key would otherwise join
+    * NOTHING and silently degrade recall to the exact-bucket level).
+    * For the margin-aware probe order at high plane counts see
+    * [[lshProbeBucketsByMargin]]. */
+  def lshProbeBuckets(bucket: Column, planes: Int = LshPlanes): Column = {
+    val probes = array(bucket +: (1 to planes).map { i =>
       concat(
         substring(bucket, 1, i - 1),
         when(substring(bucket, i, 1) === "1", lit("0")).otherwise(lit("1")),
         substring(bucket, i + 1, planes - i))
     }: _*)
+    when(length(bucket) === planes, probes).otherwise(raise_error(concat(
+      lit(s"lshProbeBuckets: planes=$planes but bucket has length "),
+      length(bucket).cast("string"),
+      lit(" — probe keys would silently match nothing"))))
+  }
+
+  /** Margin-ORDERED multi-probe (the probe-sequence half of Lv et al.,
+    * VLDB'07): instead of the full Hamming-1 ball ([[lshProbeBuckets]],
+    * planes+1 probes), flip only the `probes` most DOUBTFUL planes —
+    * smallest |projection margin| first. A neighbor crosses plane j
+    * with probability shrinking in the query's margin on j, so the
+    * low-margin flips carry almost all the recall: at the 20–30 planes
+    * a 100 TB corpus runs (bucket size n/2^planes), probing T ≈
+    * planes/2 buckets keeps most of the Hamming-1 recall at half the
+    * candidate volume (measured: graft.AnnRecallBench, SCALE.md "ANN
+    * recall"). `margins` is the parallel |projection| array emitted by
+    * [[withLshBucketMargins]]; ties break toward the lower plane index
+    * so the probe list is deterministic. The probe list is ordered:
+    * own bucket, then flips by ascending margin. Raises at runtime if
+    * `bucket` and `margins` disagree on the plane count. */
+  def lshProbeBucketsByMargin(bucket: Column, margins: Column,
+                              probes: Int): Column = {
+    require(probes >= 0, s"probes=$probes must be >= 0")
+    // plane indices (1-based) of the `probes` smallest margins
+    val doubtful = slice(
+      transform(
+        array_sort(zip_with(margins, sequence(lit(1), size(margins)),
+          (m, i) => struct(m.as("m"), i.as("i")))),
+        e => e("i")),
+      1, probes)
+    val flipped = transform(doubtful, i => concat(
+      bucket.substr(lit(1), i - 1),
+      when(bucket.substr(i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      bucket.substr(i + 1, size(margins) - i)))
+    when(length(bucket) === size(margins),
+        concat(array(bucket), flipped))
+      .otherwise(raise_error(concat(
+        lit("lshProbeBucketsByMargin: bucket length "),
+        length(bucket).cast("string"),
+        lit(" != margins length "),
+        size(margins).cast("string"))))
+  }
 
   /** Exact n-gram Jaccard pairs (similarity >= tNum/tDen) via an
     * inverted shingle index with PREFIX FILTERING (the AllPairs/PPJoin
@@ -383,7 +429,26 @@ object TextOps {
     * (positions beyond the actual embedding width join away). */
   def withLshBucket(df: org.apache.spark.sql.DataFrame, idCol: String,
                     embCol: String, maxDim: Int = 4096,
-                    planes: Int = LshPlanes): org.apache.spark.sql.DataFrame = {
+                    planes: Int = LshPlanes): org.apache.spark.sql.DataFrame =
+    withLshBucketImpl(df, idCol, embCol, maxDim, planes, marginsCol = None)
+
+  /** [[withLshBucket]] plus a `margins` column: the parallel
+    * array<double> of |projection| per plane — the per-query doubt
+    * signal [[lshProbeBucketsByMargin]] orders probes by. Identical
+    * bucket values and join shape (the margins ride along the same
+    * grouped sums; no extra pass or shuffle). Margins are only needed
+    * on the QUERY side of an ANN search, but computing them corpus-wide
+    * is free here and keeps one bucketing code path. */
+  def withLshBucketMargins(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           embCol: String, maxDim: Int = 4096,
+                           planes: Int = LshPlanes,
+                           marginsCol: String = "margins"): org.apache.spark.sql.DataFrame =
+    withLshBucketImpl(df, idCol, embCol, maxDim, planes, Some(marginsCol))
+
+  private def withLshBucketImpl(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                embCol: String, maxDim: Int,
+                                planes: Int,
+                                marginsCol: Option[String]): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     val signCols = (0 until planes).map(j =>
       ((conv(substring(md5(concat(lit(s"plane_${j}_"), col("id"))), 1, 1), 16, 10)
@@ -395,12 +460,15 @@ object TextOps {
       .select(col("__id"), (col("__p") + 1).cast("int").as("__i"), col("__v"))
     val projAggs = (0 until planes).map(j =>
       sum(col("__v") * col(s"__s$j")).as(s"__proj$j"))
+    val outCols = col("__id") +:
+      (concat((0 until planes).map(j =>
+        when(col(s"__proj$j") > 0, "1").otherwise("0")): _*).as("bucket") +:
+        marginsCol.toSeq.map(m =>
+          array((0 until planes).map(j => abs(col(s"__proj$j"))): _*).as(m)))
     val buckets = ex.join(broadcast(signs), Seq("__i"))
       .groupBy(col("__id"))
       .agg(projAggs.head, projAggs.tail: _*)
-      .select(col("__id"),
-        concat((0 until planes).map(j =>
-          when(col(s"__proj$j") > 0, "1").otherwise("0")): _*).as("bucket"))
+      .select(outCols: _*)
     df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
   }
 }

@@ -59,25 +59,28 @@ case class NearestCentroid(emb: Expression, centroidsExpr: Expression)
   }
 
   /** The O(k×dim) matrix-content validation, memoized by IDENTITY of
-    * the evaluated literal value: `checkInputDataTypes` is re-entered
-    * via the `resolved` lazy val on expression COPIES throughout
-    * analysis/optimization, and copies share the same Literal child
-    * (and therefore the same evaluated value object) — so a
-    * value-keyed cache is the only memo that survives copying, where
-    * a per-instance lazy val would re-scan per copy (at k=512 ×
-    * dim=768 that is ~400k element reads each time). */
+    * the child EXPRESSION: `checkInputDataTypes` is re-entered via the
+    * `resolved` lazy val on expression COPIES throughout
+    * analysis/optimization, and copies share the same child expression
+    * instance (transform rules rebuild parents, not untouched leaves) —
+    * so an identity-keyed cache survives copying where a per-instance
+    * lazy val would re-scan per copy (at k=512 × dim=768 that is ~400k
+    * element reads each time). Keying on the expression rather than
+    * the evaluated value (round-9 advice) fixes both earlier flaws:
+    * foldable non-Literal children (SQL `array(array(...))`) used to
+    * produce a FRESH value object per eval() and never hit, and the
+    * map held strong references to k×dim matrices for the JVM
+    * lifetime — the weak-keyed map lets an entry go when the plan
+    * holding the expression does. */
   private def contentCheck: TypeCheckResult = {
-    val m = centroidsExpr.eval()
-    if (m == null)
-      return TypeCheckResult.TypeCheckFailure("centroid matrix must be non-null")
-    val cached = NearestCentroid.checked.get(m)
+    val cached = NearestCentroid.checked.get(centroidsExpr)
     if (cached != null) return cached
-    val r = computeContentCheck(m)
-    // crude bound: the cache holds strong refs; distinct centroid
-    // literals per JVM are few (one per fitted model), but don't let a
-    // pathological caller grow it without limit
-    if (NearestCentroid.checked.size > 64) NearestCentroid.checked.clear()
-    NearestCentroid.checked.put(m, r)
+    val m = centroidsExpr.eval()
+    val r =
+      if (m == null)
+        TypeCheckResult.TypeCheckFailure("centroid matrix must be non-null")
+      else computeContentCheck(m)
+    NearestCentroid.checked.put(centroidsExpr, r)
     r
   }
 
@@ -207,9 +210,15 @@ case class NearestCentroid(emb: Expression, centroidsExpr: Expression)
 }
 
 object NearestCentroid {
-  /** Identity-keyed content-check memo (see [[NearestCentroid.contentCheck]]);
-    * identity keys avoid the O(k×dim) hashCode/equals a value-keyed map
-    * would itself pay per lookup. */
-  private val checked = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[Any, TypeCheckResult]())
+  /** Weak identity-keyed content-check memo (see
+    * [[NearestCentroid.contentCheck]]): identity keys avoid the
+    * O(k×dim) hashCode/equals a value-keyed map would pay per lookup
+    * (guava's weakKeys() implies identity equivalence), and weak keys
+    * let entries — and the centroid matrices their keys pin — be
+    * collected once no live plan references the expression, so the
+    * memo never grows without bound and needs no clear() heuristic.
+    * Guava ships on the Spark runtime classpath. */
+  private val checked: java.util.concurrent.ConcurrentMap[Expression, TypeCheckResult] =
+    new com.google.common.collect.MapMaker().weakKeys()
+      .makeMap[Expression, TypeCheckResult]()
 }

@@ -351,34 +351,12 @@ object DocumentQueries {
         .withColumn("nrm", l2norm($"emb")))
       val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
         "vec_id", "emb", k = 8, iters = 2, quantize = Some(6))
-      val cent = model.centroids.toSeq
-        .map { case (cid, c) => (cid.toLong, c.toSeq) }
-        .toDF("cent_id", "cemb")
-        .withColumn("cnrm", l2norm($"cemb"))
-      val simToCent = e.join(broadcast(cent))
-        .select($"vec_id", $"cent_id",
-          cosine($"emb", $"cemb", $"nrm", $"cnrm").as("csim"))
-      // cell assignment and probe selection are rank-1 / rank-2 picks —
-      // partial top-k aggregates (map-side combine), not window sorts
-      val cells = topKPerGroup(simToCent, Seq("vec_id"),
-          $"csim", $"cent_id", 1)
-        .select($"vec_id", $"id".as("cell"))
-      val assigned = e.join(cells, "vec_id")
-      // queries probe their 2 nearest cells
-      val probes = topKPerGroup(simToCent.filter($"vec_id" < 5),
-          Seq("vec_id"), $"csim", $"cent_id", 2)
-        .select($"vec_id".as("query_id"), $"id".as("cell"))
-      val qvec = e.filter($"vec_id" < 5)
-        .select($"vec_id".as("query_id"), $"emb".as("qemb"), $"nrm".as("qnrm"))
-      val scored = assigned
-        .join(broadcast(probes), Seq("cell"))
-        .join(broadcast(qvec), Seq("query_id"))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
-        .distinct()
-      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
-        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+      // queries probe their 2 nearest cells — nprobe is the library
+      // API knob (graft.ext.VectorKMeans.ivfTopK, round 10); the
+      // oracle mirrors nprobe = 2
+      graft.ext.VectorKMeans.ivfTopK(e, "vec_id", "emb", "nrm", model,
+          $"vec_id" < 5, nprobe = 2, k = 3)
+        .select($"query_id", $"neighbor_id", $"rank",
           round($"score", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
     }),

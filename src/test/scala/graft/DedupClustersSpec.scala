@@ -57,6 +57,29 @@ class DedupClustersSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("star contraction holds a constant number of cached frames, not one per round") {
+    // round-9 verdict #1: each contraction round persisted a new edge
+    // frame without releasing the previous round's, so an O(log n)-round
+    // run held every generation of the candidate-graph-sized frame until
+    // the caller's terminal release. Now round t−1 is dropped as soon as
+    // round t materializes: on a 300-node chain (~8 contraction rounds)
+    // the registry high-water mark must stay at the pair frame + two
+    // edge-frame generations — independent of round count.
+    Caching.release() // reset the high-water mark
+    val n = 300
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (1 until n).map(i => (i.toLong, i - 1L)).toDF("a_id", "b_id")
+    val got = DedupClusters.connectedComponents(docs, "doc_id", pairs,
+        driverMaxEdges = 0) // force the distributed path
+      .as[(Long, Long)].collect()
+    val high = Caching.highWaterMark
+    val leftTracked = Caching.trackedCount
+    Caching.release()
+    assert(got.forall(_._2 == 0L)) // still the correct labeling
+    assert(high <= 3, s"cache high-water mark $high: rounds are accumulating frames")
+    assert(leftTracked <= 1, s"$leftTracked frames still tracked after the run")
+  }
+
   test("non-convergence is a hard failure, not a silent partial labeling") {
     val n = 64
     val docs = (0L until n).toDF("doc_id")

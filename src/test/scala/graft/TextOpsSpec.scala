@@ -522,6 +522,92 @@ class TextOpsSpec extends SparkSpec {
     Caching.release()
   }
 
+  test("lshProbeBuckets raises loudly on a plane-count / bucket-length mismatch") {
+    // round-9 advice: a bucket built with planes=8 but probed with the
+    // default 4 used to yield truncated probe keys that join NOTHING —
+    // recall silently degraded to the exact-bucket level
+    val ex = intercept[Exception] {
+      Seq("01101100").toDF("b")
+        .select(explode(TextOps.lshProbeBuckets($"b", planes = 4)).as("p"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("match nothing"), ex.getMessage)
+    // and the matched case still probes
+    val ok = Seq("0110").toDF("b")
+      .select(TextOps.lshProbeBuckets($"b", planes = 4).as("p"))
+      .as[Seq[String]].head()
+    assert(ok.size == 5)
+  }
+
+  test("lshProbeBucketsByMargin: most-doubtful planes first, deterministic ties") {
+    // margins [0.5, 0.1, 0.9, 0.2]: plane 2 (0.1) is most doubtful,
+    // then plane 4 (0.2) — with probes = 2 exactly those flip, in
+    // margin order, after the own bucket
+    val out = Seq(("1010", Seq(0.5, 0.1, 0.9, 0.2))).toDF("b", "m")
+      .select(TextOps.lshProbeBucketsByMargin($"b", $"m", probes = 2).as("p"))
+      .as[Seq[String]].head()
+    assert(out == Seq("1010", "1110", "1011"))
+    // probes = planes reproduces the full Hamming-1 closed ball (as a
+    // set — the ORDER is by margin, not plane index)
+    val full = Seq(("1010", Seq(0.5, 0.1, 0.9, 0.2))).toDF("b", "m")
+      .select(TextOps.lshProbeBucketsByMargin($"b", $"m", probes = 4).as("p"))
+      .as[Seq[String]].head()
+    val ball = Seq("1010").toDF("b")
+      .select(TextOps.lshProbeBuckets($"b").as("p"))
+      .as[Seq[String]].head()
+    assert(full.toSet == ball.toSet && full.head == "1010")
+    assert(full == Seq("1010", "1110", "1011", "0010", "1000"),
+      "flips must be ordered by ascending margin")
+    // equal margins tie toward the lower plane index
+    val tied = Seq(("1010", Seq(0.3, 0.3, 0.3, 0.3))).toDF("b", "m")
+      .select(TextOps.lshProbeBucketsByMargin($"b", $"m", probes = 2).as("p"))
+      .as[Seq[String]].head()
+    assert(tied == Seq("1010", "0010", "1110"))
+    // bucket/margins disagreement raises instead of probing garbage
+    val ex = intercept[Exception] {
+      Seq(("10101", Seq(0.5, 0.1, 0.9, 0.2))).toDF("b", "m")
+        .select(explode(TextOps.lshProbeBucketsByMargin($"b", $"m", 2)).as("p"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("margins length"), ex.getMessage)
+  }
+
+  test("withLshBucketMargins: same buckets, margins = |projections| per plane") {
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 30).map(i =>
+        (i.toLong, Seq.fill(12)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "emb")
+    val plain = TextOps.withLshBucket(df, "vec_id", "emb")
+      .select($"vec_id", $"bucket").as[(Long, String)].collect().toMap
+    val withM = TextOps.withLshBucketMargins(df, "vec_id", "emb")
+      .select($"vec_id", $"bucket", $"margins")
+      .as[(Long, String, Seq[Double])].collect()
+    assert(withM.map(r => r._1 -> r._2).toMap == plain,
+      "margins variant must not change bucket values")
+    // margins are the |projection| of the interpreted per-plane HOF
+    // (same sums, different accumulation order → tolerance, not ==)
+    val hofProj = df.select($"vec_id",
+        array((0 until TextOps.LshPlanes).map { j =>
+          abs(aggregate(sequence(lit(1), size($"emb")), lit(0.0), (acc, i) => {
+            val r = (conv(substring(md5(concat(lit(s"plane_${j}_"), i)), 1, 1), 16, 10)
+              .cast("int").bitwiseAND(lit(1)) * 2 - 1)
+            acc + element_at($"emb", i) * r
+          }))
+        }: _*).as("m"))
+      .as[(Long, Seq[Double])].collect().toMap
+    withM.foreach { case (id, bucket, margins) =>
+      assert(margins.size == TextOps.LshPlanes)
+      val want = hofProj(id)
+      margins.zip(want).foreach { case (got, w) =>
+        assert(math.abs(got - w) < 1e-9, s"vec $id: $got vs $w")
+      }
+      // sign consistency: every margin is the magnitude of a projection
+      // whose sign the bucket bit already encodes
+      assert(margins.forall(_ >= 0.0))
+      assert(bucket.length == TextOps.LshPlanes)
+    }
+  }
+
   test("prefix candidates grow sublinearly vs all-pairs (planted-dup corpus)") {
     // round-8 verdict #4's spec half, on the SAME deterministic
     // generator DedupScaleBench measures (10% planted near-dups; every

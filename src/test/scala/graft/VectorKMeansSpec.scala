@@ -249,6 +249,104 @@ class VectorKMeansSpec extends SparkSpec {
       parQ2.centroids.map(_._2.toSeq).toSeq)
   }
 
+  test("k-means|| candidate set is bounded by oversample·rounds, never corpus-sized") {
+    // the contract initParallel's scaladoc states (round-9 verdict #8):
+    // each round's collect is capped at 4l rows by orderBy(coin)+limit,
+    // so |cands| ≤ 1 + rounds·4l REGARDLESS of corpus size — on this
+    // 1000-row non-degenerate corpus the bound (65) is far below n
+    val rnd = new scala.util.Random(3)
+    val n = 1000
+    val rows = (0L until n).map { id =>
+      (id, Seq.fill(8)(rnd.nextDouble() * 10 - 5))
+    }
+    val df = rows.toDF("vec_id", "emb")
+    val (rounds, l) = (2, 8)
+    val cands = VectorKMeans.parallelCandidates(df, "vec_id", "emb", rounds, l)
+    assert(cands.size <= 1 + rounds * 4 * l,
+      s"${cands.size} candidates exceeds the 1 + rounds·4l = ${1 + rounds * 4 * l} cap")
+    assert(cands.size < n / 4,
+      s"${cands.size} candidates on a $n-row corpus — not dimension-sized")
+    // and enough to seed a model (the draws are ≈ l per round)
+    assert(cands.size >= 4, s"only ${cands.size} candidates drawn")
+  }
+
+  test("k-means|| fails loudly on the degenerate one-outlier corpus") {
+    // the failure mode initParallel's require documents: one outlier
+    // holds ~all of φ, so every clump point's draw probability clips
+    // to ~0 — after the outlier is drawn, φ = 0 ends the draws with
+    // fewer candidates than centers. Constructed deterministically:
+    // the md5-min seed is a clump point (outlier = md5-MAX id), clump
+    // points are identical (d² = 0 ⇒ never drawn).
+    val n = 40L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val outlier = (0L until n).maxBy(id => md5hex(id.toString))
+    val rows = (0L until n).map { id =>
+      val e = if (id == outlier) Seq.fill(8)(1e6) else Seq.fill(8)(0.0)
+      (id, e)
+    }
+    val df = rows.toDF("vec_id", "emb")
+    val ex = intercept[IllegalArgumentException] {
+      VectorKMeans.initParallel(df, "vec_id", "emb", k = 4)
+    }
+    assert(ex.getMessage.contains("k-means|| drew only"), ex.getMessage)
+  }
+
+  test("k-means|| rejects null embeddings with an explicit precondition") {
+    // round-9 advice: a null embedding row used to surface as an NPE
+    // deep in the weighting pass (null group key → getInt(0)) while
+    // being silently excluded from φ and the draws
+    val rows: Seq[(Long, Option[Seq[Double]])] = Seq(
+      1L -> Some(Seq(1.0, 2.0)), 2L -> None, 3L -> Some(Seq(3.0, 4.0)))
+    val df = rows.toDF("vec_id", "emb")
+    val ex = intercept[IllegalArgumentException] {
+      VectorKMeans.initParallel(df, "vec_id", "emb", k = 2)
+    }
+    assert(ex.getMessage.contains("non-null"), ex.getMessage)
+  }
+
+  test("IVF nprobe: candidates grow monotonically and nprobe=k recovers brute force") {
+    // the library-level knob (round-9 verdict #4): probing more cells
+    // only ADDS candidates (nprobe=p candidate set ⊂ nprobe=p+1's, the
+    // assignment being single-cell), and probing every cell degenerates
+    // to exact brute-force search — so recall has a proven ceiling
+    import graft.ext.TextOps.{cosine, l2norm}
+    val df = blobs.withColumn("emb", $"emb".cast("array<double>"))
+      .withColumn("nrm", l2norm($"emb"))
+    val model = VectorKMeans.fit(df, "vec_id", "emb", k = 3, iters = 3)
+    val pred = col("vec_id") < 5
+    val candSets = (1 to 3).map { p =>
+      VectorKMeans.ivfCandidates(df, "vec_id", "emb", "nrm", model, pred, p)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    }
+    assert(candSets(0).subsetOf(candSets(1)) && candSets(1).subsetOf(candSets(2)),
+      "nprobe candidate sets must be nested")
+    // nprobe = k scores every (query, other) pair
+    assert(candSets(2).size == 5 * (30 - 1))
+    val ivfAll = VectorKMeans.ivfTopK(df, "vec_id", "emb", "nrm", model,
+        pred, nprobe = 3, k = 4)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    val brute = graft.ext.TextOps.topKPerGroup(
+        df.as("a").join(df.as("b"), col("a.vec_id") < lit(5) &&
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"),
+            col("b.vec_id").as("neighbor_id"),
+            cosine(col("a.emb"), col("b.emb"), col("a.nrm"), col("b.nrm")).as("cos")),
+        Seq("query_id"), col("cos"), col("neighbor_id"), 4)
+      .select($"query_id", $"id", $"rank").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ivfAll == brute, "nprobe=k must equal exact search")
+    // the knob is validated
+    intercept[IllegalArgumentException] {
+      VectorKMeans.ivfCandidates(df, "vec_id", "emb", "nrm", model, pred, 0)
+    }
+    intercept[IllegalArgumentException] {
+      VectorKMeans.ivfCandidates(df, "vec_id", "emb", "nrm", model, pred, 4)
+    }
+  }
+
   test("fit on sf0.01 reproduces the q50 oracle's embedded literals") {
     // q50's verify gate depends on the runtime fit landing exactly on
     // the centroid literals pasted into the oracle SQL; quantize=6
