@@ -125,13 +125,18 @@ object AnnRecallBench {
 
     // IVF (q50 shape) through the library API knob
     // (VectorKMeans.ivfCandidates, round 10): fitted cells, probe
-    // nprobe nearest cells
+    // nprobe nearest cells. The corpus-wide cell assignment is
+    // computed ONCE and shared across the sweep (ivfAssign's contract);
+    // nprobe clamps to the cell count so a small SPARK_GRAFT_ANN_CELLS
+    // degrades to exact search instead of tripping the API validation
     val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
       "vec_id", "emb", k = kCells, iters = 2)
-    val ivf = Seq(1, 2, 4).map { p =>
+    val cells = Caching.persisted(graft.ext.VectorKMeans.ivfAssign(
+      e, "vec_id", "emb", "nrm", model))
+    val ivf = Seq(1, 2, 4).map(p => math.min(p, kCells)).distinct.map { p =>
       val (r, f) = measure(
         graft.ext.VectorKMeans.ivfCandidates(e, "vec_id", "emb", "nrm",
-          model, $"vec_id" < nQ, nprobe = p),
+          model, $"vec_id" < nQ, nprobe = p, cells = Some(cells)),
         truth)
       (p, r, f)
     }

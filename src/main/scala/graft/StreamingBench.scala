@@ -64,6 +64,11 @@ object StreamingBench {
     val rps = sys.env.getOrElse("SPARK_GRAFT_STREAM_RPS", "200000").toLong
     val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
     val store = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "hdfs")
+    // an unrecognized value must not silently bench the default store
+    // while STAMPING the requested name into the result line — that
+    // would let an A/B "confirm" parity by comparing HDFS to itself
+    require(Set("hdfs", "rocksdb")(store),
+      s"SPARK_GRAFT_STREAM_STORE=$store — use 'hdfs' or 'rocksdb'")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

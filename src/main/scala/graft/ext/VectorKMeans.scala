@@ -100,7 +100,10 @@ object VectorKMeans {
       .limit(k)
       .collect()
     Model(rows.zipWithIndex.map { case (r, i) =>
-      i -> r.getSeq[Double](1).toArray
+      val v = r.getSeq[Double](1)
+      require(v != null,
+        s"embeddings must be non-null: $embCol is null at $idCol=${r.get(0)}")
+      i -> v.toArray
     })
   }
 
@@ -180,20 +183,30 @@ object VectorKMeans {
     * `orderBy(coin).limit(4l)` caps every round's collect at 4l rows
     * regardless of corpus size or distribution, so |cands| ≤
     * 1 + rounds·4l always (≈ l per round in expectation), and NEVER
-    * corpus-sized. Fails loudly on null embeddings up front (round-9
-    * advice: a null row used to surface as an opaque NPE deep in the
-    * weighting pass, while being silently excluded from φ and draws). */
+    * corpus-sized. Fails loudly on null embeddings (round-9 advice: a
+    * null row used to surface as an opaque NPE deep in the weighting
+    * pass, while being silently excluded from φ and draws) — the
+    * null count rides the first round's φ aggregation for free
+    * rather than paying a dedicated corpus scan; a null picked as the
+    * md5-min seed fails [[init]]'s own non-null require first. */
   private[graft] def parallelCandidates(df: DataFrame, idCol: String,
                                         embCol: String,
                                         rounds: Int, l: Int): Vector[Array[Double]] = {
-    require(df.filter(col(embCol).isNull).limit(1).isEmpty,
-      s"k-means|| requires non-null $embCol for every row " +
-        "(filter nulls out before fitting)")
     var cands = Vector(init(df, idCol, embCol, 1).centroids(0)._2)
     for (r <- 1 to rounds) {
       val m = Model(cands.zipWithIndex.map { case (c, i) => i -> c }.toArray)
       val d2 = m.nearestExpr(col(embCol))("dist2")
-      val phiRow = df.agg(sum(d2)).head()
+      val phiRow =
+        if (r == 1)
+          df.agg(sum(d2),
+            sum(when(col(embCol).isNull, 1L).otherwise(0L))).head()
+        else df.agg(sum(d2)).head()
+      if (r == 1) {
+        val nNull = if (phiRow.isNullAt(1)) 0L else phiRow.getLong(1)
+        require(nNull == 0L,
+          s"embeddings must be non-null: $nNull rows have null $embCol — " +
+            "filter them out before fitting")
+      }
       val phi = if (phiRow.isNullAt(0)) 0.0 else phiRow.getDouble(0)
       if (phi > 0) {
         // md5 coin in [0,1): 15 hex chars = 60 uniform bits / 2^60
@@ -295,30 +308,51 @@ object VectorKMeans {
     * rank ([[ivfTopK]]). Scale shape: the probe and query frames are
     * query-set-sized broadcasts; the only corpus-sized work is the
     * cell-keyed join — never all-pairs. */
-  def ivfCandidates(e: DataFrame, idCol: String, embCol: String,
-                    nrmCol: String, model: Model, queryPred: Column,
-                    nprobe: Int = 2): DataFrame = {
-    require(nprobe >= 1 && nprobe <= model.k,
-      s"nprobe=$nprobe must be in [1, k=${model.k}]")
+  /** Per-vector centroid cosine similarities (id, cent_id, csim) —
+    * one broadcast of the k×dim centroid table against the corpus. */
+  private def centroidSims(e: DataFrame, idCol: String, embCol: String,
+                           nrmCol: String, model: Model): DataFrame = {
     val spark = e.sparkSession
-    graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
-    import TextOps.{cosine, l2norm, topKPerGroup}
+    import TextOps.{cosine, l2norm}
     val cent = model.centroids.toSeq
       .map { case (cid, c) => (cid.toLong, c.toSeq) }
       .toDF("cent_id", "cemb")
       .withColumn("cnrm", l2norm(col("cemb")))
-    val simToCent = e.join(broadcast(cent))
+    e.join(broadcast(cent))
       .select(col(idCol), col("cent_id"),
         cosine(col(embCol), col("cemb"), col(nrmCol), col("cnrm")).as("csim"))
-    // cell assignment and probe selection are rank-1 / rank-nprobe
-    // picks — partial top-k aggregates (map-side combine), not window
-    // sorts
-    val cells = topKPerGroup(simToCent, Seq(idCol),
-        col("csim"), col("cent_id"), 1)
+  }
+
+  /** Corpus-wide IVF cell assignment: (`idCol`, cell) — each vector's
+    * single nearest cell by centroid cosine, as a rank-1 partial
+    * top-k pick (map-side combine, not a window sort). The expensive
+    * per-model pass: an nprobe SWEEP should compute this once,
+    * persist it (through [[graft.Caching.persisted]]), and hand it to
+    * every [[ivfCandidates]] call via `cells` — otherwise each call
+    * re-pays the corpus × k assignment. */
+  def ivfAssign(e: DataFrame, idCol: String, embCol: String,
+                nrmCol: String, model: Model): DataFrame = {
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    TextOps.topKPerGroup(centroidSims(e, idCol, embCol, nrmCol, model),
+        Seq(idCol), col("csim"), col("cent_id"), 1)
       .select(col(idCol), col("id").as("cell"))
-    val assigned = e.join(cells, idCol)
-    val probes = topKPerGroup(simToCent.filter(queryPred),
+  }
+
+  def ivfCandidates(e: DataFrame, idCol: String, embCol: String,
+                    nrmCol: String, model: Model, queryPred: Column,
+                    nprobe: Int = 2,
+                    cells: Option[DataFrame] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.k,
+      s"nprobe=$nprobe must be in [1, k=${model.k}]")
+    graft.plans.GraftExtensions.register(e.sparkSession)
+    import TextOps.{cosine, topKPerGroup}
+    val assigned = e.join(cells.getOrElse(
+      ivfAssign(e, idCol, embCol, nrmCol, model)), idCol)
+    // probe selection is query-set-sized: the predicate pushes below
+    // the centroid join, so only query rows pay the similarity pass
+    val probes = topKPerGroup(
+        centroidSims(e, idCol, embCol, nrmCol, model).filter(queryPred),
         Seq(idCol), col("csim"), col("cent_id"), nprobe)
       .select(col(idCol).as("query_id"), col("id").as("cell"))
     val qvec = e.filter(queryPred)
@@ -334,12 +368,15 @@ object VectorKMeans {
 
   /** Top-`k` IVF ANN per query (see [[ivfCandidates]]): ranks the
     * probed candidates by (cos DESC, neighbor_id ASC) via the partial
-    * top-k aggregate. Output: (query_id, neighbor_id, rank, score). */
+    * top-k aggregate. No dedup pass is needed: a (query, neighbor)
+    * pair arises from at most one probed cell (the neighbor's single
+    * assigned cell), so the candidate frame is duplicate-free by
+    * construction. Output: (query_id, neighbor_id, rank, score). */
   def ivfTopK(e: DataFrame, idCol: String, embCol: String, nrmCol: String,
               model: Model, queryPred: Column, nprobe: Int = 2,
-              k: Int = 10): DataFrame = {
+              k: Int = 10, cells: Option[DataFrame] = None): DataFrame = {
     val scored = ivfCandidates(e, idCol, embCol, nrmCol, model,
-      queryPred, nprobe).distinct()
+      queryPred, nprobe, cells)
     TextOps.topKPerGroup(scored, Seq("query_id"),
         col("cos"), col("neighbor_id"), k)
       .select(col("query_id"), col("id").as("neighbor_id"),
