@@ -25,6 +25,28 @@ class CachingSpec extends SparkSpec {
     assert(cacheEmpty)
   }
 
+  test("drop() releases one frame early; high-water mark tracks the peak") {
+    // the iterative-operator contract (star contraction): round t's
+    // frame supersedes round t−1's, dropped as soon as t materializes —
+    // the registry must shrink immediately, the peak stays observable,
+    // and dropping an unregistered frame is a safe no-op
+    Caching.release()
+    spark.catalog.clearCache()
+    val a = Caching.persisted(spark.range(10).toDF())
+    val b = Caching.persisted(spark.range(20).toDF())
+    assert(a.count() == 10 && b.count() == 20)
+    assert(Caching.trackedCount == 2 && Caching.highWaterMark == 2)
+    Caching.drop(a)
+    assert(Caching.trackedCount == 1)
+    assert(Caching.highWaterMark == 2, "peak must survive the drop")
+    Caching.drop(a) // double-drop: no-op
+    Caching.drop(spark.range(5).toDF()) // never-registered: no-op
+    assert(Caching.trackedCount == 1)
+    Caching.release()
+    assert(Caching.trackedCount == 0 && Caching.highWaterMark == 0)
+    assert(cacheEmpty)
+  }
+
   test("a persisting operator leaves no cache after action + release") {
     Caching.release()
     spark.catalog.clearCache()

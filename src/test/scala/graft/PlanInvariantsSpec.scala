@@ -202,6 +202,12 @@ class PlanInvariantsSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("graft_topk"), p)
     assert(!p.contains("Window"), p)
+    // round 10: the candidate frame is duplicate-free by construction
+    // (single-cell assignment), so no distinct-style re-aggregation of
+    // the scored pairs may appear — a regression re-adding it shows up
+    // as an extra hash exchange over this static bound
+    assert(countOf(p, "Exchange hashpartitioning") <= 3,
+      s"${countOf(p, "Exchange hashpartitioning")} hash exchanges:\n$p")
   }
 
   test("q71 dup spans: interval-union coverage, no per-token explode") {
