@@ -778,16 +778,26 @@ object DocumentQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  /** Projection of `emb` onto md5-derived Rademacher hyperplane `j` —
+    * the SQL twin of [[TextOps.lshBit]]'s aggregate. */
+  private def planeProdSql(j: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, len(emb)),
+        i -> emb[i] * ((CAST(concat('0x', substr(md5('plane_${j}_' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
+        (x, y) -> x + y)"""
+
   /** Same md5-derived Rademacher-hyperplane bucket as [[TextOps.lshBucket]]. */
-  private val lshBucketSql: String = {
-    def planeProd(j: Int) =
-      s"""list_reduce(list_transform(generate_series(1, len(emb)),
-          i -> emb[i] * ((CAST(concat('0x', substr(md5('plane_${j}_' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
-          (x, y) -> x + y)"""
+  private val lshBucketSql: String =
     (0 until LshPlanes)
-      .map(j => s"CASE WHEN ${planeProd(j)} > 0 THEN '1' ELSE '0' END")
+      .map(j => s"CASE WHEN ${planeProdSql(j)} > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
-  }
+
+  /** Per-plane |projection| list — the SQL twin of
+    * [[TextOps.withLshBucketMargins]]'s margins column (1-based like
+    * DuckDB list indexing and the Spark probe's plane indices). */
+  private val lshMarginsSql: String =
+    (0 until LshPlanes)
+      .map(j => s"abs(${planeProdSql(j)})")
+      .mkString("list_value(", ", ", ")")
 
   private val stopIn = enStop.map(s => s"'$s'").mkString("(", ", ", ")")
 
@@ -1386,6 +1396,41 @@ object DocumentQueries {
         .select($"query_id", $"id".as("neighbor_id"), $"rank",
           round($"score", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Margin-ORDERED multi-probe LSH (the probe-sequence half of Lv et
+    // al., VLDB'07): q82's recall lever at a bounded probe budget —
+    // each query flips only its T = 2 most DOUBTFUL planes (smallest
+    // |projection margin|), not the full Hamming-1 ball. The margins
+    // ride the same grouped sums that build the bucket
+    // (TextOps.withLshBucketMargins — no extra pass), the probe list
+    // stays query-side (corpus single-bucket, joins bucket-local), and
+    // the oracle recomputes projections, margins, the (margin, plane)
+    // probe ranking, and the flips independently. Measured
+    // recall-per-candidate vs the full ball: SCALE.md round 10.
+    "q83_lsh_margin_probe" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = graft.Caching.persisted(graft.ext.TextOps.withLshBucketMargins(
+        embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb"))
+      // probes are distinct buckets and a neighbor lives in exactly
+      // one, so the explode introduces no duplicate (query, neighbor)
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"),
+          explode(graft.ext.TextOps.lshProbeBucketsByMargin(
+            $"bucket", $"margins", probes = 2)).as("qbucket"))
+      val scored = e.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
     })
   )
 
@@ -1509,6 +1554,41 @@ object DocumentQueries {
                   substr(qbucket, i + 1)
            END pbucket
            FROM q0, fl),
+         p AS (SELECT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM n JOIN q ON bucket = pbucket AND vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // Independent recomputation of the margin-ordered probe sequence:
+    // projections, |margin| list, the (margin, plane) ranking, and the
+    // T=2 flips are all rebuilt from the raw embeddings — not a mirror
+    // of the Spark plan.
+    "q83_lsh_margin_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
+           $lshBucketSql bucket, $lshMarginsSql margins FROM e),
+         q0 AS (SELECT vec_id query_id, emb qemb, nrm qnrm,
+             bucket qbucket, margins qmargins
+           FROM n WHERE vec_id < 20),
+         pl AS (SELECT query_id, qemb, qnrm, qbucket, i, qmargins[i] m
+           FROM q0, generate_series(1, ${LshPlanes}) g(i)),
+         sel AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY m, i) prb
+           FROM pl),
+         q AS (
+           SELECT query_id, qemb, qnrm, qbucket pbucket FROM q0
+           UNION ALL
+           SELECT query_id, qemb, qnrm,
+             substr(qbucket, 1, i - 1) ||
+               (CASE WHEN substr(qbucket, i, 1) = '1'
+                     THEN '0' ELSE '1' END) ||
+               substr(qbucket, i + 1) pbucket
+           FROM sel WHERE prb <= 2),
          p AS (SELECT query_id, vec_id neighbor_id,
            ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
            FROM n JOIN q ON bucket = pbucket AND vec_id <> query_id),

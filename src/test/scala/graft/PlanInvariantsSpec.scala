@@ -139,6 +139,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q83 margin probe lsh: bucket-equality hash join, never a cartesian") {
+    val p = plan("q83_lsh_margin_probe")
+    // the margin-ordered probe list is query-side string surgery: the
+    // corpus side must stay single-bucket behind a hash join — the
+    // margin ranking must never leak a sort/window over the corpus or
+    // degrade the bucket join into a nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q26 jaccard: prefix-filtered self-join, never a cartesian product") {
     val p = plan("q26_jaccard_pairs")
     assert(!p.contains("CartesianProduct"), p)
