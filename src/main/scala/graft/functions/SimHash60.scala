@@ -64,25 +64,63 @@ object SimHash60 {
   /** First 15 hex chars of md5(token) as a base-16 number — identical
     * to `conv(substring(md5(s), 1, 15), 16, 10)` ([[graft.ext.TextOps.hash60]]). */
   def hash60(token: String): Long = {
-    val d = md5.get().digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5.get()
+    md.update(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest60(md)
+  }
+
+  private def digest60(md: java.security.MessageDigest): Long = {
+    val d = md.digest() // resets the digest for the next token
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     (v << 4) | ((d(7) & 0xFF) >>> 4)
   }
 
+  /** `\s` without UNICODE_CHARACTER_CLASS is exactly the six ASCII
+    * separators — and ASCII bytes never occur inside a multi-byte
+    * UTF-8 sequence, so tokenizing on raw UTF-8 bytes is equivalent
+    * to tokenizing the decoded string. */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** The byte-level twin of `text.split("\\s+", -1)` + [[hash60]] per
+    * token + per-bit vote: tokens are maximal runs of non-whitespace
+    * BYTES fed to md5 as slices of the UTF-8 buffer — the same bytes
+    * the old path re-encoded per token through
+    * decode(toString) → regex split → String alloc → getBytes, which
+    * profiling showed was the streaming near-dup throughput ceiling
+    * (SCALE.md round 10: the projection arm, not the state store).
+    * Split-semantics parity (spec-pinned on adversarial fixtures):
+    * a leading separator yields one empty token, a trailing separator
+    * (limit -1) yields one empty token, interior runs collapse, and
+    * the empty string is a single empty token. */
   def compute(s: UTF8String): Long = {
-    val toks = s.toString.split("\\s+", -1)
+    val bytes = s.getBytes
+    val n = bytes.length
     val votes = new Array[Int](Bits)
-    var t = 0
-    while (t < toks.length) {
-      val h = hash60(toks(t))
+    val md = md5.get()
+    def vote(h: Long): Unit = {
       var b = 0
       while (b < Bits) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
-      t += 1
+    }
+    if (n == 0) vote(digest60(md)) // "" splits to one empty token
+    else {
+      if (isWs(bytes(0))) vote(digest60(md)) // leading empty token
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(bytes(i))) i += 1
+        if (i < n) {
+          val start = i
+          while (i < n && !isWs(bytes(i))) i += 1
+          md.update(bytes, start, i - start)
+          vote(digest60(md))
+        }
+      }
+      if (isWs(bytes(n - 1))) vote(digest60(md)) // trailing empty token
     }
     var sig = 0L
     var b = 0

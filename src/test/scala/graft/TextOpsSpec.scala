@@ -386,13 +386,19 @@ class TextOpsSpec extends SparkSpec {
     // to the former explode + 60 conditional-sum shape
     val rnd = new scala.util.Random(7)
     val vocab = Seq("alpha", "beta", "gamma", "δδ", "x")
-    val df = Seq.tabulate(40) { i =>
+    // every ASCII separator \s matches — the byte-level tokenizer
+    // (round 10) must agree with the regex split on all of them, on
+    // runs mixing them, and on all-whitespace strings
+    val seps = Seq(" ", "  ", "\t", "\n", "\r", "", "\f", " \t\r ")
+    val df = Seq.tabulate(48) { i =>
       val body =
         if (i == 0) ""
+        else if (i == 1) " \t "  // whitespace-only: two empty tokens
+        else if (i == 2) " " // NBSP is NOT \s — one token
         else Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size)))
-          .mkString(if (rnd.nextBoolean()) " " else "  ")
+          .mkString(seps(rnd.nextInt(seps.size)))
       val s = (if (i % 3 == 0) " " else "") + body +
-        (if (i % 4 == 0) "  " else "")
+        (if (i % 4 == 0) "\t " else "")
       (i.toLong, s)
     }.toDF("doc_id", "text")
     val tok = df.select($"doc_id", explode(TextOps.words($"text")).as("w"))
