@@ -75,39 +75,94 @@ object MinHashSig {
     * `conv(substring(md5(s), 1, 7), 16, 10)` ([[graft.ext.TextOps.hash28]]):
     * bytes 0–2 big-endian shifted left 4, plus byte 3's high nibble. */
   def hash28(s: String): Long = {
-    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5.get()
+    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest28(md)
+  }
+
+  private def digest28(md: java.security.MessageDigest): Long = {
+    val d = md.digest() // resets the digest for the next shingle
     val v = ((d(0) & 0xFFL) << 16) | ((d(1) & 0xFFL) << 8) | (d(2) & 0xFFL)
     (v << 4) | ((d(3) & 0xFF) >>> 4)
   }
 
+  /** Byte-level form (round 10, same argument as [[SimHash60.compute]]):
+    * tokens are maximal non-whitespace BYTE runs of the UTF-8 buffer
+    * (`\s` is ASCII-only, so byte and string tokenization agree,
+    * including the leading/trailing empty tokens `split(_, -1)` keeps);
+    * each shingle's bytes are materialized ONCE — token slices joined
+    * by ' ' — and shared by the md5 id, the distinct set (UTF8String
+    * hashes its bytes), and the output array, replacing the old
+    * decode → regex split → StringBuilder → String-set → re-encode →
+    * fromString chain that paid two codec passes per shingle. */
   def compute(s: UTF8String): InternalRow = {
-    val w = s.toString.split("\\s+", -1)
-    if (w.length < K) return null
-    val seen = new java.util.LinkedHashSet[String]()
-    var i = 0
-    while (i <= w.length - K) {
-      val sb = new java.lang.StringBuilder(w(i))
-      var j = 1
-      while (j < K) { sb.append(' ').append(w(i + j)); j += 1 }
-      seen.add(sb.toString)
-      i += 1
+    val bytes = s.getBytes
+    val n = bytes.length
+    // token ranges reproducing split("\\s+", -1): a leading separator
+    // yields one empty token, a trailing one yields one empty token,
+    // interior runs collapse, and "" is a single empty token
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var ntok = 0
+    def addTok(a: Int, b: Int): Unit = {
+      if (ntok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, ntok * 2)
+        ends = java.util.Arrays.copyOf(ends, ntok * 2)
+      }
+      starts(ntok) = a; ends(ntok) = b; ntok += 1
     }
+    if (n == 0) addTok(0, 0)
+    else {
+      if (SimHash60.isWs(bytes(0))) addTok(0, 0)
+      var i = 0
+      while (i < n) {
+        while (i < n && SimHash60.isWs(bytes(i))) i += 1
+        if (i < n) {
+          val st = i
+          while (i < n && !SimHash60.isWs(bytes(i))) i += 1
+          addTok(st, i)
+        }
+      }
+      if (SimHash60.isWs(bytes(n - 1))) addTok(n, n)
+    }
+    if (ntok < K) return null
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var t = 0
+    while (t <= ntok - K) {
+      var len = K - 1
+      var j = 0
+      while (j < K) { len += ends(t + j) - starts(t + j); j += 1 }
+      val g = new Array[Byte](len)
+      var p = 0
+      j = 0
+      while (j < K) {
+        if (j > 0) { g(p) = ' '; p += 1 }
+        val l = ends(t + j) - starts(t + j)
+        System.arraycopy(bytes, starts(t + j), g, p, l)
+        p += l
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(g))
+      t += 1
+    }
+    val md = md5.get()
     val mins = new Array[Long](NumHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val sh = new Array[AnyRef](seen.size())
     val it = seen.iterator()
-    var n = 0
+    var c = 0
     while (it.hasNext) {
       val g = it.next()
-      sh(n) = UTF8String.fromString(g)
-      val id = hash28(g)
+      sh(c) = g
+      md.update(g.getBytes)
+      val id = digest28(md)
       var j = 0
       while (j < NumHashes) {
         val v = (id * A(j) + B(j)) % Prime
         if (v < mins(j)) mins(j) = v
         j += 1
       }
-      n += 1
+      c += 1
     }
     InternalRow(new GenericArrayData(sh), new GenericArrayData(mins))
   }

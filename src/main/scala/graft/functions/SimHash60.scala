@@ -80,8 +80,8 @@ object SimHash60 {
   /** `\s` without UNICODE_CHARACTER_CLASS is exactly the six ASCII
     * separators — and ASCII bytes never occur inside a multi-byte
     * UTF-8 sequence, so tokenizing on raw UTF-8 bytes is equivalent
-    * to tokenizing the decoded string. */
-  private def isWs(b: Byte): Boolean =
+    * to tokenizing the decoded string. Shared with [[MinHashSig]]. */
+  private[functions] def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
   /** The byte-level twin of `text.split("\\s+", -1)` + [[hash60]] per

@@ -425,11 +425,19 @@ class TextOpsSpec extends SparkSpec {
   test("graft_minhash_sig equals the declarative shingle-agg formulation") {
     val rnd = new scala.util.Random(13)
     val vocab = Seq("lorem", "ipsum", "dolor", "sit", "amet", "ñü")
+    // mixed ASCII separators + leading/trailing whitespace: the byte
+    // tokenizer (round 10) must build the same shingles — including
+    // ones containing the empty tokens split(_, -1) keeps — as the
+    // declarative regex-split side
+    val seps = Seq(" ", "  ", "\t", "\n", " \r ")
     val df = Seq.tabulate(40) { i =>
       // includes docs with 0/1/2 words (must return null) and repeated
       // shingles (set semantics)
       val words = Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
-      (i.toLong, words.mkString(" "))
+      val s = (if (i % 5 == 0) "\t" else "") +
+        words.mkString(seps(rnd.nextInt(seps.size))) +
+        (if (i % 7 == 0) " " else "")
+      (i.toLong, s)
     }.toDF("doc_id", "text")
     val decl = TextOps.shingleRows(df, "doc_id", "text")
       .withColumn("id28", TextOps.hash28($"shingle"))
