@@ -88,43 +88,17 @@ object MinHashSig {
 
   /** Byte-level form (round 10, same argument as [[SimHash60.compute]]):
     * tokens are maximal non-whitespace BYTE runs of the UTF-8 buffer
-    * (`\s` is ASCII-only, so byte and string tokenization agree,
-    * including the leading/trailing empty tokens `split(_, -1)` keeps);
-    * each shingle's bytes are materialized ONCE — token slices joined
-    * by ' ' — and shared by the md5 id, the distinct set (UTF8String
-    * hashes its bytes), and the output array, replacing the old
-    * decode → regex split → StringBuilder → String-set → re-encode →
-    * fromString chain that paid two codec passes per shingle. */
+    * ([[SimHash60.tokenRanges]] — the shared single copy of the
+    * `split("\\s+", -1)` empty-token semantics); each shingle's bytes
+    * are materialized ONCE — token slices joined by ' ' — and shared
+    * by the md5 id, the distinct set (UTF8String hashes its bytes),
+    * and the output array, replacing the old decode → regex split →
+    * StringBuilder → String-set → re-encode → fromString chain that
+    * paid two codec passes per shingle. Input contract: well-formed
+    * UTF-8 (see [[SimHash60.tokenRanges]]). */
   def compute(s: UTF8String): InternalRow = {
     val bytes = s.getBytes
-    val n = bytes.length
-    // token ranges reproducing split("\\s+", -1): a leading separator
-    // yields one empty token, a trailing one yields one empty token,
-    // interior runs collapse, and "" is a single empty token
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var ntok = 0
-    def addTok(a: Int, b: Int): Unit = {
-      if (ntok == starts.length) {
-        starts = java.util.Arrays.copyOf(starts, ntok * 2)
-        ends = java.util.Arrays.copyOf(ends, ntok * 2)
-      }
-      starts(ntok) = a; ends(ntok) = b; ntok += 1
-    }
-    if (n == 0) addTok(0, 0)
-    else {
-      if (SimHash60.isWs(bytes(0))) addTok(0, 0)
-      var i = 0
-      while (i < n) {
-        while (i < n && SimHash60.isWs(bytes(i))) i += 1
-        if (i < n) {
-          val st = i
-          while (i < n && !SimHash60.isWs(bytes(i))) i += 1
-          addTok(st, i)
-        }
-      }
-      if (SimHash60.isWs(bytes(n - 1))) addTok(n, n)
-    }
+    val (starts, ends, ntok) = SimHash60.tokenRanges(bytes)
     if (ntok < K) return null
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var t = 0

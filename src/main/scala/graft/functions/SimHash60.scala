@@ -84,43 +84,72 @@ object SimHash60 {
   private[functions] def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
+  /** Token byte ranges reproducing `split("\\s+", -1)` — the ONE copy
+    * of the subtle empty-token semantics both signature expressions
+    * share: a leading separator yields one empty token, a trailing one
+    * yields one empty token, interior runs collapse, and the empty
+    * string is a single empty token. Returns (starts, ends, count);
+    * the arrays may be longer than count.
+    *
+    * Input contract (also the bit-identity contract of the byte-level
+    * hashing): `bytes` is WELL-FORMED UTF-8, which parquet/Spark
+    * string columns guarantee. On malformed bytes (a binary column
+    * cast around validation) the old decode path would have replaced
+    * invalid sequences with U+FFFD before hashing; the byte path
+    * hashes them as-is. */
+  private[functions] def tokenRanges(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val n = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var ntok = 0
+    def addTok(a: Int, b: Int): Unit = {
+      if (ntok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, ntok * 2)
+        ends = java.util.Arrays.copyOf(ends, ntok * 2)
+      }
+      starts(ntok) = a; ends(ntok) = b; ntok += 1
+    }
+    if (n == 0) addTok(0, 0)
+    else {
+      if (isWs(bytes(0))) addTok(0, 0)
+      var i = 0
+      while (i < n) {
+        while (i < n && isWs(bytes(i))) i += 1
+        if (i < n) {
+          val st = i
+          while (i < n && !isWs(bytes(i))) i += 1
+          addTok(st, i)
+        }
+      }
+      if (isWs(bytes(n - 1))) addTok(n, n)
+    }
+    (starts, ends, ntok)
+  }
+
   /** The byte-level twin of `text.split("\\s+", -1)` + [[hash60]] per
     * token + per-bit vote: tokens are maximal runs of non-whitespace
-    * BYTES fed to md5 as slices of the UTF-8 buffer — the same bytes
-    * the old path re-encoded per token through
+    * BYTES ([[tokenRanges]]) fed to md5 as slices of the UTF-8
+    * buffer — the same bytes the old path re-encoded per token through
     * decode(toString) → regex split → String alloc → getBytes, which
     * profiling showed was the streaming near-dup throughput ceiling
     * (SCALE.md round 10: the projection arm, not the state store).
-    * Split-semantics parity (spec-pinned on adversarial fixtures):
-    * a leading separator yields one empty token, a trailing separator
-    * (limit -1) yields one empty token, interior runs collapse, and
-    * the empty string is a single empty token. */
+    * Split-semantics parity is spec-pinned on adversarial fixtures;
+    * input contract: well-formed UTF-8 (see [[tokenRanges]]). */
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
-    val n = bytes.length
+    val (starts, ends, ntok) = tokenRanges(bytes)
     val votes = new Array[Int](Bits)
     val md = md5.get()
-    def vote(h: Long): Unit = {
+    var t = 0
+    while (t < ntok) {
+      md.update(bytes, starts(t), ends(t) - starts(t))
+      val h = digest60(md)
       var b = 0
       while (b < Bits) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
-    }
-    if (n == 0) vote(digest60(md)) // "" splits to one empty token
-    else {
-      if (isWs(bytes(0))) vote(digest60(md)) // leading empty token
-      var i = 0
-      while (i < n) {
-        while (i < n && isWs(bytes(i))) i += 1
-        if (i < n) {
-          val start = i
-          while (i < n && !isWs(bytes(i))) i += 1
-          md.update(bytes, start, i - start)
-          vote(digest60(md))
-        }
-      }
-      if (isWs(bytes(n - 1))) vote(digest60(md)) // trailing empty token
+      t += 1
     }
     var sig = 0L
     var b = 0

@@ -456,8 +456,8 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2.sorted, r._3))).toMap
     assert(native == decl)
     // a doc with < 3 words is null in the native form (dropped by the
-    // declarative explode) — both frames must omit it entirely
-    assert(!native.keySet.exists(decl.keySet.diff(native.keySet).contains))
+    // declarative explode) — both frames must omit the SAME docs
+    assert(native.keySet == decl.keySet)
     // null text propagates to a null struct (then filtered like the
     // short docs), never a throw
     val nullSig = Seq((1L, None: Option[String])).toDF("doc_id", "text")
