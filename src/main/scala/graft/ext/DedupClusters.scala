@@ -57,18 +57,21 @@ object DedupClusters {
     // recomputing the pipeline
     val p = graft.Caching.persisted(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    import spark.implicits._
+    // typed collect: Tuple2[Long, Long] (~40 B each) instead of external
+    // Row objects (~100 B) — the transient probe buffer at the
+    // (driverMaxEdges+1)-row sentinel stays ~40 MB, not ~100 MB
     val collected =
       if (longIds)
         Some(p.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)]
           .limit(driverMaxEdges + 1)
           .collect())
         .filter(_.length <= driverMaxEdges)
       else None
     val labels = collected match {
       case Some(rows) =>
-        val mapping = unionFind(rows.map(r => (r.getLong(0), r.getLong(1))))
-        import spark.implicits._
-        mapping.toSeq.toDF("node", "rep")
+        unionFind(rows).toSeq.toDF("node", "rep")
       case None =>
         starContract(p, maxIters)
     }
@@ -143,7 +146,14 @@ object DedupClusters {
     var eCount = e.count()
     // the caller's persisted pair frame fed only the canonical edge
     // set just materialized — drop it now rather than holding the raw
-    // (pre-dedup) pair graph through every contraction round
+    // (pre-dedup) pair graph through every contraction round. Caveat:
+    // later rounds' frames still carry this lineage, so if an
+    // ePersisted partition is ever LOST (executor death — eviction
+    // under MEMORY_AND_DISK only demotes to disk), recompute falls
+    // back through the full raw pair-detection pipeline. Accepted:
+    // that is a failure-recovery path, not steady state, and holding
+    // the raw graph pinned for all O(log n) rounds costs more memory
+    // than the rare recompute costs time.
     graft.Caching.drop(pairs)
     var converged = false
     var it = 0

@@ -86,11 +86,38 @@ object Multimodal {
       hexAt(h, 12, 4) === "666D7420" && // "fmt "
       hexAt(h, 36, 4) === "64617461" && len >= 44 // "data"
 
+  /** Big-endian unsigned integer of `n` bytes at byte offset `off` —
+    * the network-order twin of [[leUint]] (PNG fields are BE). */
+  private def beUint(h: Column, off: Int, n: Int): Column =
+    conv(hexAt(h, off, n), 16, 10).cast("long")
+
+  /** PNG: 8-byte signature and the mandatory FIRST chunk being IHDR
+    * (13-byte payload at a FIXED offset — the PNG spec pins it), so
+    * width/height live at bytes 16/20 big-endian; anything shorter
+    * than signature+IHDR (33 bytes) falls to opaque. */
+  private def isPngHdr(h: Column, len: Column): Column =
+    hexAt(h, 0, 8) === "89504E470D0A1A0A" &&
+      hexAt(h, 12, 4) === "49484452" && len >= 33 // "IHDR"
+
+  /** JPEG: SOI magic only — frame dimensions need the marker-segment
+    * scan ([[graft.functions.JpegSofDims]]) because APP/EXIF/COM
+    * segments before the SOF have arbitrary length. A JPEG whose scan
+    * fails (truncated, desynced) keeps fmt "jpeg" with null dims: the
+    * payload IS a JPEG by magic, it is just not parseable. */
+  private def isJpegHdr(h: Column, len: Column): Column =
+    hexAt(h, 0, 2) === "FFD8" && len >= 4
+
   def withMediaMeta(df: DataFrame, media: Column, mime: String): DataFrame = {
+    // the JPEG scan is a native expression — make sure it resolves even
+    // when the caller built the session without graft extensions
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val h = hex(substring(media, 1, HeaderBytes))
     val len = length(media).cast("long")
     val isBmp = isBmpHdr(h, len)
     val isWav = isWavHdr(h, len)
+    val isPng = isPngHdr(h, len)
+    val isJpeg = isJpegHdr(h, len)
+    val sof = call_function("graft_jpeg_sof", media)
     val byteRate = leUint(h, 28, 4)
     val dataSize = leUint(h, 40, 4)
     // BITMAPINFOHEADER height is SIGNED int32 (negative = top-down row
@@ -102,14 +129,25 @@ object Multimodal {
     df.withColumn("mime", lit(mime))
       .withColumn("media_len", len)
       .withColumn("fmt",
-        when(isBmp, "bmp").when(isWav, "wav").otherwise("opaque"))
-      .withColumn("width", when(isBmp, leUint(h, 18, 4)))
-      .withColumn("height", when(isBmp, abs(signedHeight)))
+        when(isBmp, "bmp").when(isWav, "wav")
+          .when(isPng, "png").when(isJpeg, "jpeg").otherwise("opaque"))
+      .withColumn("width",
+        when(isBmp, leUint(h, 18, 4))
+          .when(isPng, beUint(h, 16, 4))
+          .when(isJpeg, element_at(sof, 3)))
+      .withColumn("height",
+        when(isBmp, abs(signedHeight))
+          .when(isPng, beUint(h, 20, 4))
+          .when(isJpeg, element_at(sof, 2)))
       .withColumn("sample_rate", when(isWav, leUint(h, 24, 4)))
       .withColumn("n_channels", when(isWav, leUint(h, 22, 2)))
       .withColumn("duration_ms",
         when(isWav && byteRate > 0,
           floor(dataSize * lit(1000.0) / byteRate).cast("long")))
+      // SOF2 (0xC2) is the progressive-DCT frame; null for non-JPEGs
+      // and for JPEGs whose scan found no frame header
+      .withColumn("jpeg_progressive",
+        when(isJpeg, element_at(sof, 1) === 194L))
       .withColumn("content_id", substring(md5(media), 1, 16))
   }
 

@@ -262,11 +262,19 @@ object TextOps {
   def lshProbeBucketsByMargin(bucket: Column, margins: Column,
                               probes: Int): Column = {
     require(probes >= 0, s"probes=$probes must be >= 0")
-    // plane indices (1-based) of the `probes` smallest margins
+    // plane indices (1-based) of the `probes` smallest margins.
+    // The margin is QUANTIZED (9 decimals) before ranking: the two
+    // sides of an oracle comparison accumulate the projection sum in
+    // different orders (Spark partial aggregation vs a sequential
+    // fold), so two near-equal margins could otherwise rank
+    // differently and select different flip planes — the same reason
+    // compared cosines are rounded. Ulp-level noise is ~1e-16 on
+    // unit-scale embeddings; 1e-9 is far above it and far below any
+    // real margin gap.
     val doubtful = slice(
       transform(
         array_sort(zip_with(margins, sequence(lit(1), size(margins)),
-          (m, i) => struct(m.as("m"), i.as("i")))),
+          (m, i) => struct(round(m, 9).as("m"), i.as("i")))),
         e => e("i")),
       1, probes)
     val flipped = transform(doubtful, i => concat(

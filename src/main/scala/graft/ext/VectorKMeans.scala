@@ -90,10 +90,26 @@ object VectorKMeans {
     * cell. */
   final case class KMeansParallel(rounds: Int = 2, oversample: Int = 0) extends Init
 
+  /** `embCol` must be exactly array<double>: the driver-side collects
+    * read rows with `getSeq[Double]`, so an array<float> (or any other
+    * numeric array) would surface as an opaque ClassCastException deep
+    * inside a Lloyd round instead of a named precondition. Callers
+    * cast upstream (`.cast("array<double>")`). */
+  private def requireDoubleArray(df: DataFrame, embCol: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    df.schema(embCol).dataType match {
+      case ArrayType(DoubleType, _) => ()
+      case dt => throw new IllegalArgumentException(
+        s"embedding column $embCol must be array<double>, got ${dt.sql} — " +
+          "cast upstream with .cast(\"array<double>\")")
+    }
+  }
+
   /** Deterministic init: k distinct vectors with smallest md5(id).
     * `embCol` must be array<double> (cast upstream — every caller
-    * reads embeddings via `.cast("array<double>")`). */
+    * reads embeddings via `.cast("array<double>")`; checked loudly). */
   def init(df: DataFrame, idCol: String, embCol: String, k: Int): Model = {
+    requireDoubleArray(df, embCol)
     val rows = df
       .select(col(idCol), col(embCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -120,6 +136,7 @@ object VectorKMeans {
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int,
           iters: Int, quantize: Option[Int] = None,
           seeding: Init = HashSpread): Model = {
+    requireDoubleArray(df, embCol)
     def q(v: Double): Double = quantize match {
       case Some(s) =>
         BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -159,6 +176,7 @@ object VectorKMeans {
     * as a [[fit]] iteration, minus the centroid-update exchange. */
   def initParallel(df: DataFrame, idCol: String, embCol: String, k: Int,
                    rounds: Int = 2, oversample: Int = 0): Model = {
+    requireDoubleArray(df, embCol)
     graft.plans.GraftExtensions.register(df.sparkSession)
     val l = if (oversample > 0) oversample else 2 * k
     val cands = parallelCandidates(df, idCol, embCol, rounds, l)

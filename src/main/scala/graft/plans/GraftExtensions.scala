@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JsonLongKey, MinHashSig, NearestCentroid, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, MinHashSig, NearestCentroid, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -59,6 +59,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_bloom_contains(blob, item)")
         BloomMightContain(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_jpeg_sof"),
+      new ExpressionInfo(classOf[JpegSofDims].getName, "graft_jpeg_sof"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_jpeg_sof(binary)")
+        JpegSofDims(args.head)
       }),
     (FunctionIdentifier("graft_byte_hist"),
       new ExpressionInfo(classOf[ByteHistogram].getName, "graft_byte_hist"),

@@ -1575,7 +1575,8 @@ object DocumentQueries {
          q0 AS (SELECT vec_id query_id, emb qemb, nrm qnrm,
              bucket qbucket, margins qmargins
            FROM n WHERE vec_id < 20),
-         pl AS (SELECT query_id, qemb, qnrm, qbucket, i, qmargins[i] m
+         pl AS (SELECT query_id, qemb, qnrm, qbucket, i,
+             round(qmargins[i], 9) m
            FROM q0, generate_series(1, ${LshPlanes}) g(i)),
          sel AS (SELECT *, row_number() OVER (
              PARTITION BY query_id ORDER BY m, i) prb
