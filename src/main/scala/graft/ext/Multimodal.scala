@@ -7,22 +7,30 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / frame-sample stages.
   *
-  * Header DECODE is real for the codec-free container formats this
-  * environment can exercise — BMP (width/height from the
-  * BITMAPINFOHEADER) and canonical PCM WAV (sample rate / channel count
-  * / duration from the fmt+data chunks) — implemented as codegen'd
-  * byte-level expressions over the binary payload (hex-dump of the
-  * fixed-size header prefix + little-endian reassembly; no UDF, no
-  * shuffle, no driver involvement). Compressed codecs (JPEG entropy
-  * decode, MP3 frames, video) need native libraries this container does
-  * not ship; for those the FEATURE-extraction stage below stays a
+  * Header DECODE is real for the container formats whose dimension /
+  * rate fields are plain public byte layouts — BMP (width/height from
+  * the BITMAPINFOHEADER), canonical PCM WAV (sample rate / channel
+  * count / duration from the fmt+data chunks), PNG (width/height from
+  * the spec-pinned IHDR chunk) and JPEG (width/height/progressive from
+  * the first SOFn frame header, found by walking the ITU-T T.81 marker
+  * chain). BMP/WAV/PNG fields sit at fixed offsets and are parsed as
+  * codegen'd expressions over a hex dump of a bounded 64-byte header
+  * slice; JPEG needs the native marker scan
+  * [[graft.functions.JpegSofDims]] because APP/EXIF/COM segments before
+  * the SOF have arbitrary length — that scan is per-row
+  * O(#marker segments) with early exit at the first SOF (and it stops
+  * at SOS, where entropy-coded data starts, so the payload body is
+  * never walked; the worst case — a payload that is ALL marker
+  * segments, e.g. fill-byte padding after SOI — is O(payload)). No UDF,
+  * no shuffle, no driver involvement anywhere. Full ENTROPY decode
+  * (JPEG DCT, MP3 frames, video) needs codec libraries this container
+  * does not ship; for those the FEATURE-extraction stage below stays a
   * clearly-marked deterministic STUB behind a pluggable
   * `binary → array<float>` slot, so a real embedding/decoder UDF drops
   * in without touching any plumbing.
   *
-  * Scale design: per-row map work only; `hex` is applied to a bounded
-  * 64-byte header slice (never the whole payload), binary payloads stay
-  * columnar in parquet and are never collected. Feature vectors are
+  * Scale design: per-row map work only; binary payloads stay columnar
+  * in parquet and are never collected. Feature vectors are
   * `array<float>` compatible with the similarity-search operators in
   * [[TextOps]] / `DocumentQueries`.
   */
@@ -54,7 +62,7 @@ object Multimodal {
   /** Typed metadata for an opaque media payload. Detects the container
     * format from its magic bytes and parses the REAL header fields:
     *
-    *   - `fmt`: "bmp" | "wav" | "opaque"
+    *   - `fmt`: "bmp" | "wav" | "png" | "jpeg" | "opaque"
     *   - BMP (magic "BM", ≥ 54 bytes): `width`, `height` from the
     *     BITMAPINFOHEADER int32s at byte offsets 18 / 22 (little-endian;
     *     height is signed — top-down bitmaps store it negative — and is
@@ -64,10 +72,20 @@ object Multimodal {
     *     extra-chunk layouts fall to opaque): `sample_rate` (offset 24),
     *     `n_channels` (offset 22), `duration_ms` = floor(data_size *
     *     1000 / byte_rate) from offsets 40 / 28
+    *   - PNG (8-byte signature + IHDR as first chunk, ≥ 33 bytes):
+    *     `width`, `height` from the IHDR big-endian uint32s at byte
+    *     offsets 16 / 20 (the PNG spec pins IHDR first, so the offsets
+    *     are fixed)
+    *   - JPEG (SOI magic): `width`, `height` and `jpeg_progressive`
+    *     (SOF2 frame) from the first SOFn segment found by the native
+    *     marker scan [[graft.functions.JpegSofDims]]; a JPEG-by-magic
+    *     payload whose scan fails (truncated, marker desync, SOS before
+    *     any SOF) keeps fmt "jpeg" with null dimensions
     *   - non-matching fields are null; every payload gets `mime`,
     *     `media_len` (bytes) and a 64-bit `content_id` (md5 prefix).
     *
-    * All pure codegen'd expressions over a 64-byte header slice. */
+    * All pure codegen'd expressions — fixed-offset fields over a
+    * 64-byte header slice, plus the early-exit JPEG marker scan. */
   /** BMP detection over the hex header dump (magic "BM", full
     * BITMAPINFOHEADER present) — the ONE detector shared by header
     * parsing and feature extraction, so they can never disagree about
@@ -107,10 +125,14 @@ object Multimodal {
   private def isJpegHdr(h: Column, len: Column): Column =
     hexAt(h, 0, 2) === "FFD8" && len >= 4
 
-  def withMediaMeta(df: DataFrame, media: Column, mime: String): DataFrame = {
+  /** `media` may be any binary-castable column (string columns are
+    * read as their UTF-8 bytes — the cast below pins that contract;
+    * `graft_jpeg_sof` itself accepts only BinaryType). */
+  def withMediaMeta(df: DataFrame, mediaIn: Column, mime: String): DataFrame = {
     // the JPEG scan is a native expression — make sure it resolves even
     // when the caller built the session without graft extensions
     graft.plans.GraftExtensions.register(df.sparkSession)
+    val media = mediaIn.cast("binary")
     val h = hex(substring(media, 1, HeaderBytes))
     val len = length(media).cast("long")
     val isBmp = isBmpHdr(h, len)
@@ -218,6 +240,56 @@ object Multimodal {
       leHex(lit(40), 4), leHex(width, 4), leHex(height, 4),
       leHex(lit(1), 2), leHex(lit(24), 2), lit("00" * 24),
       hex(pixelData)))
+  }
+
+  /** Big-endian hex encoding of numeric column `v` in `n` bytes — the
+    * network-order twin of [[leHex]] (PNG/JPEG fields are BE). */
+  def beHex(v: Column, n: Int): Column = lpad(hex(v.cast("long")), 2 * n, "0")
+
+  /** CRC-32 chunk trailer: PNG uses the standard ISO-3309 CRC-32 over
+    * chunk type + chunk data — exactly Spark's `crc32` — so builder
+    * output is structurally valid PNG, not just magic-compatible. */
+  private def pngChunk(chunkType: String, dataHex: Column): Column = {
+    val body = concat(lit(chunkType), dataHex)
+    concat(beHex(length(dataHex) / 2, 4), body, beHex(crc32(unhex(body)), 4))
+  }
+
+  /** A structurally valid PNG file: signature, IHDR (8-bit truecolor,
+    * no interlace) with real CRC-32 trailers, one IDAT-shaped chunk
+    * wrapping `data` raw (NOT zlib-compressed — the scanline stream is
+    * fake, the container structure is real), IEND. The parser above
+    * recovers `width`/`height` exactly. Total size = 57 + len(data). */
+  def pngPayload(width: Column, height: Column, data: Column): Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"),
+      pngChunk("49484452", concat(beHex(width, 4), beHex(height, 4),
+        lit("0802000000"))), // bit depth 8, color 2 (RGB), no interlace
+      pngChunk("49444154", hex(data)),
+      pngChunk("49454E44", lit(""))))
+
+  /** A JPEG interchange stream with a real marker chain: SOI, APP0/JFIF
+    * (fixed 16-byte segment), a COM segment carrying `comPad` filler
+    * bytes (it moves the SOF to a per-row VARIABLE offset, so a parser
+    * that assumed fixed offsets — instead of walking the chain — cannot
+    * pass), SOF0 (or SOF2 when `progressive`) declaring a 3-component
+    * `width`×`height` frame, SOS, `data` raw as stand-in entropy bytes,
+    * EOI. The parser above recovers `width`/`height`/`jpeg_progressive`
+    * exactly (it stops at SOS, so the fake entropy stream is never
+    * walked). Total size = 59 + comPad + len(data); dimensions must fit
+    * the SOF's 2-byte fields (< 65536). */
+  def jpegPayload(width: Column, height: Column, progressive: Column,
+                  comPad: Column, data: Column): Column = {
+    val sof = when(progressive, "FFC2").otherwise(lit("FFC0"))
+    unhex(concat(
+      lit("FFD8"), // SOI
+      lit("FFE000104A46494600010100004800480000"), // APP0: JFIF 1.1
+      lit("FFFE"), beHex(comPad + 2, 2), // COM, length includes itself
+      call_function("repeat", lit("20"), comPad.cast("int")),
+      sof, lit("001108"), // SOF len 17, precision 8
+      beHex(height, 2), beHex(width, 2),
+      lit("03012200021101031101"), // 3 components
+      lit("FFDA000C03010002110311003F00"), // SOS
+      hex(data), lit("FFD9"))) // EOI
   }
 
   /** A canonical 44-byte-header PCM WAV file (16-bit samples) around

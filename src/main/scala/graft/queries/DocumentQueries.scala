@@ -1431,10 +1431,55 @@ object DocumentQueries {
         .select($"query_id", $"id".as("neighbor_id"), $"rank",
           round($"score", 6).as("cosine"))
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Multimodal header decode, the formats real corpora ship: each
+    // document's text bytes are wrapped in a structurally valid PNG
+    // (even doc_id — real IHDR + CRC-32 trailers) or JPEG (odd doc_id —
+    // real SOI/APP0/COM/SOFn/SOS marker chain) whose dimensions, COM
+    // padding length (JPEG: it moves the SOF to a per-row VARIABLE
+    // offset, so the native marker scan has to actually walk the chain)
+    // and progressive flag are all derived from doc_id; then
+    // Multimodal.withMediaMeta parses the actual bytes back. The oracle
+    // does NOT mirror the parser — it recomputes every field (including
+    // total byte length) from doc_id arithmetic, so a wrong offset,
+    // endianness, or marker-walk bug breaks the hash (the q52 pattern).
+    // Per-row map work, no shuffle.
+    "q85_image_header" -> ((s, d) => {
+      import s.implicits._
+      val width = ($"doc_id" % 509 + 1).cast("long")
+      val height = ($"doc_id" * 7 % 509 + 1).cast("long")
+      val pad = ($"doc_id" % 61).cast("long")
+      val progressive = $"doc_id" % 4 === 3
+      val payload = encode($"text", "UTF-8")
+      val media = when($"doc_id" % 2 === 0,
+          graft.ext.Multimodal.pngPayload(width, height, payload))
+        .otherwise(graft.ext.Multimodal.jpegPayload(
+          width, height, progressive, pad, payload))
+      val mf = documents(s, d).select($"doc_id", media.as("media"))
+      graft.ext.Multimodal.withMediaMeta(mf, $"media", "image/*")
+        .select($"doc_id", $"fmt", $"media_len", $"width", $"height",
+          $"jpeg_progressive")
+        .orderBy($"doc_id")
     })
   )
 
   private val oraclesB: Map[String, String] = Map(
+
+    // Independent recomputation from doc_id arithmetic — deliberately
+    // NOT a re-implementation of the byte-level parser or the marker
+    // walk (media_len encodes the full container framing: PNG = 57
+    // structure bytes + payload; JPEG = 59 marker-chain bytes + COM
+    // padding + payload).
+    "q85_image_header" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+         CAST(octet_length(encode(text)) + CASE WHEN doc_id % 2 = 0
+           THEN 57 ELSE 59 + doc_id % 61 END AS BIGINT) AS media_len,
+         CAST(doc_id % 509 + 1 AS BIGINT) AS width,
+         CAST(doc_id * 7 % 509 + 1 AS BIGINT) AS height,
+         CASE WHEN doc_id % 2 = 1 THEN doc_id % 4 = 3 END AS jpeg_progressive
+         FROM documents ORDER BY doc_id""",
 
     "q74_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) w

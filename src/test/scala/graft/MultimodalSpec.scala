@@ -46,6 +46,112 @@ class MultimodalSpec extends SparkSpec {
     0x88, 0x58, 0x01, 0x00, // data size 88200 (offset 40)
     0x00, 0x01, 0x02, 0x03) // (first sample bytes)
 
+  /** Hand-assembled complete PNG: signature + IHDR (width=2, height=3,
+    * 8-bit truecolor) with its REAL CRC-32 trailer + a 4-byte IDAT +
+    * IEND. Big-endian fields written out byte-by-byte. */
+  private val goldenPng: Array[Byte] = b(
+    0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+    0x00, 0x00, 0x00, 0x0D, // IHDR length 13
+    0x49, 0x48, 0x44, 0x52, // "IHDR"
+    0x00, 0x00, 0x00, 0x02, // width 2  (offset 16, BE)
+    0x00, 0x00, 0x00, 0x03, // height 3 (offset 20, BE)
+    0x08, 0x02, 0x00, 0x00, 0x00, // 8-bit, truecolor, no interlace
+    0x36, 0x88, 0x49, 0xD6, // CRC-32("IHDR"+data) — real
+    0x00, 0x00, 0x00, 0x04, // IDAT length 4
+    0x49, 0x44, 0x41, 0x54, 0x00, 0x01, 0x02, 0x03, // "IDAT" + bytes
+    0x40, 0xDE, 0xBE, 0x08, // CRC-32 — real
+    0x00, 0x00, 0x00, 0x00, // IEND length 0
+    0x49, 0x45, 0x4E, 0x44, // "IEND"
+    0xAE, 0x42, 0x60, 0x82) // CRC-32 — real
+
+  // JPEG marker-chain segments, assembled per fixture below
+  private val jpegSoi = b(0xFF, 0xD8)
+  private val jpegApp0 = b( // 16-byte JFIF 1.1 APP0
+    0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46, 0x49, 0x46, 0x00, 0x01,
+    0x01, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00)
+  private val jpegApp1Exif = b( // APP1 "Exif\0\0" + minimal TIFF header
+    0xFF, 0xE1, 0x00, 0x10, 0x45, 0x78, 0x69, 0x66, 0x00, 0x00,
+    0x49, 0x49, 0x2A, 0x00, 0x08, 0x00, 0x00, 0x00)
+  /** SOF frame header: height=3, width=2, 3 components. */
+  private def jpegSof(marker: Int) = b(
+    0xFF, marker, 0x00, 0x11, 0x08, 0x00, 0x03, 0x00, 0x02, 0x03,
+    0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+  private val jpegSos = b(
+    0xFF, 0xDA, 0x00, 0x0C, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03,
+    0x11, 0x00, 0x3F, 0x00)
+  private val jpegTail = b(0x12, 0x34, 0xFF, 0xD9) // entropy bytes + EOI
+
+  private def meta(payload: Array[Byte]) = {
+    val df = Seq(Tuple1(payload)).toDF("media")
+    Multimodal.withMediaMeta(df, $"media", "image/*")
+      .select($"fmt", $"width", $"height", $"jpeg_progressive").collect()(0)
+  }
+
+  test("withMediaMeta parses a hand-written PNG (IHDR big-endian)") {
+    val r = meta(goldenPng)
+    assert(r.getString(0) == "png")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.isNullAt(3)) // progressive is a JPEG-only field
+  }
+
+  test("PNG shorter than signature+IHDR, or without IHDR first, is opaque") {
+    val short = goldenPng.take(32) // one byte under the 33-byte minimum
+    assert(meta(short).getString(0) == "opaque")
+    val wrongChunk = goldenPng.clone()
+    wrongChunk(12) = 'i'.toByte // "iHDR" — not the mandatory first chunk
+    val r = meta(wrongChunk)
+    assert(r.getString(0) == "opaque" && r.isNullAt(1))
+  }
+
+  test("baseline JPEG: marker walk skips APP0 and finds SOF0 dims") {
+    val r = meta(jpegSoi ++ jpegApp0 ++ jpegSof(0xC0) ++ jpegSos ++ jpegTail)
+    assert(r.getString(0) == "jpeg")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(!r.getBoolean(3))
+  }
+
+  test("progressive JPEG: SOF2 marker sets jpeg_progressive") {
+    val r = meta(jpegSoi ++ jpegApp0 ++ jpegSof(0xC2) ++ jpegSos ++ jpegTail)
+    assert(r.getString(0) == "jpeg")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getBoolean(3))
+  }
+
+  test("EXIF-prefixed JPEG: APP1 segment is skipped by length, not magic") {
+    val r = meta(jpegSoi ++ jpegApp1Exif ++ jpegApp0 ++ jpegSof(0xC0) ++
+      jpegSos ++ jpegTail)
+    assert(r.getString(0) == "jpeg")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+  }
+
+  test("fill bytes and standalone markers before the SOF are stepped over") {
+    // 0xFF fill padding then a TEM (standalone, no length field)
+    val filled = jpegSoi ++ b(0xFF, 0xFF, 0xFF, 0x01) ++ jpegSof(0xC0) ++
+      jpegSos ++ jpegTail
+    val r = meta(filled)
+    assert(r.getString(0) == "jpeg")
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+  }
+
+  test("DHT (0xC4) is NOT a start-of-frame marker") {
+    // a DHT segment whose payload would fake h=1,w=1 if misread as SOF
+    val dht = b(0xFF, 0xC4, 0x00, 0x08, 0x08, 0x00, 0x01, 0x00, 0x01, 0x00)
+    val r = meta(jpegSoi ++ jpegApp0 ++ dht ++ jpegSof(0xC0) ++ jpegSos ++
+      jpegTail)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L) // from the real SOF
+  }
+
+  test("truncated / desynced / SOS-first JPEGs keep fmt with null dims") {
+    val truncated = jpegSoi ++ jpegApp0 ++ jpegSof(0xC0).take(7)
+    val desync = jpegSoi ++ b(0x00, 0xC0, 0x00, 0x11) // no FF where a marker must be
+    val sosFirst = jpegSoi ++ jpegSos ++ jpegTail // scan data before any SOF
+    for (p <- Seq(truncated, desync, sosFirst)) {
+      val r = meta(p)
+      assert(r.getString(0) == "jpeg")
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
   test("withMediaMeta parses a hand-written BMP header") {
     val df = Seq(Tuple1(goldenBmp)).toDF("media")
     val r = Multimodal.withMediaMeta(df, $"media", "image/bmp")
@@ -110,6 +216,51 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
     // byte rate 8000*2*2 = 32000 B/s → 20 bytes = 0 ms, 6 bytes = 0 ms
     assert(wav == Seq((1L, "wav", 8000L, 2L, 0L), (2L, "wav", 8000L, 2L, 0L)))
+  }
+
+  test("builder → parser round-trip recovers PNG and JPEG fields") {
+    val df = Seq((1L, "somepixeldata"), (2L, "x")).toDF("id", "payload")
+    val png = Multimodal.withMediaMeta(
+      df.select($"id", Multimodal.pngPayload(
+        $"id" + 10, $"id" * 3, encode($"payload", "UTF-8")).as("media")),
+      $"media", "image/png")
+      .select($"id", $"fmt", $"width", $"height", $"media_len")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // media_len = 57 container-structure bytes + payload
+    assert(png == Seq((1L, "png", 11L, 3L, 70L), (2L, "png", 12L, 6L, 58L)))
+    val jpeg = Multimodal.withMediaMeta(
+      df.select($"id", Multimodal.jpegPayload(
+        $"id" + 10, $"id" * 3, $"id" % 2 === 0, ($"id" * 5).cast("int"),
+        encode($"payload", "UTF-8")).as("media")),
+      $"media", "image/jpeg")
+      .select($"id", $"fmt", $"width", $"height", $"jpeg_progressive",
+        $"media_len")
+      .as[(Long, String, Long, Long, Boolean, Long)].collect()
+      .sortBy(_._1).toSeq
+    // media_len = 59 marker-chain bytes + comPad + payload
+    assert(jpeg == Seq((1L, "jpeg", 11L, 3L, false, 77L),
+      (2L, "jpeg", 12L, 6L, true, 70L)))
+  }
+
+  test("pngPayload writes real CRC-32 chunk trailers") {
+    val bytes = Seq(Tuple1("data")).toDF("t")
+      .select(Multimodal.pngPayload(lit(640L), lit(480L),
+        encode($"t", "UTF-8")).as("media"))
+      .as[Array[Byte]].head()
+    // IHDR chunk: type+data at offsets 12..28, CRC trailer at 29..32
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 12, 17)
+    val stored = (16 to 19).map(i => (bytes(13 + i) & 0xFFL) << (8 * (19 - i))).sum
+    assert(stored == crc.getValue)
+  }
+
+  test("withMediaMeta accepts a string media column (cast to UTF-8 bytes)") {
+    val r = Multimodal.withMediaMeta(
+        Seq("plain text").toDF("media"), $"media", "text/plain")
+      .select($"fmt", $"media_len", $"content_id").collect()(0)
+    assert(r.getString(0) == "opaque")
+    assert(r.getLong(1) == 10L)
+    assert(r.getString(2).length == 16)
   }
 
   test("unrecognized payloads fall back to opaque with null header fields") {
