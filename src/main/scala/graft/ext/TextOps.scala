@@ -457,26 +457,79 @@ object TextOps {
                                 embCol: String, maxDim: Int,
                                 planes: Int,
                                 marginsCol: Option[String]): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    val signCols = (0 until planes).map(j =>
-      ((conv(substring(md5(concat(lit(s"plane_${j}_"), col("id"))), 1, 1), 16, 10)
-        .cast("int").bitwiseAND(lit(1))) * 2 - 1).cast("double").as(s"__s$j"))
-    val signs = spark.range(1, maxDim + 1)
-      .select(col("id").cast("int").as("__i") +: signCols: _*)
-    val ex = df
-      .select(col(idCol).as("__id"), posexplode(col(embCol)).as(Seq("__p", "__v")))
-      .select(col("__id"), (col("__p") + 1).cast("int").as("__i"), col("__v"))
-    val projAggs = (0 until planes).map(j =>
-      sum(col("__v") * col(s"__s$j")).as(s"__proj$j"))
+    val proj = lshProjections(df, idCol, embCol, maxDim,
+      (0 until planes).map(j => s"plane_${j}_"))
     val outCols = col("__id") +:
       (concat((0 until planes).map(j =>
         when(col(s"__proj$j") > 0, "1").otherwise("0")): _*).as("bucket") +:
         marginsCol.toSeq.map(m =>
           array((0 until planes).map(j => abs(col(s"__proj$j"))): _*).as(m)))
-    val buckets = ex.join(broadcast(signs), Seq("__i"))
+    val buckets = proj.select(outCols: _*)
+    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
+  }
+
+  /** OR-construction multi-table LSH (the standard AND-OR amplification
+    * of Indyk–Motwani LSH; see also FALCONN/E2LSH practice): `tables`
+    * INDEPENDENT plane sets (table t, plane j is seeded
+    * "plane_t{t}_{j}_" — disjoint from the single-table family, which
+    * q28/q82/q83 pin), each an AND of `planes` sign bits. A neighbor
+    * with per-plane collision probability p is a candidate in at least
+    * one table with probability 1 − (1 − p^planes)^L — the recall
+    * lever that does NOT widen any single table's buckets, at L× the
+    * candidate volume (vs 2× per REMOVED plane for the same recall in
+    * one table, which also doubles bucket size). This is the
+    * complementary lever to [[lshProbeBucketsByMargin]]: probing
+    * spends query-side fan-out, tables spend corpus-side index entries
+    * — at 20–30 planes a 100 TB corpus runs both.
+    *
+    * Adds `bucketsCol`: an array of `tables` bucket keys, element t
+    * prefixed "t:" so keys from different tables can never collide
+    * after an explode. Join shape: explode BOTH sides' arrays and join
+    * on key equality — every join stays bucket-local within one table;
+    * dedup (query, neighbor) after (a pair can collide in several
+    * tables). All `tables`×`planes` projections ride ONE
+    * posexplode → broadcast-sign-join → grouped-sum pass: L tables
+    * cost L× sum columns, not L× shuffles. */
+  def withLshBucketTables(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          embCol: String, maxDim: Int = 4096,
+                          planes: Int = LshPlanes, tables: Int = 2,
+                          bucketsCol: String = "buckets"): org.apache.spark.sql.DataFrame = {
+    require(tables >= 1, s"tables=$tables must be >= 1")
+    val seeds = for { t <- 0 until tables; j <- 0 until planes }
+      yield s"plane_t${t}_${j}_"
+    val proj = lshProjections(df, idCol, embCol, maxDim, seeds)
+    val buckets = array((0 until tables).map(t =>
+      concat(lit(s"$t:") +: (0 until planes).map(j =>
+        when(col(s"__proj${t * planes + j}") > 0, "1").otherwise("0")): _*)): _*)
+    val keyed = proj.select(col("__id"), buckets.as(bucketsCol))
+    df.join(keyed, df(idCol) === keyed("__id")).drop("__id")
+  }
+
+  /** The shared projection core of [[withLshBucket]] /
+    * [[withLshBucketMargins]] / [[withLshBucketTables]]: grouped-sum
+    * projections of `embCol` onto one md5-derived Rademacher hyperplane
+    * per seed (component i of the plane seeded `s` is
+    * ((md5(s || i) first hex digit) & 1) * 2 − 1, recomputed
+    * identically by the oracles). Returns one row per `idCol` with
+    * columns `__id`, `__proj0` … — computed as posexplode → broadcast
+    * join against a (position, signs…) table → codegen'd grouped sums,
+    * so ALL requested planes share one pass regardless of count. */
+  private def lshProjections(df: org.apache.spark.sql.DataFrame, idCol: String,
+                             embCol: String, maxDim: Int,
+                             seeds: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val signCols = seeds.zipWithIndex.map { case (seed, p) =>
+      ((conv(substring(md5(concat(lit(seed), col("id"))), 1, 1), 16, 10)
+        .cast("int").bitwiseAND(lit(1))) * 2 - 1).cast("double").as(s"__s$p") }
+    val signs = spark.range(1, maxDim + 1)
+      .select(col("id").cast("int").as("__i") +: signCols: _*)
+    val ex = df
+      .select(col(idCol).as("__id"), posexplode(col(embCol)).as(Seq("__p", "__v")))
+      .select(col("__id"), (col("__p") + 1).cast("int").as("__i"), col("__v"))
+    val projAggs = seeds.indices.map(p =>
+      sum(col("__v") * col(s"__s$p")).as(s"__proj$p"))
+    ex.join(broadcast(signs), Seq("__i"))
       .groupBy(col("__id"))
       .agg(projAggs.head, projAggs.tail: _*)
-      .select(outCols: _*)
-    df.join(buckets, df(idCol) === buckets("__id")).drop("__id")
   }
 }

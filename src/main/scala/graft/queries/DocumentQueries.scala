@@ -778,12 +778,24 @@ object DocumentQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  /** Projection of `emb` onto the md5-derived Rademacher hyperplane
+    * seeded `seed` — the SQL twin of [[TextOps.lshBit]]'s aggregate
+    * (and of the generalized seed list in TextOps.lshProjections). */
+  private def planeProdSeedSql(seed: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len(emb)),
+        i -> emb[i] * ((CAST(concat('0x', substr(md5('$seed' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
+        (x, y) -> x + y)"""
+
   /** Projection of `emb` onto md5-derived Rademacher hyperplane `j` —
     * the SQL twin of [[TextOps.lshBit]]'s aggregate. */
-  private def planeProdSql(j: Int): String =
-    s"""list_reduce(list_transform(generate_series(1, len(emb)),
-        i -> emb[i] * ((CAST(concat('0x', substr(md5('plane_${j}_' || i), 1, 1)) AS INT) & 1) * 2 - 1)),
-        (x, y) -> x + y)"""
+  private def planeProdSql(j: Int): String = planeProdSeedSql(s"plane_${j}_")
+
+  /** Bucket key of multi-table LSH table `t` ("t:bits") — the SQL twin
+    * of one element of [[TextOps.withLshBucketTables]]'s array. */
+  private def lshTableBucketSql(t: Int): String =
+    (0 until LshPlanes)
+      .map(j => s"CASE WHEN ${planeProdSeedSql(s"plane_t${t}_${j}_")} > 0 THEN '1' ELSE '0' END")
+      .mkString(s"concat('$t:', ", ", ", ")")
 
   /** Same md5-derived Rademacher-hyperplane bucket as [[TextOps.lshBucket]]. */
   private val lshBucketSql: String =
@@ -1433,6 +1445,40 @@ object DocumentQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Multi-table LSH ANN (OR-construction): 2 INDEPENDENT 4-plane
+    // tables; a neighbor is a candidate if it shares the query's bucket
+    // in EITHER table — the recall lever that leaves every table's
+    // bucket granularity (and so its candidate volume per probe)
+    // unchanged. Both sides explode their 2 table keys; the "t:" key
+    // prefix keeps every join bucket-local within one table; a pair
+    // colliding in both tables is deduplicated BEFORE ranking. The
+    // oracle recomputes each table's plane set independently from the
+    // raw embeddings (per-table md5 seeds), unions the two bucket
+    // joins, and dedups the same way.
+    "q84_lsh_multitable" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = graft.Caching.persisted(graft.ext.TextOps.withLshBucketTables(
+        embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb", tables = 2))
+      val corpus = e.select($"vec_id", $"emb", $"nrm",
+        explode($"buckets").as("bucket"))
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"), explode($"buckets").as("qbucket"))
+      val scored = corpus.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      topKPerGroup(scored.distinct(), Seq("query_id"), $"cos",
+          $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Multimodal header decode, the formats real corpora ship: each
     // document's text bytes are wrapped in a structurally valid PNG
     // (even doc_id — real IHDR + CRC-32 trailers) or JPEG (odd doc_id —
@@ -1465,6 +1511,28 @@ object DocumentQueries {
   )
 
   private val oraclesB: Map[String, String] = Map(
+
+    // Each table's plane set is recomputed independently (per-table md5
+    // seeds), the two bucket joins are unioned, and (query, neighbor)
+    // pairs colliding in both tables dedup before ranking — not a
+    // mirror of the Spark plan's exploded-array join.
+    "q84_lsh_multitable" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
+           ${lshTableBucketSql(0)} b0, ${lshTableBucketSql(1)} b1 FROM e),
+         c AS (SELECT vec_id, emb, nrm, b0 bucket FROM n
+               UNION ALL SELECT vec_id, emb, nrm, b1 FROM n),
+         q AS (SELECT vec_id query_id, emb qemb, nrm qnrm, bucket qbucket
+           FROM c WHERE vec_id < 20),
+         p AS (SELECT DISTINCT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM c JOIN q ON bucket = qbucket AND vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
 
     // Independent recomputation from doc_id arithmetic — deliberately
     // NOT a re-implementation of the byte-level parser or the marker

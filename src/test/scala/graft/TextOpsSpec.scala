@@ -253,6 +253,71 @@ class TextOpsSpec extends SparkSpec {
     assert(p8.size == 9 && p8.distinct.size == 9 && p8.head == "01101100")
   }
 
+  test("withLshBucketTables: independent per-table seeds, JVM-golden parity") {
+    val rnd = new scala.util.Random(321)
+    val df = (0 until 40).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "emb")
+    val out = TextOps.withLshBucketTables(df, "vec_id", "emb", tables = 3)
+      .select($"vec_id", $"buckets")
+      .as[(Long, Seq[String])].collect().toMap
+    // shape: 3 keys per row, "t:" prefix + 4 bits each
+    assert(out.values.forall(bs => bs.size == 3 &&
+      bs.zipWithIndex.forall { case (b, t) =>
+        b.startsWith(s"$t:") && b.length == 2 + 4 }))
+
+    // golden parity: recompute every sign bit in plain JVM md5 — a
+    // seed-string or sign-arithmetic drift in the Spark side (or the
+    // oracle, which uses the same strings) fails here
+    val embs = df.as[(Long, Seq[Double])].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(seed: String, i: Int): Int = {
+      val hex = md.digest(s"$seed$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (Integer.parseInt(hex.take(1), 16) & 1) * 2 - 1
+    }
+    for ((id, emb) <- embs; t <- 0 until 3) {
+      val bits = (0 until 4).map { j =>
+        val proj = emb.zipWithIndex
+          .map { case (v, i) => v * sign(s"plane_t${t}_${j}_", i + 1) }.sum
+        if (proj > 0) "1" else "0"
+      }.mkString
+      assert(out(id)(t) == s"$t:$bits", s"vec $id table $t")
+    }
+
+    // the tables are genuinely independent plane sets: bit patterns
+    // disagree across tables for at least one row (probability of this
+    // failing for 40 rows × 3 independent tables is ~2^-200)
+    assert(out.values.exists(bs => bs.map(_.drop(2)).toSet.size > 1))
+  }
+
+  test("multi-table candidates are the union of the per-table joins") {
+    val rnd = new scala.util.Random(77)
+    val df = (0 until 60).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "emb")
+    val e = TextOps.withLshBucketTables(df, "vec_id", "emb", tables = 2)
+    val exploded = e.select($"vec_id", explode($"buckets").as("bucket"))
+    val q = exploded.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"bucket".as("qbucket"))
+    val pairs = exploded.join(q,
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    // per-table pair sets, computed independently from the same arrays
+    def tablePairs(t: Int): Set[(Long, Long)] = {
+      val one = e.select($"vec_id", element_at($"buckets", t + 1).as("b"))
+      val qt = one.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"b".as("qb"))
+      one.join(qt, $"b" === $"qb" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    }
+    val union = tablePairs(0) ++ tablePairs(1)
+    assert(pairs == union)
+    // OR-construction genuinely adds candidates over either single table
+    assert(union.size > tablePairs(0).size || union.size > tablePairs(1).size)
+  }
+
   test("jaccardPairs (prefix filter) equals the naive inverted-index join") {
     // skewed fixture: a hot stopword run shared by every doc (so hot
     // shingles exist and the prefix must exclude them), plus rare tails;
