@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ANN quality datapoints: recall@k of the approximate similarity-search
@@ -21,10 +21,38 @@ import org.apache.spark.sql.functions._
   *
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   * SPARK_GRAFT_ANN_K (default 10), SPARK_GRAFT_ANN_QUERIES (default
-  * 50), SPARK_GRAFT_ANN_CELLS (default 16), SPARK_GRAFT_ANN_PLANES
-  * (default 4 — the LSH bucket-granularity knob).
+  * 50), SPARK_GRAFT_ANN_CELLS (default 16; 0 skips the IVF leg),
+  * SPARK_GRAFT_ANN_PLANES (default 4 — the LSH bucket-granularity
+  * knob), SPARK_GRAFT_ANN_TABLES (comma list of OR-construction table
+  * counts to sweep, e.g. "1,2,4"; empty skips the leg — all counts
+  * slice ONE shared Lmax bucketing pass), SPARK_GRAFT_ANN_N (> 0
+  * swaps the embeddings table for a synthetic clustered corpus of
+  * that many vectors — the ≥1M-vector operating-point measurements —
+  * with SPARK_GRAFT_ANN_DIM / _CENTERS / _NOISE shaping it),
+  * SPARK_GRAFT_ANN_SQ8=1 (adds the int8 asymmetric-distance full-rank
+  * leg — recall loss from quantization alone, ext/Quantize).
   */
 object AnnRecallBench {
+
+  /** Deterministic clustered corpus: `n` vectors of `dim` dims in
+    * `nCenters` clusters — vector = its center + `noise` × jitter,
+    * every coordinate a pure xxhash64 expression in (cluster | vec)
+    * id, so the corpus is repeatable, generated fully distributed
+    * (spark.range → per-row map; no driver data, no joins) and has
+    * REAL neighbor structure: same-cluster vectors are near, recall
+    * against brute force is a meaningful number (an i.i.d.-uniform
+    * corpus has no neighbors to find at any index granularity). */
+  def syntheticEmbeddings(spark: SparkSession, n: Long, dim: Int,
+                          nCenters: Int, noise: Double): DataFrame = {
+    def u(cols: Column*): Column = // pseudo-uniform in [-1, 1]
+      pmod(xxhash64(cols: _*), lit(2000001L)).cast("double") / 1e6 - 1.0
+    val center = pmod(xxhash64(lit("assign"), col("id")), lit(nCenters.toLong))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        u(lit("c"), center, lit(i)) + lit(noise) * u(lit("v"), col("id"), lit(i))): _*)
+        .as("emb"))
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -46,13 +74,23 @@ object AnnRecallBench {
     val kCells = sys.env.getOrElse("SPARK_GRAFT_ANN_CELLS", "16").toInt
     val planes = sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES",
       graft.ext.TextOps.LshPlanes.toString).toInt
+    val tablesList = sys.env.getOrElse("SPARK_GRAFT_ANN_TABLES", "")
+      .split(",").filter(_.nonEmpty).map(_.toInt).toSeq.distinct.sorted
+    val nSyn = sys.env.getOrElse("SPARK_GRAFT_ANN_N", "0").toLong
+
+    val base =
+      if (nSyn > 0) syntheticEmbeddings(spark, nSyn,
+        dim = sys.env.getOrElse("SPARK_GRAFT_ANN_DIM", "32").toInt,
+        nCenters = sys.env.getOrElse("SPARK_GRAFT_ANN_CENTERS",
+          math.max(nSyn / 500, 2L).toString).toInt,
+        noise = sys.env.getOrElse("SPARK_GRAFT_ANN_NOISE", "0.35").toDouble)
+      else Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
 
     // margins ride along the same grouped sums (no extra pass); only
     // the query side reads them — for the margin-ordered probe rows
     val e = Caching.persisted(withLshBucketMargins(
-      Tables.embeddings(spark, dir)
-        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
-        .withColumn("nrm", l2norm($"emb")),
+      base.withColumn("nrm", l2norm($"emb")),
       "vec_id", "emb", planes = planes))
     val n = e.count()
     val qvec = e.filter($"vec_id" < nQ)
@@ -123,37 +161,113 @@ object AnnRecallBench {
       (t, r, f)
     }
 
+    // OR-construction multi-table LSH (the q84 shape): ONE bucketing
+    // pass at Lmax tables; each smaller L measures on a slice of the
+    // same buckets array (table seeds are per-table, so L's tables are
+    // exactly the first L of Lmax's — no re-bucketing per point)
+    val (multi, multiMargin) = if (tablesList.isEmpty) (Nil, Nil) else {
+      val lMax = tablesList.max
+      val et = Caching.persisted(graft.ext.TextOps.withLshBucketTables(
+        base.withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb", planes = planes, tables = lMax,
+        marginsCol = Some("tmargins")))
+      def run(l: Int, probeQ: DataFrame): (Double, Double) = {
+        val corpus = et.select($"vec_id", $"emb", $"nrm",
+          explode(slice($"buckets", 1, l)).as("bucket"))
+        measure(
+          corpus.join(broadcast(probeQ),
+              $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+            .select($"query_id", $"vec_id".as("neighbor_id"),
+              cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos")),
+          truth)
+      }
+      val exact = tablesList.map { l =>
+        val (r, f) = run(l, et.filter($"vec_id" < nQ)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+            $"nrm".as("qnrm"), explode(slice($"buckets", 1, l)).as("qbucket")))
+        (l, r, f)
+      }
+      // the two levers COMPOSED: within each of the L tables, probe the
+      // T = planes/2 most doubtful margin-ordered flips — query-side
+      // fan-out L × (T + 1) keys, corpus unchanged
+      val tHalf = math.max(planes / 2, 1)
+      val composed = tablesList.map { l =>
+        val (r, f) = run(l, et.filter($"vec_id" < nQ)
+          .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+            $"nrm".as("qnrm"),
+            explode(graft.ext.TextOps.lshProbeTablesByMargin(
+              slice($"buckets", 1, l), slice($"tmargins", 1, l), tHalf))
+              .as("qbucket")))
+        (l, tHalf, r, f)
+      }
+      (exact, composed)
+    }
+
     // IVF (q50 shape) through the library API knob
     // (VectorKMeans.ivfCandidates, round 10): fitted cells, probe
     // nprobe nearest cells. The corpus-wide cell assignment is
     // computed ONCE and shared across the sweep (ivfAssign's contract);
     // nprobe clamps to the cell count so a small SPARK_GRAFT_ANN_CELLS
     // degrades to exact search instead of tripping the API validation
-    val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
-      "vec_id", "emb", k = kCells, iters = 2)
-    val cells = Caching.persisted(graft.ext.VectorKMeans.ivfAssign(
-      e, "vec_id", "emb", "nrm", model))
-    val ivf = Seq(1, 2, 4).map(p => math.min(p, kCells)).distinct.map { p =>
+    val ivf = if (kCells <= 0) Nil else {
+      val model = graft.ext.VectorKMeans.fit(e.select($"vec_id", $"emb"),
+        "vec_id", "emb", k = kCells, iters = 2)
+      val cells = Caching.persisted(graft.ext.VectorKMeans.ivfAssign(
+        e, "vec_id", "emb", "nrm", model))
+      Seq(1, 2, 4).map(p => math.min(p, kCells)).distinct.map { p =>
+        val (r, f) = measure(
+          graft.ext.VectorKMeans.ivfCandidates(e, "vec_id", "emb", "nrm",
+            model, $"vec_id" < nQ, nprobe = p, cells = Some(cells)),
+          truth)
+        (p, r, f)
+      }
+    }
+
+    // SQ8 asymmetric-distance ranking (ext/Quantize, the q87 shape):
+    // rank the WHOLE corpus by float-query x decoded-int8-corpus
+    // cosine, so the recall gap vs `truth` is purely the quantization
+    // error (cand_frac reads 1.0 by construction). The number that
+    // justifies the 4x index-memory saving at the 100 TB operating
+    // point — and SQ8 composes with any bucketing leg above.
+    val sq8 = if (!sys.env.get("SPARK_GRAFT_ANN_SQ8").contains("1")) None
+    else {
+      val encoded = graft.ext.Quantize.sq8Encode(
+        e.select($"vec_id", $"emb"), "emb")
+      val rec = encoded.select($"vec_id",
+          graft.ext.Quantize.sq8Decode($"qcode", $"qmin", $"qmax").as("remb"))
+        .withColumn("rnrm", l2norm($"remb"))
       val (r, f) = measure(
-        graft.ext.VectorKMeans.ivfCandidates(e, "vec_id", "emb", "nrm",
-          model, $"vec_id" < nQ, nprobe = p, cells = Some(cells)),
+        rec.join(broadcast(qvec.drop("qbucket", "qmargins")),
+            $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            cosine($"remb", $"qemb", $"rnrm", $"qnrm").as("cos")),
         truth)
-      (p, r, f)
+      Some((r, f))
     }
 
     Caching.release()
     def f6(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    // candidate fractions sit at 1e-4..1e-7 at the 16-24-plane / 1M
+    // operating point — 4 decimals would print them all as 0.0000
+    def f8(v: Double) = "%.8f".formatLocal(java.util.Locale.ROOT, v)
     val marginJson = mpMargin.map { case (t, r, f) =>
-      s""""lsh_mp_margin_t$t":{"recall":${f6(r)},"cand_frac":${f6(f)}}"""
+      s""""lsh_mp_margin_t$t":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
     }.mkString(",")
+    val multiJson = multi.map { case (l, r, f) =>
+      s""""lsh_tables_l$l":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
+    } ++ multiMargin.map { case (l, t, r, f) =>
+      s""""lsh_tables_l${l}_margin_t$t":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
+    }
     val ivfJson = ivf.map { case (p, r, f) =>
-      s""""ivf_p$p":{"recall":${f6(r)},"cand_frac":${f6(f)}}"""
-    }.mkString(",")
+      s""""ivf_p$p":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
+    } ++ sq8.map { case (r, f) =>
+      s""""sq8_adc":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
+    }
     val line = s"""{"n":$n,"k":$k,"queries":$nQ,"cells":$kCells,""" +
       s""""planes":$planes,""" +
-      s""""lsh_exact":{"recall":${f6(rLsh)},"cand_frac":${f6(fLsh)}},""" +
-      s""""lsh_multiprobe":{"recall":${f6(rMp)},"cand_frac":${f6(fMp)}},""" +
-      marginJson + "," + ivfJson + "}"
+      s""""lsh_exact":{"recall":${f6(rLsh)},"cand_frac":${f8(fLsh)}},""" +
+      s""""lsh_multiprobe":{"recall":${f6(rMp)},"cand_frac":${f8(fMp)}},""" +
+      (marginJson +: (multiJson ++ ivfJson)).mkString(",") + "}"
     println(line)
     System.err.println(line)
     spark.stop()

@@ -135,13 +135,19 @@ object StreamingBench {
       graft.streaming.StreamingOps.dedupDocsExact(docs(), ttlSeconds = 3600).toDF())
     val dedupRate = run("dedup",
       graft.streaming.StreamingOps.dedupDocsNear(docs(), ttlSeconds = 3600).toDF())
+    // the built-in-operator formulation (TTL ≈ watermark delay): same
+    // SimHash key, state machine run by dropDuplicatesWithinWatermark
+    // instead of the fMGWS lambda — the stateful-side ceiling probe
+    val wwRate = run("dedup_ww",
+      graft.streaming.StreamingOps.dedupDocsNearWithinWatermark(docs()).toDF())
 
     def f(v: Double) = "%.0f".formatLocal(java.util.Locale.ROOT, v)
     val line = s"""{"offered_rps":$rps,"secs":$secs,"store":"$store",""" +
       s""""bucket_mean_rows_per_sec":${f(bucketRate)},""" +
       s""""dedup_proj_rows_per_sec":${f(projRate)},""" +
       s""""dedup_exact_rows_per_sec":${f(exactRate)},""" +
-      s""""dedup_near_rows_per_sec":${f(dedupRate)}}"""
+      s""""dedup_near_rows_per_sec":${f(dedupRate)},""" +
+      s""""dedup_near_ww_rows_per_sec":${f(wwRate)}}"""
     println(line)
     System.err.println(line)
     spark.stop()

@@ -35,7 +35,18 @@ object DocumentPipeline {
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               minQuality: Double, sampleFraction: Double, nShards: Int,
-              salt: String): DataFrame = {
+              salt: String): DataFrame =
+    prepareStaged(docs, idCol, textCol, minQuality, sampleFraction,
+      nShards, salt).last._2
+
+  /** The pipeline's CUMULATIVE prefixes — ("redact_score", map-only),
+    * ("dedup", + the one wide stage), ("sample_shard", the full
+    * [[prepare]] frame, always last) — so a scale bench can attribute
+    * wall time to stages by timing each prefix of the REAL plan
+    * instead of a drift-prone copy ([[graft.PipelineScaleBench]]). */
+  def prepareStaged(docs: DataFrame, idCol: String, textCol: String,
+                    minQuality: Double, sampleFraction: Double, nShards: Int,
+                    salt: String): Seq[(String, DataFrame)] = {
     val clean = docs.withColumn("clean_text", Redact.redact(col(textCol)))
     val w = TextOps.words(col("clean_text"))
     // quality uses the per-row HOF stopword count rather than q30's
@@ -59,6 +70,8 @@ object DocumentPipeline {
       .filter(col("__rn") === 1).drop("__rn")
     val sampled = Sampling.deterministicSample(
       deduped, col(idCol), sampleFraction, salt)
-    ShardExport.assignShards(sampled, col(idCol), nShards, salt)
+    val sharded = ShardExport.assignShards(sampled, col(idCol), nShards, salt)
+    Seq("redact_score" -> scored, "dedup" -> deduped,
+      "sample_shard" -> sharded)
   }
 }

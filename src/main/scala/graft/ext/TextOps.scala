@@ -493,7 +493,8 @@ object TextOps {
   def withLshBucketTables(df: org.apache.spark.sql.DataFrame, idCol: String,
                           embCol: String, maxDim: Int = 4096,
                           planes: Int = LshPlanes, tables: Int = 2,
-                          bucketsCol: String = "buckets"): org.apache.spark.sql.DataFrame = {
+                          bucketsCol: String = "buckets",
+                          marginsCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     require(tables >= 1, s"tables=$tables must be >= 1")
     val seeds = for { t <- 0 until tables; j <- 0 until planes }
       yield s"plane_t${t}_${j}_"
@@ -501,8 +502,50 @@ object TextOps {
     val buckets = array((0 until tables).map(t =>
       concat(lit(s"$t:") +: (0 until planes).map(j =>
         when(col(s"__proj${t * planes + j}") > 0, "1").otherwise("0")): _*)): _*)
-    val keyed = proj.select(col("__id"), buckets.as(bucketsCol))
+    // per-table |projection| lists, parallel to `buckets` — the
+    // within-table doubt signal for [[lshProbeTablesByMargin]]; rides
+    // the same grouped sums, like withLshBucketMargins' single-table
+    // margins
+    val outCols = col("__id") +: (buckets.as(bucketsCol) +:
+      marginsCol.toSeq.map(m => array((0 until tables).map(t =>
+        array((0 until planes).map(j =>
+          abs(col(s"__proj${t * planes + j}"))): _*)): _*).as(m)))
+    val keyed = proj.select(outCols: _*)
     df.join(keyed, df(idCol) === keyed("__id")).drop("__id")
+  }
+
+  /** The COMPOSITION of the engine's two LSH recall levers: for each
+    * table of an OR-construction index ([[withLshBucketTables]]), probe
+    * the table's own bucket plus its `probes` most doubtful
+    * margin-ordered flips ([[lshProbeBucketsByMargin]] semantics,
+    * applied per table to the bits after the "t:" prefix — the prefix
+    * rides every probe, so probes can only hit their own table).
+    * Returns the flattened probe-key list: L × (probes + 1) keys, the
+    * query-side fan-out of an L-table × T-probe search; the corpus
+    * side stays one entry per table. `buckets` and `margins` are the
+    * parallel arrays one [[withLshBucketTables]] call emits. */
+  def lshProbeTablesByMargin(buckets: Column, margins: Column,
+                             probes: Int): Column = {
+    require(probes >= 0, s"probes=$probes must be >= 0")
+    flatten(zip_with(buckets, margins, (b, m) => {
+      val colonPos = instr(b, ":")
+      val pre = b.substr(lit(1), colonPos)
+      val bits = b.substr(colonPos + 1, size(m))
+      // same quantized (margin, plane) ranking as the single-table
+      // probe — see lshProbeBucketsByMargin for the rounding rationale
+      val doubtful = slice(
+        transform(
+          array_sort(zip_with(m, sequence(lit(1), size(m)),
+            (x, i) => struct(round(x, 9).as("m"), i.as("i")))),
+          e => e("i")),
+        1, probes)
+      val flips = transform(doubtful, i => concat(
+        pre,
+        bits.substr(lit(1), i - 1),
+        when(bits.substr(i, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        bits.substr(i + 1, size(m) - i)))
+      concat(array(b), flips)
+    }))
   }
 
   /** The shared projection core of [[withLshBucket]] /

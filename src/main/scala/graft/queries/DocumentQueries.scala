@@ -1507,10 +1507,113 @@ object DocumentQueries {
         .select($"doc_id", $"fmt", $"media_len", $"width", $"height",
           $"jpeg_progressive")
         .orderBy($"doc_id")
+    }),
+
+    // Corpus-wide LINE-level dedup (the RefinedWeb/FineWeb prepare
+    // step): documents are split into 5-word lines, each distinct line
+    // keeps only its corpus-wide first occurrence (min (doc_id, pos)),
+    // and documents are reassembled from their surviving lines.
+    // ext/LineDedup uses a map-side-combinable struct-min aggregate
+    // (hot boilerplate lines collapse before the exchange — skew-safe
+    // where a row_number window is not); the oracle reaches the same
+    // result through exactly that window form — two different
+    // algorithms agreeing.
+    "q86_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.LineDedup.dedupLines(documents(s, d), "doc_id", "text",
+          chunkWords = 5)
+        .orderBy($"doc_id")
+    }),
+
+    // SQ8 scalar-quantized similarity search (ext/Quantize): the
+    // corpus embeddings are compressed to per-vector int8 codes
+    // (4x smaller — the index-fits-in-RAM lever at 100 TB), then the
+    // float queries rank ALL corpus vectors by asymmetric distance
+    // (float query x decoded code — only the big side pays quantized
+    // precision). The oracle recomputes encode, decode, and the
+    // ranking from the raw embeddings. Broadcast query set; corpus
+    // streams once; top-k via the partial bounded-heap aggregate.
+    "q87_sq8_adc_topk" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+      val enc = graft.ext.Quantize.sq8Encode(e, "emb")
+      val corpus = enc
+        .select($"vec_id",
+          graft.ext.Quantize.sq8Decode($"qcode", $"qmin", $"qmax").as("remb"))
+        .withColumn("rnrm", l2norm($"remb"))
+      val q = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"))
+        .withColumn("qnrm", l2norm($"qemb"))
+      val scored = corpus.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"remb", $"qemb", $"rnrm", $"qnrm").as("cos"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("adc_cosine"))
+        .orderBy($"query_id", $"rank")
     })
   )
 
   private val oraclesB: Map[String, String] = Map(
+
+    // Window-form reformulation (row_number over the line hash) of the
+    // map-side struct-min algorithm Spark runs — independent route to
+    // the same keep-first semantics.
+    "q86_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') words
+           FROM documents),
+         c AS (SELECT doc_id, words,
+           unnest(generate_series(0,
+             CAST(ceil(len(words) / 5.0) AS BIGINT) - 1)) pos FROM w),
+         ch AS (SELECT doc_id, pos,
+           array_to_string(words[pos*5+1 : pos*5+5], ' ') line FROM c),
+         r AS (SELECT doc_id, pos, line, row_number() OVER (
+             PARTITION BY md5(line) ORDER BY doc_id, pos) rn FROM ch),
+         agg AS (SELECT doc_id,
+             string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos)
+               clean,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+             CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               n_dropped
+           FROM r GROUP BY doc_id)
+         SELECT doc_id, coalesce(clean, '') AS clean_text, n_kept, n_dropped
+         FROM agg ORDER BY doc_id""",
+
+    // Encode (min-max affine to int8), decode, and the asymmetric
+    // ranking are all recomputed from the raw embeddings; both engines
+    // evaluate the identical double expressions (same association
+    // order), and round() on the non-negative scaled values agrees
+    // (HALF_UP = round-half-away for x >= 0).
+    "q87_sq8_adc_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         mm AS (SELECT vec_id, emb, list_min(emb) mn, list_max(emb) mx
+           FROM e),
+         enc AS (SELECT vec_id, mn, mx,
+             CASE WHEN mx = mn THEN list_transform(emb, x -> -128)
+                  ELSE list_transform(emb,
+                    x -> CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+                         - 128) END code
+           FROM mm),
+         rec AS (SELECT vec_id,
+             list_transform(code, c -> mn + (c + 128.0) * (mx - mn) / 255.0)
+               remb
+           FROM enc),
+         rn AS (SELECT vec_id, remb, sqrt(${dotSql("remb", "remb")}) rnrm
+           FROM rec),
+         q AS (SELECT vec_id query_id, emb qemb,
+             sqrt(${dotSql("emb", "emb")}) qnrm
+           FROM e WHERE vec_id < 5),
+         p AS (SELECT query_id, vec_id neighbor_id,
+           ${dotSql("remb", "qemb")} / (rnrm * qnrm) cos
+           FROM rn, q WHERE vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS adc_cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
 
     // Each table's plane set is recomputed independently (per-table md5
     // seeds), the two bucket joins are unioned, and (query, neighbor)

@@ -268,25 +268,66 @@ object StreamingOps {
         (_: String, rows: Iterator[KeyedDoc], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(d => (micros(d.ts), d.doc_id))
+            // single pass: min-(ts, doc_id) row (the first-wins winner)
+            // and max ts (the TTL anchor) — a materialize + sort here
+            // would be O(m log m) allocation per key per batch for two
+            // extremes a fold gets in O(m)/zero garbage (this lambda is
+            // the per-key hot path of the 600 k rows/s state side)
+            var first: KeyedDoc = null
+            var firstUs = Long.MaxValue
+            var maxTsMs = Long.MinValue
+            while (rows.hasNext) {
+              val d = rows.next()
+              val us = micros(d.ts)
+              if (first == null || us < firstUs ||
+                  (us == firstUs && d.doc_id < first.doc_id)) {
+                first = d; firstUs = us
+              }
+              if (d.ts.getTime > maxTsMs) maxTsMs = d.ts.getTime
+            }
             val out =
-              if (state.exists || sorted.isEmpty) Iterator.empty
+              if (state.exists || first == null) Iterator.empty
               else {
-                val first = sorted.head
-                state.update(SeenState(micros(first.ts)))
+                state.update(SeenState(firstUs))
                 Iterator.single(DocEvent(first.doc_id, first.ts, first.text))
               }
             // TTL from the NEWEST occurrence (duplicates keep the key
             // alive), clamped above the current watermark — setting a
             // timeout at-or-before it is an error when stragglers arrive
-            sorted.lastOption.foreach { d =>
+            if (first != null)
               state.setTimeoutTimestamp(math.max(
-                d.ts.getTime + ttlSeconds * 1000L,
+                maxTsMs + ttlSeconds * 1000L,
                 state.getCurrentWatermarkMs() + 1L))
-            }
             out
           }
       }
+  }
+
+  /** The built-in-operator formulation of [[dedupDocsNear]] for the
+    * TTL ≈ watermark-delay case: key the stream on the SimHash
+    * signature and let `dropDuplicatesWithinWatermark` run the
+    * first-wins state machine. No JVM lambda per key, no
+    * product-encoder state round-trip — the operator's state is the
+    * key plus one expiry timestamp, managed natively — so this is the
+    * throughput ceiling for the stateful side (measured:
+    * StreamingBench `dedup_near_ww` arm, SCALE.md round 12).
+    *
+    * Semantic differences vs [[dedupDocsNear]] — why BOTH ship:
+    * the dedup horizon here IS the input's watermark delay (a corpus
+    * wanting hours of lateness but DAYS of dedup horizon needs the
+    * event-time-TTL form), duplicates do not refresh the horizon, and
+    * "first" is first-PROCESSED (arrival order) rather than the
+    * event-time (ts, doc_id) minimum within a batch — fine for
+    * at-least-once ingest dedup, observable under same-batch ties. */
+  def dedupDocsNearWithinWatermark(docs: DataFrame): Dataset[DocEvent] = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    implicit val de = Encoders.product[DocEvent]
+    docs
+      .select(expr("graft_simhash(text)").cast("string").as("key"),
+        col("doc_id").cast("long"), col("ts"), col("text"))
+      .dropDuplicatesWithinWatermark("key")
+      .select(col("doc_id"), col("ts"), col("text"))
+      .as[DocEvent]
   }
 
   /** Per-device transition-detector state: current ON/OFF plus the

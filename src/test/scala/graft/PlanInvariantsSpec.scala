@@ -223,6 +223,21 @@ class PlanInvariantsSpec extends SparkSpec {
       s"${countOf(p, "Exchange hashpartitioning")} hash exchanges:\n$p")
   }
 
+  test("DocumentPipeline.prepare: ONE wide dependency end to end") {
+    // redact → score/filter → dedup → sample → shard composes into a
+    // single plan whose only exchange is the dedup window's hash
+    // partitioning — every other stage is per-row map work fused
+    // around it (the single-wide-dependency claim of the q63 facade,
+    // asserted on the facade itself with no terminal orderBy attached)
+    val df = graft.ext.DocumentPipeline.prepare(
+      Tables.documents(spark, sf), "doc_id", "text",
+      minQuality = 0.1, sampleFraction = 0.5, nShards = 8, salt = "pin")
+    val p = df.queryExecution.executedPlan.toString
+    assert(countOf(p, "Exchange") == 1, p)
+    assert(p.contains("hashpartitioning"), p)
+    assert(countOf(p, "SortMergeJoin") == 0 && countOf(p, "Cartesian") == 0, p)
+  }
+
   test("q71 dup spans: interval-union coverage, no per-token explode") {
     val p = plan("q71_dup_spans")
     // coverage must come from the lead-window gap sum — the explode of

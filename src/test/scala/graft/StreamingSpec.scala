@@ -322,6 +322,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocsNearWithinWatermark: signature dedup via the built-in operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "ts_s", "text")
+      .select($"doc_id", timestamp_seconds($"ts_s").as("ts"), $"text")
+      .withWatermark("ts", "10 seconds")
+    val q = StreamingOps.dedupDocsNearWithinWatermark(docs)
+      .writeStream.format("memory").queryName("mq_wwdedup")
+      .outputMode("append").start()
+    try {
+      // doc 2 is a token rotation of doc 1 → same SimHash signature →
+      // dropped by the built-in operator; doc 3's bag differs
+      mem.addData((1L, 100L, "quick brown fox"),
+        (3L, 110L, "slow green turtle"))
+      q.processAllAvailable()
+      // cross-batch duplicate inside the watermark horizon still drops
+      mem.addData((2L, 105L, "fox quick brown"))
+      q.processAllAvailable()
+      val got = spark.table("mq_wwdedup")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "quick brown fox"), (3L, "slow green turtle")))
+    } finally q.stop()
+  }
+
   test("dedupDocsNear: token-reordered docs collapse by simhash signature") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -291,6 +291,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out.values.exists(bs => bs.map(_.drop(2)).toSet.size > 1))
   }
 
+  test("lshProbeTablesByMargin composes the per-table margin probes") {
+    val rnd = new scala.util.Random(99)
+    val df = (0 until 25).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "emb")
+    val et = TextOps.withLshBucketTables(df, "vec_id", "emb", tables = 2,
+      marginsCol = Some("tm"))
+    val probed = et.select($"vec_id",
+        TextOps.lshProbeTablesByMargin($"buckets", $"tm", probes = 2).as("p"),
+        $"buckets", $"tm")
+      .as[(Long, Seq[String], Seq[String], Seq[Seq[Double]])]
+      .collect()
+    for ((id, p, buckets, margins) <- probed) {
+      // L × (T+1) keys: per table its own bucket first, then 2 flips
+      assert(p.size == 6, s"vec $id: $p")
+      for (t <- 0 until 2) {
+        val chunk = p.slice(3 * t, 3 * t + 3)
+        assert(chunk.head == buckets(t))
+        assert(chunk.forall(_.startsWith(s"$t:")))
+        // each flip is Hamming-1 from the table's own bucket, and the
+        // flipped planes are exactly the 2 smallest-margin ones
+        val bits = buckets(t).drop(2)
+        val expectFlips = margins(t).zipWithIndex
+          .sortBy { case (m, i) =>
+            (BigDecimal(m).setScale(9, BigDecimal.RoundingMode.HALF_UP), i) }
+          .take(2).map(_._2)
+        val gotFlips = chunk.tail.map(_.drop(2)).map(fb =>
+          fb.indices.filter(i => fb(i) != bits(i)))
+        assert(gotFlips.forall(_.size == 1))
+        assert(gotFlips.map(_.head) == expectFlips, s"vec $id table $t")
+      }
+    }
+  }
+
   test("multi-table candidates are the union of the per-table joins") {
     val rnd = new scala.util.Random(77)
     val df = (0 until 60).map(i =>
