@@ -50,7 +50,7 @@ object PipelineScaleBench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
       val full = staged.last._2
-      val exchanges = "Exchange".r
+      val exchanges = "Exchange hashpartitioning".r
         .findAllIn(full.queryExecution.executedPlan.toString).size
       val outRows = full.count()
       def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)

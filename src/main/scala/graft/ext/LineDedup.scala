@@ -41,7 +41,7 @@ object LineDedup {
     val words = split(text, " ")
     val n = ceil(size(words) / lit(chunkWords.toDouble)).cast("long")
     transform(sequence(lit(0L), n - 1), i =>
-      array_join(slice(words, (i * chunkWords + 1).cast("int"), chunkWords), " "))
+      array_join(slice(words, (i * chunkWords + 1).cast("int"), lit(chunkWords)), " "))
   }
 
   /** Corpus-wide keep-first line dedup. Returns one row per input

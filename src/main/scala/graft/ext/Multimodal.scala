@@ -55,8 +55,21 @@ object Multimodal {
     * the writer-side inverse of [[leUint]] (used by the payload
     * builders below and by tests that synthesize fixtures). */
   def leHex(v: Column, n: Int): Column = {
-    val h = lpad(hex(v.cast("long")), 2 * n, "0")
+    val h = lpad(hex(fitsIn(v, n, "leHex")), 2 * n, "0")
     concat(((n - 1) to 0 by -1).map(k => substring(h, 2 * k + 1, 2)): _*)
+  }
+
+  /** `v` as a long, or `raise_error` if it does not fit in `n` bytes
+    * unsigned. `lpad` silently TRUNCATES a too-long hex string, which
+    * would turn an out-of-range field (width >= 2^32, JPEG dims or
+    * COM length >= 2^16) into a structurally corrupt container — fail
+    * loudly instead. */
+  private def fitsIn(v: Column, n: Int, who: String): Column = {
+    val lv = v.cast("long")
+    if (n >= 8) lv
+    else when(lv < 0 || lv >= (1L << (8 * n)),
+      raise_error(concat(lit(s"$who: value "), lv.cast("string"),
+        lit(s" does not fit in $n byte(s)")))).otherwise(lv)
   }
 
   /** Typed metadata for an opaque media payload. Detects the container
@@ -244,7 +257,8 @@ object Multimodal {
 
   /** Big-endian hex encoding of numeric column `v` in `n` bytes — the
     * network-order twin of [[leHex]] (PNG/JPEG fields are BE). */
-  def beHex(v: Column, n: Int): Column = lpad(hex(v.cast("long")), 2 * n, "0")
+  def beHex(v: Column, n: Int): Column =
+    lpad(hex(fitsIn(v, n, "beHex")), 2 * n, "0")
 
   /** CRC-32 chunk trailer: PNG uses the standard ISO-3309 CRC-32 over
     * chunk type + chunk data — exactly Spark's `crc32` — so builder
