@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Readers for the driver-generated star-schema testdata
   * (TESTDATA.md: region nation customer supplier part orders lineitem
@@ -24,22 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot hold — read the raw int64 nanos via the legacy conf and
-    * truncate to µs (integer DIV: double division would lose precision at
-    * 1e18). DuckDB's reader truncates ns→µs the same way, so the oracle
-    * compares exactly. Conf is set here (not only in the session builder)
-    * because the driver may call queries with its own session. NOTE: the
-    * conf is session-wide and deliberately NOT restored — Spark captures
-    * SQLConf lazily at action time, so restoring it right after building
-    * the plan would break this read; any later ns-timestamp parquet read
-    * in the same session will also see raw longs (handle like below). */
+  /** `events.ts` has drifted across testdata generations:
+    *   - Timestamp(isAdjustedToUTC=false, MICROS) → Spark TimestampNTZType.
+    *     Every downstream call site (`unix_micros`, interval math) needs
+    *     TIMESTAMP, so cast — value-identical because every entry point
+    *     pins spark.sql.session.timeZone=UTC, and the driver's DuckDB
+    *     oracle reads the same parquet as naive-UTC.
+    *   - legacy TIMESTAMP(NANOS), which Spark's TimestampType (µs) cannot
+    *     hold — read the raw int64 nanos via the legacy conf and truncate
+    *     to µs (integer DIV: double division would lose precision at
+    *     1e18). DuckDB truncates ns→µs the same way. Conf is set here
+    *     (not only in the session builder) because the driver may call
+    *     queries with its own session; it is session-wide and deliberately
+    *     NOT restored (Spark captures SQLConf lazily at action time), and
+    *     it is a no-op for non-nanos files. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
 
@@ -65,6 +70,14 @@ object Tables {
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
           .filter(col("ts").between(
             lit(start).cast("timestamp"), lit(end).cast("timestamp")))
+      case TimestampNTZType =>
+        // Filter BELOW the NTZ→TZ cast, with NTZ literals, so the bounds
+        // sit directly on the scanned column and reach PushedFilters
+        // (row-group stats pruning at scale; pinned in PlanInvariantsSpec).
+        raw
+          .filter(col("ts").between(
+            lit(start).cast(TimestampNTZType), lit(end).cast(TimestampNTZType)))
+          .withColumn("ts", col("ts").cast("timestamp"))
       case _ =>
         raw.filter(col("ts").between(
           lit(start).cast("timestamp"), lit(end).cast("timestamp")))

@@ -19,6 +19,18 @@ object Verify {
       Option(p.listFiles()).foreach(_.foreach(deleteRec))
       p.delete()
     }
+    // A failed query must still produce an output dir: the compare step
+    // (driver-side and tools/compare.py) iterates produced dirs, so a
+    // silently-missing dir shrinks the declared set and the round looks
+    // green with fewer queries (this masked the r12-r14 NTZ regression).
+    // The marker is ZERO rows with a schema no oracle can match, so it
+    // reds out under BOTH check modes (oracle compare: column mismatch;
+    // rows-only fallback: 0 rows). The message goes to stderr.
+    def writeErrMarker(name: String): Unit = {
+      import spark.implicits._
+      Seq.empty[String].toDF("_verify_error")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -28,16 +40,20 @@ object Verify {
         // graft.Caching.persisted; callers release after the terminal
         // action) is load-bearing for bench honesty — a leaked persist
         // would silently warm later queries, so fail THIS query's gate
-        // (drop its output) instead. cacheManager sees even caches that
-        // never materialized; clearCache() keeps later queries cold.
+        // (replace its output with an error marker) instead. cacheManager
+        // sees even caches that never materialized; clearCache() keeps
+        // later queries cold.
         if (!spark.sharedState.cacheManager.isEmpty) {
           spark.catalog.clearCache()
           deleteRec(new java.io.File(s"$outDir/$name"))
+          writeErrMarker(name)
           System.err.println(s"[verify] $name leaked cached plans past " +
             "Caching.release() — persist outside graft.Caching.persisted?")
         }
       } catch { case e: Throwable =>
         Caching.release()
+        try writeErrMarker(name)
+        catch { case _: Throwable => () } // marker write best-effort
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
