@@ -130,7 +130,8 @@ object Bench {
     //   2. spread lines — short qNN names, [min,max] only, ~550 chars
     //      each, so at least the trailing ones land inside the window;
     //   3. the headline, LAST — total + ALL medians under short qNN
-    //      names (~1.3 KB for 83 queries), a single complete JSON line
+    //      names + ALL [min,max] spreads folded in as flat centisecond
+    //      pairs (~1.9 KB for 87 queries), a single complete JSON line
     //      that fits the 2000-char window with room for sbt's trailing
     //      "[success]" line. qNN is the unique prefix of the full query
     //      name (q74 ↔ q74_tfidf_topk); full names are in the chunk
@@ -152,10 +153,37 @@ object Bench {
       }.mkString("{", ",", "}")
       emit(s"""{"metric":"spread","i":${i + 1},"of":${spreadChunks.length},"queries":$qs}""")
     }
-    val qsShort = results.map { case (k, (med, _, _)) => "\"" + short(k) + "\":" + f(med) }
-      .mkString("{", ",", "}")
-    val headline =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsShort,"iters":$iters,"interleaved":$interleave,"names":"qNN keys are unique prefixes of full query names (see chunk lines)",$telemetry,"sf":"$sfDir"}"""
+    // Per-query spreads folded INTO the headline (round-14 verdict #7:
+    // the separate spread lines only survive the 2000-char tail window
+    // for the trailing chunk). Flat [min,max] centisecond pairs in
+    // `queries` key order keep all 87 pairs ≈ 550 chars, so headline +
+    // spreads + sbt's "[success]" line fit the window together; a failed
+    // query (-1 median) encodes as -1,-1. "interleaved" moved off the
+    // stdout headline for budget (constant since r11; still on the
+    // stderr full line and in target/bench_last.json). If digit growth
+    // overflows the 1920-char budget anyway, degrade median precision
+    // to 2dp first and drop the spreads only as a last resort — a
+    // truncated headline would lose EVERYTHING.
+    val spreadCs = results.map { case (_, (_, mn, mx)) =>
+      if (mn < 0) "-1,-1"
+      else s"${math.round(mn * 100)},${math.round(mx * 100)}"
+    }.mkString("[", ",", "]")
+    def mkHeadline(medDp: Int, withSpread: Boolean): String = {
+      val qsShort = results.map { case (k, (med, _, _)) =>
+        "\"" + short(k) + "\":" + s"%.${medDp}f".formatLocal(java.util.Locale.ROOT, med)
+      }.mkString("{", ",", "}")
+      val sp =
+        if (withSpread)
+          s""","spread_cs":$spreadCs,"note":"spread_cs=[min,max] cs pairs in queries key order""""
+        else ""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsShort,"iters":$iters$sp,$telemetry,"sf":"$sfDir"}"""
+    }
+    val headline = Seq(
+      () => mkHeadline(3, withSpread = true),
+      () => mkHeadline(2, withSpread = true),
+      () => mkHeadline(3, withSpread = false))
+      .view.map(_.apply()).find(_.length <= 1920)
+      .getOrElse(mkHeadline(2, withSpread = false))
     // full-name record for local diagnosis — NOT printed to stdout (a
     // second large line is exactly what overflowed the r9 window)
     val qsFull = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }
@@ -176,7 +204,7 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench_last.json: $t")
     }
-    if (headline.length > 1800)
+    if (headline.length > 1920)
       System.err.println(s"[bench] WARNING headline ${headline.length} chars may not fit a 2000-char tail window")
     // The short-name headline goes to stdout exactly ONCE, as the very
     // last line, so a first-match or last-line JSON scan over the tail
