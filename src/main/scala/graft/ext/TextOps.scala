@@ -523,7 +523,15 @@ object TextOps {
     * Returns the flattened probe-key list: L × (probes + 1) keys, the
     * query-side fan-out of an L-table × T-probe search; the corpus
     * side stays one entry per table. `buckets` and `margins` are the
-    * parallel arrays one [[withLshBucketTables]] call emits. */
+    * parallel arrays one [[withLshBucketTables]] call emits.
+    *
+    * This is the recommended high-recall configuration: measured at
+    * 1 M vectors (SCALE.md round 15), L=4 × T=planes/2 reaches
+    * recall@10 = 0.90 at 16 planes / 0.65 at 24 — levels neither
+    * exact tables (0.51 / 0.23) nor single-table probing (0.39 /
+    * 0.21) touches alone — at 2.3e-3 / 3.0e-4 of all pairs scanned
+    * (53× fewer candidates than IVF at matching recall). Semantics
+    * pinned by the oracle-checked q88_lsh_composed. */
   def lshProbeTablesByMargin(buckets: Column, margins: Column,
                              probes: Int): Column = {
     require(probes >= 0, s"probes=$probes must be >= 0")

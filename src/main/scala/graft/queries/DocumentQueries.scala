@@ -797,6 +797,14 @@ object DocumentQueries {
       .map(j => s"CASE WHEN ${planeProdSeedSql(s"plane_t${t}_${j}_")} > 0 THEN '1' ELSE '0' END")
       .mkString(s"concat('$t:', ", ", ", ")")
 
+  /** Per-plane |projection| list of multi-table LSH table `t` — the SQL
+    * twin of one element of [[TextOps.withLshBucketTables]]'s margins
+    * array (1-based like DuckDB list indexing). */
+  private def lshTableMarginsSql(t: Int): String =
+    (0 until LshPlanes)
+      .map(j => s"abs(${planeProdSeedSql(s"plane_t${t}_${j}_")})")
+      .mkString("list_value(", ", ", ")")
+
   /** Same md5-derived Rademacher-hyperplane bucket as [[TextOps.lshBucket]]. */
   private val lshBucketSql: String =
     (0 until LshPlanes)
@@ -1479,6 +1487,48 @@ object DocumentQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // The two LSH recall levers COMPOSED (q84's OR-construction tables
+    // × q83's margin-ordered probing, via TextOps.lshProbeTablesByMargin):
+    // within EACH of 2 independent tables, probe the bucket plus its 2
+    // most doubtful margin-ordered bit flips — query-side fan-out
+    // L × (T + 1) keys, corpus side unchanged at one entry per table.
+    // Measured at the 1 M × 16-plane operating point this composition
+    // reaches recall no single lever touches (SCALE.md round 15:
+    // 0.90 vs 0.51 for L=4-exact / 0.39 for the full Hamming-1 ball);
+    // this query pins its exact semantics — per-table margins, the
+    // quantized (margin, plane) probe ranking, the "t:"-prefixed flips
+    // that can only land in their own table, and cross-table candidate
+    // dedup before ranking. The oracle recomputes all of it from raw
+    // embeddings (per-table md5 plane seeds), independently.
+    "q88_lsh_composed" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = graft.Caching.persisted(graft.ext.TextOps.withLshBucketTables(
+        embeddings(s, d)
+          .select($"vec_id", $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb", tables = 2, marginsCol = Some("tmargins")))
+      val corpus = e.select($"vec_id", $"emb", $"nrm",
+        explode($"buckets").as("bucket"))
+      // within one table a neighbor occupies exactly one bucket and the
+      // probe keys are distinct, so duplicates only arise ACROSS tables
+      // — the same cross-table dedup q84 pins
+      val q = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"),
+          explode(graft.ext.TextOps.lshProbeTablesByMargin(
+            $"buckets", $"tmargins", probes = 2)).as("qbucket"))
+      val scored = corpus.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      topKPerGroup(scored.distinct(), Seq("query_id"), $"cos",
+          $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Multimodal header decode, the formats real corpora ship: each
     // document's text bytes are wrapped in a structurally valid PNG
     // (even doc_id — real IHDR + CRC-32 trailers) or JPEG (odd doc_id —
@@ -1809,6 +1859,50 @@ object DocumentQueries {
          p AS (SELECT query_id, vec_id neighbor_id,
            ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
            FROM n JOIN q ON bucket = pbucket AND vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // Composed tables × margin probing: per-table buckets AND per-table
+    // margins recomputed from the raw embeddings (per-table md5 plane
+    // seeds), margin-ordered flips ranked per (query, table) with the
+    // same quantized (margin, plane-index) order the Spark side uses,
+    // flipped bits addressed PAST the 2-char "t:" prefix so a probe can
+    // only land in its own table, candidates deduplicated across tables
+    // before ranking (DISTINCT) — q84's union shape with q83's probe
+    // generator nested inside each arm.
+    "q88_lsh_composed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+         n AS (SELECT vec_id, emb, sqrt(${dotSql("emb", "emb")}) nrm,
+           ${lshTableBucketSql(0)} b0, ${lshTableBucketSql(1)} b1,
+           ${lshTableMarginsSql(0)} m0, ${lshTableMarginsSql(1)} m1 FROM e),
+         c AS (SELECT vec_id, emb, nrm, b0 bucket FROM n
+               UNION ALL SELECT vec_id, emb, nrm, b1 FROM n),
+         qt AS (SELECT vec_id query_id, emb qemb, nrm qnrm, b0 qbucket,
+             m0 qmargins FROM n WHERE vec_id < 20
+           UNION ALL SELECT vec_id, emb, nrm, b1, m1 FROM n
+             WHERE vec_id < 20),
+         pl AS (SELECT query_id, qemb, qnrm, qbucket, i,
+             round(qmargins[i], 9) m
+           FROM qt, generate_series(1, ${LshPlanes}) g(i)),
+         sel AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id, qbucket ORDER BY m, i) prb
+           FROM pl),
+         q AS (
+           SELECT query_id, qemb, qnrm, qbucket pbucket FROM qt
+           UNION ALL
+           SELECT query_id, qemb, qnrm,
+             substr(qbucket, 1, i + 1) ||
+               (CASE WHEN substr(qbucket, i + 2, 1) = '1'
+                     THEN '0' ELSE '1' END) ||
+               substr(qbucket, i + 3) pbucket
+           FROM sel WHERE prb <= 2),
+         p AS (SELECT DISTINCT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM c JOIN q ON bucket = pbucket AND vec_id <> query_id),
          r AS (SELECT query_id, neighbor_id, cos,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
            FROM p)
