@@ -152,6 +152,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q88 composed lsh: bucket-local hash join, no cartesian, no window") {
+    val p = plan("q88_lsh_composed")
+    // the L-table × T-probe composition multiplies only the QUERY-side
+    // key list (L×(T+1) broadcast rows per query); the corpus must stay
+    // one exploded entry per table behind a hash join, with the margin
+    // ranking done by expression (array_sort), never a corpus-side
+    // sort/window or a degraded nested loop
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q26 jaccard: prefix-filtered self-join, never a cartesian product") {
     val p = plan("q26_jaccard_pairs")
     assert(!p.contains("CartesianProduct"), p)
