@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * that many vectors — the ≥1M-vector operating-point measurements —
   * with SPARK_GRAFT_ANN_DIM / _CENTERS / _NOISE shaping it),
   * SPARK_GRAFT_ANN_SQ8=1 (adds the int8 asymmetric-distance full-rank
-  * leg — recall loss from quantization alone, ext/Quantize).
+  * leg — recall loss from quantization alone, ext/Quantize; combined
+  * with SPARK_GRAFT_ANN_TABLES it also measures the FULL stack:
+  * SQ8-decoded corpus ranked inside the composed Lmax-table ×
+  * margin-T index).
   */
 object AnnRecallBench {
 
@@ -165,12 +168,14 @@ object AnnRecallBench {
     // pass at Lmax tables; each smaller L measures on a slice of the
     // same buckets array (table seeds are per-table, so L's tables are
     // exactly the first L of Lmax's — no re-bucketing per point)
-    val (multi, multiMargin) = if (tablesList.isEmpty) (Nil, Nil) else {
+    val etOpt = if (tablesList.isEmpty) None
+    else Some(Caching.persisted(graft.ext.TextOps.withLshBucketTables(
+      base.withColumn("nrm", l2norm($"emb")),
+      "vec_id", "emb", planes = planes, tables = tablesList.max,
+      marginsCol = Some("tmargins"))))
+    val (multi, multiMargin) = if (etOpt.isEmpty) (Nil, Nil) else {
       val lMax = tablesList.max
-      val et = Caching.persisted(graft.ext.TextOps.withLshBucketTables(
-        base.withColumn("nrm", l2norm($"emb")),
-        "vec_id", "emb", planes = planes, tables = lMax,
-        marginsCol = Some("tmargins")))
+      val et = etOpt.get
       def run(l: Int, probeQ: DataFrame): (Double, Double) = {
         val corpus = et.select($"vec_id", $"emb", $"nrm",
           explode(slice($"buckets", 1, l)).as("bucket"))
@@ -245,6 +250,38 @@ object AnnRecallBench {
       Some((r, f))
     }
 
+    // The FULL production stack: SQ8-decoded corpus vectors ranked
+    // inside the composed Lmax-table × margin-T index — total recall
+    // loss of all three levers at once (bucketing miss ∪ quantization
+    // rank error), vs the float brute-force truth. Index keys stay
+    // float-derived (buckets are computed at ingest, before
+    // quantization); queries stay float (asymmetric distance, the ADC
+    // contract). Gated on BOTH env knobs.
+    val sq8Stack = etOpt.filter(_ => sq8.nonEmpty).map { et =>
+      val l = tablesList.max
+      val tHalf = math.max(planes / 2, 1)
+      val rec = graft.ext.Quantize.sq8Encode(e.select($"vec_id", $"emb"), "emb")
+        .select($"vec_id",
+          graft.ext.Quantize.sq8Decode($"qcode", $"qmin", $"qmax").as("remb"))
+        .withColumn("rnrm", l2norm($"remb"))
+      val corpus = et.select($"vec_id",
+          explode(slice($"buckets", 1, l)).as("bucket"))
+        .join(rec, "vec_id")
+      val probeQ = et.filter($"vec_id" < nQ)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"),
+          explode(graft.ext.TextOps.lshProbeTablesByMargin(
+            slice($"buckets", 1, l), slice($"tmargins", 1, l), tHalf))
+            .as("qbucket"))
+      val (r, f) = measure(
+        corpus.join(broadcast(probeQ),
+            $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+          .select($"query_id", $"vec_id".as("neighbor_id"),
+            cosine($"remb", $"qemb", $"rnrm", $"qnrm").as("cos")),
+        truth)
+      (l, tHalf, r, f)
+    }
+
     Caching.release()
     def f6(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // candidate fractions sit at 1e-4..1e-7 at the 16-24-plane / 1M
@@ -262,6 +299,8 @@ object AnnRecallBench {
       s""""ivf_p$p":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
     } ++ sq8.map { case (r, f) =>
       s""""sq8_adc":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
+    } ++ sq8Stack.map { case (l, t, r, f) =>
+      s""""sq8_tables_l${l}_margin_t$t":{"recall":${f6(r)},"cand_frac":${f8(f)}}"""
     }
     val line = s"""{"n":$n,"k":$k,"queries":$nQ,"cells":$kCells,""" +
       s""""planes":$planes,""" +
