@@ -166,6 +166,26 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("flagship hot paths stay inside whole-stage codegen") {
+    // the 100 TB throughput guard the bench can only show as a slow
+    // number later: every HashAggregate and Project on these scan→agg
+    // paths must carry a *(N) codegen-stage marker in the AQE FINAL
+    // plan. A Scala UDF or a native Expression without doGenCode slipped
+    // into the path drops the operator out of codegen (interpreted row
+    // loop) — this test names the operator the moment it happens.
+    // q25 additionally proves the custom graft_simhash expression
+    // codegens INSIDE the stage rather than forcing a fallback.
+    for (q <- Seq("q01_resample_avg", "q04_group_agg",
+        "q30_quality_langid", "q25_simhash")) {
+      val p = finalPlan(q)
+      val hot = p.split("\n").filter(l =>
+        l.contains("HashAggregate") || l.contains("Project ["))
+      assert(hot.nonEmpty, s"$q: no hot operators found in final plan\n$p")
+      hot.foreach(l => assert(l.contains("*("),
+        s"$q: operator outside WholeStageCodegen:\n  $l\n$p"))
+    }
+  }
+
   test("q26 jaccard: prefix-filtered self-join, never a cartesian product") {
     val p = plan("q26_jaccard_pairs")
     assert(!p.contains("CartesianProduct"), p)
