@@ -10,8 +10,29 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   *
   * Every query in [[SparkEntry.queries]] receives `(spark, sfDir)` and
   * resolves its inputs through here, so partition pruning / pushdown
-  * behavior is uniform and a future switch to a partitioned layout is a
-  * one-line change.
+  * behavior is uniform. A partitioned layout (`events.parquet/
+  * event_date=…/`) needs no reader change — Spark partition discovery
+  * handles it — and [[eventsSliced]] derives the partition-column
+  * predicate from the ts bounds so directories outside the slice are
+  * pruned before any file opens (PartitionPruningSpec pins this).
+  *
+  * ==Session-state side effects==
+  * [[events]] / [[eventsSliced]] mutate the CALLER's session, and
+  * deliberately never restore:
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — required to read
+  *     legacy TIMESTAMP(NANOS) parquet at all; a no-op for other files,
+  *     but if the same session later reads OTHER nanos parquet it did
+  *     not want truncated to int64, this flips that read's schema at a
+  *     distance.
+  *   - `spark.sql.session.timeZone=UTC` — the NTZ→TIMESTAMP cast is
+  *     value-identical to the naive-UTC DuckDB oracle ONLY under a UTC
+  *     session; a non-UTC caller would silently shift every absolute ts.
+  *     Pinning it here means any session-TZ-sensitive expression the
+  *     caller runs afterwards (string→timestamp casts, from_unixtime)
+  *     also evaluates in UTC.
+  * Both are the documented contract for driver-owned sessions calling
+  * [[SparkEntry.queries]]; callers embedding this library in a session
+  * with different requirements should snapshot/restore these confs.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -40,6 +61,9 @@ object Tables {
     *     it is a no-op for non-nanos files. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ branch's cast-to-TIMESTAMP is only oracle-identical under
+    // UTC (see object scaladoc); pin rather than trust the caller
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -57,12 +81,13 @@ object Tables {
   def eventsSliced(s: SparkSession, d: String,
                    start: String, end: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
     def epochS(x: String) =
       java.time.Instant.from(fmt.parse(x)).getEpochSecond
-    raw.schema("ts").dataType match {
+    val sliced = raw.schema("ts").dataType match {
       case LongType =>
         raw
           .filter(col("ts") >= epochS(start) * 1000000000L &&
@@ -82,6 +107,18 @@ object Tables {
         raw.filter(col("ts").between(
           lit(start).cast("timestamp"), lit(end).cast("timestamp")))
     }
+    // Partitioned layout (SURVEY §4: a 100 TB events table is laid out
+    // `partitionBy(event_date)`): Spark cannot derive a partition
+    // predicate from the ts bounds on its own, so when the layout carries
+    // an `event_date` partition column, add the day-range bound
+    // explicitly — it reaches the scan as PartitionFilters and whole
+    // partition directories are skipped before any file is opened
+    // (pinned in PartitionPruningSpec). Inclusive on both ends: the day
+    // of `end` still contains in-range rows.
+    if (raw.schema.fieldNames.contains("event_date"))
+      sliced.filter(col("event_date").between(
+        lit(start.take(10)).cast("date"), lit(end.take(10)).cast("date")))
+    else sliced
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

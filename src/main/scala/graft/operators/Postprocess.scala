@@ -150,4 +150,145 @@ object Postprocess {
     df.withColumn("median_value",
       element_at(array_sort(padded), kl + 1))
   }
+
+  /** Large-window exact sliding median as ONE sorted pass per key:
+    * `repartition(key) + sortWithinPartitions + mapPartitions` with a
+    * dual-heap (lazy-deletion) order-statistic structure — O(log k) per
+    * row where the window-composition form ([[slidingMedian]]'s
+    * collect_list fallback) re-buffers, re-sorts and re-allocates the
+    * full 2k+1 frame per row, O(k log k) with a large constant.
+    *
+    * Same semantics as [[slidingMedian]] (SQL quantile_cont(0.5):
+    * shrinking frames at partition edges, linear interpolation for even
+    * counts, nulls skipped, all-null frame → null median).
+    *
+    * This is the library's only mapPartitions operator, and it exists
+    * because the measurement SURVEY §7.3 deferred came back decisive at
+    * large k (SCALE.md round 16: ≥6× at window 101 on 10-30 M rows);
+    * [[slidingMedian]]'s lag/lead form is still the pick for the
+    * reference's own k ≤ 8 smoothing windows. Shuffle count is identical
+    * (the one hash exchange on `key`); per-key data must fit a task —
+    * the same bound every ordered-window operator carries.
+    *
+    * `keyCols`/`orderCols` are column NAMES (the sort and the per-key
+    * scan must agree on the physical layout, so expressions are not
+    * accepted). `value` must be a DoubleType column. Appends
+    * `median_value`. Ref: postprocessing.py:27-30 (scipy median_filter
+    * smoothing; quantile_cont edge semantics as in [[slidingMedian]]). */
+  def slidingMedianPartitioned(df: DataFrame, keyCols: Seq[String],
+                               orderCols: Seq[String], valueCol: String,
+                               k: Int): DataFrame = {
+    require(k >= 0)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "median_value", org.apache.spark.sql.types.DoubleType, nullable = true))
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val keyIdx = keyCols.map(df.schema.fieldIndex)
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    sorted.mapPartitions { rows =>
+      // consecutive same-key runs (the sort guarantees adjacency);
+      // buffer one key's rows, emit its medians, move on — memory is
+      // bounded by the largest single key, as in any window operator
+      val it = rows.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        def hasNext: Boolean = out.hasNext || it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          if (!out.hasNext) {
+            val keyOf = (r: org.apache.spark.sql.Row) => keyIdx.map(r.get)
+            val k0 = keyOf(it.head)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+            while (it.hasNext && keyOf(it.head) == k0) buf += it.next()
+            out = emitKey(buf, valueIdx, k).iterator
+          }
+          out.next()
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** One key's rows → rows + sliding median, dual-heap sweep. */
+  private def emitKey(rows: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row],
+                      valueIdx: Int, k: Int): Seq[org.apache.spark.sql.Row] = {
+    val n = rows.length
+    val heap = new DualMedianHeap
+    var added = -1 // highest row index whose value is in the heap
+    var removed = 0 // lowest row index not yet evicted
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) {
+      while (added < math.min(n - 1, i + k)) {
+        added += 1
+        val r = rows(added)
+        if (!r.isNullAt(valueIdx)) heap.add(r.getDouble(valueIdx))
+      }
+      while (removed < i - k) {
+        val r = rows(removed)
+        if (!r.isNullAt(valueIdx)) heap.remove(r.getDouble(valueIdx))
+        removed += 1
+      }
+      val med = heap.medianOrNull
+      out += org.apache.spark.sql.Row.fromSeq(rows(i).toSeq :+ med)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Order-statistic multiset for a sliding frame: max-heap `lo` holds
+    * the lower half (its top = lower middle), min-heap `hi` the upper;
+    * removals anywhere in the frame are deferred (lazy deletion) until
+    * the value surfaces at a top. Invariant: loSize == hiSize or
+    * loSize == hiSize + 1, counting live elements only. */
+  private final class DualMedianHeap {
+    private val lo = new java.util.PriorityQueue[java.lang.Double](
+      java.util.Collections.reverseOrder[java.lang.Double]())
+    private val hi = new java.util.PriorityQueue[java.lang.Double]()
+    private val delayed = new java.util.HashMap[java.lang.Double, Integer]()
+    private var loSize = 0
+    private var hiSize = 0
+
+    private def prune(h: java.util.PriorityQueue[java.lang.Double]): Unit = {
+      while (!h.isEmpty && delayed.getOrDefault(h.peek, 0) > 0) {
+        val v = h.poll()
+        val c = delayed.get(v) - 1
+        if (c == 0) delayed.remove(v) else delayed.put(v, c)
+      }
+    }
+
+    private def rebalance(): Unit = {
+      if (loSize > hiSize + 1) {
+        prune(lo); hi.add(lo.poll()); loSize -= 1; hiSize += 1; prune(lo)
+      } else if (loSize < hiSize) {
+        prune(hi); lo.add(hi.poll()); hiSize -= 1; loSize += 1; prune(hi)
+      }
+    }
+
+    def add(v: Double): Unit = {
+      prune(lo)
+      if (lo.isEmpty || v <= lo.peek) { lo.add(v); loSize += 1 }
+      else { hi.add(v); hiSize += 1 }
+      rebalance()
+    }
+
+    def remove(v: Double): Unit = {
+      // decide which half the value lives in by comparing to lo's top
+      prune(lo)
+      delayed.merge(v, 1, (a, b) => a + b)
+      if (!lo.isEmpty && v <= lo.peek) { loSize -= 1; prune(lo) }
+      else { hiSize -= 1; prune(hi) }
+      rebalance()
+    }
+
+    /** quantile_cont(0.5) of the live multiset; null when empty. */
+    def medianOrNull: java.lang.Double = {
+      if (loSize + hiSize == 0) null
+      else {
+        prune(lo); prune(hi)
+        if (((loSize + hiSize) & 1) == 1) lo.peek
+        else (lo.peek + hi.peek) / 2.0
+      }
+    }
+  }
 }

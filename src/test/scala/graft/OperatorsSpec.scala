@@ -82,6 +82,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("slidingMedianPartitioned matches the window-composition form") {
+    // multi-key, nulls, duplicate values, enough rows to cross task
+    // boundaries; k=3 exercises the lag/lead branch of slidingMedian,
+    // k=12 its collect_list branch — the dual-heap must match BOTH
+    val rows = (0 until 400).map { i =>
+      val v: java.lang.Double =
+        if (i % 17 == 0) null else (((i * 2654435761L) % 97) % 13).toDouble
+      (s"k${i % 3}", i.toLong, v)
+    }
+    val df = rows.toDF("key", "ts", "value")
+    for (k <- Seq(3, 12)) {
+      val want = Postprocess.slidingMedian(df, $"key", Seq($"ts"), $"value", k)
+        .select("key", "ts", "median_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).sortBy(t => (t._1, t._2))
+      val got = Postprocess
+        .slidingMedianPartitioned(df, Seq("key"), Seq("ts"), "value", k)
+        .select("key", "ts", "median_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).sortBy(t => (t._1, t._2))
+      assert(got.toSeq == want.toSeq, s"k=$k")
+    }
+  }
+
+  test("slidingMedianPartitioned: all-null frame yields null, empty key ok") {
+    val df = Seq(("a", 1L, null: java.lang.Double),
+        ("a", 2L, null: java.lang.Double), ("b", 1L, 5.0: java.lang.Double))
+      .toDF("key", "ts", "value")
+    val out = Postprocess
+      .slidingMedianPartitioned(df, Seq("key"), Seq("ts"), "value", 1)
+      .orderBy("key", "ts").select("median_value").collect()
+      .map(r => Option(r.get(0))).toSeq
+    assert(out == Seq(None, None, Some(5.0)))
+  }
+
   test("slidingMedianScipy is partition-local (keys do not bleed)") {
     val df = Seq(("a", 1, 10.0), ("a", 2, 0.0), ("a", 3, 10.0),
         ("b", 1, 99.0), ("b", 2, 99.0), ("b", 3, 99.0))

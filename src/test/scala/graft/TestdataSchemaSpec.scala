@@ -48,8 +48,16 @@ class TestdataSchemaSpec extends SparkSpec {
 
   expected.foreach { case (table, exp) =>
     test(s"$table parquet schema is unchanged since the r15 pin") {
-      // the legacy nanos conf must not be set on this raw read: we pin
-      // what a FRESH session sees (the conf is events-reader-internal)
+      // tripwire, not a unit test: requires driver testdata. Off-sandbox
+      // the suite cancels ("canceled") instead of going red.
+      assume(new java.io.File(s"$sf/$table.parquet").exists(),
+        s"driver testdata absent at $sf — tripwire only runs on-sandbox")
+      // NOTE on the legacy nanos conf: SparkSpec shares ONE session across
+      // suites and Tables.events sets nanosAsLong session-wide, so whether
+      // this raw read sees it depends on suite order. Either way a NANOS
+      // regeneration reds this test — with the conf set, `ts` reads as
+      // bigint (≠ pinned timestamp_ntz); without it, the read throws —
+      // only the failure SHAPE differs, not the tripwire.
       val got = spark.read.parquet(s"$sf/$table.parquet")
         .schema.map(f => f.name -> f.dataType.simpleString)
       assert(got == exp,
