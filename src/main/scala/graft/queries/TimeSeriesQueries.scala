@@ -129,6 +129,20 @@ object TimeSeriesQueries {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // W7 at large windows (postprocessing.py:27-30 with a wide filter,
+    // e.g. 40 s over 10 Hz data): the dual-heap sorted-pass form —
+    // O(log k)/row vs the composition's O(k log k)/row; measured ≥6×
+    // at window 101 (SCALE.md round 16). Same quantile_cont semantics
+    // as q20, same single key shuffle.
+    "q89_sliding_median_heap" -> ((s, d) => {
+      import s.implicits._
+      Postprocess.slidingMedianPartitioned(
+          events(s, d).select($"user_id", $"event_id", $"ts", $"value"),
+          Seq("user_id"), Seq("ts", "event_id"), "value", k = 12)
+        .select($"user_id", $"event_id", round($"median_value", 4).as("median_value"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // W8+W6 threshold → binary → run filtering (postprocessing.py:32-42):
     // per user, longest consecutive run of events with value >= 100.
     "q21_run_length" -> ((s, d) => {
@@ -318,6 +332,13 @@ object TimeSeriesQueries {
          round(quantile_cont(value, 0.5) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS median_value
+         FROM events ORDER BY user_id, event_id""",
+
+    "q89_sliding_median_heap" ->
+      """SELECT user_id, event_id,
+         round(quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 4) AS median_value
          FROM events ORDER BY user_id, event_id""",
 
     "q21_run_length" ->

@@ -56,6 +56,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q19 sessionize: ONE key shuffle carries all window passes + agg") {
+    // the r15/r16 weak-mark A/Bs concluded q19's plan is already minimal
+    // for the semantics — freeze that: one hashpartitioning(user_id)
+    // exchange feeds the lag, running-sum and session-length windows AND
+    // the map-side-combined final aggregate; the only other exchange is
+    // the terminal orderBy's rangepartitioning; the scan reads just the
+    // three live columns
+    val p = plan("q19_sessionize")
+    assert(countOf(p, "+- Exchange hashpartitioning") == 1, p)
+    assert(countOf(p, "+- Window ") == 3, p)
+    assert(countOf(p, "Exchange rangepartitioning") == 1, p)
+    assert(p.contains("partial_count(distinct"), p) // map-side combine
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  }
+
   test("q25 simhash: zero-shuffle projection (sort exchange only)") {
     val p = plan("q25_simhash")
     // native graft_simhash: no aggregate, no hash exchange — the only
