@@ -23,12 +23,14 @@ import org.apache.spark.sql.expressions.Window
   *
   * Prints one JSON line per n:
   *   {"n":…,"occurrences":…,"hot_key_rows":…,"structmin_sec":…,
-  *    "window_sec":…,"full_dedup_sec":…,"plain_sum_sec":…,
-  *    "salted_sum_sec":…,"distinct_lines":…}
+  *    "window_sec":…,"window_wgl_nodes":…,"window_raw_sec":…,
+  *    "full_dedup_sec":…,"plain_sum_sec":…,"salted_sum_sec":…,
+  *    "distinct_lines":…}
   * Sizes: SPARK_GRAFT_SKEW_N (default "3000000,10000000,30000000");
   * the window leg runs only for n ≤ SPARK_GRAFT_SKEW_MAX_WINDOW
-  * (default 30000000) — its hot task sorts 3n rows alone and is the
-  * expected cliff; -1 marks a skipped leg.
+  * (default 30000000); the WGL-excluded raw-window leg (the real
+  * single-task-sort cliff) only for n ≤ SPARK_GRAFT_SKEW_MAX_RAW
+  * (default 10000000). -1 marks a skipped leg.
   */
 object SkewScaleBench {
 
@@ -89,13 +91,39 @@ object SkewScaleBench {
           .count(): Unit
       }
 
-      // ---- q86 core, row_number-window form (the rejected shape) ----
+      // ---- q86 core, row_number-window form ----
+      // NOTE (measured round 16): in Spark 4 this is NOT the naive cliff
+      // — InferWindowGroupLimit rewrites filter(rn=1) into a map-side
+      // top-1 (WindowGroupLimit), collapsing the hot key per map task
+      // exactly like the struct-min agg. `window_wgl_nodes` proves the
+      // rewrite fired; `window_raw_sec` measures the same query with the
+      // rule excluded — the shape every non-rank-filter window query
+      // (and pre-3.5 Spark) actually runs, where the hot key's rows all
+      // sort in ONE task.
+      def windowForm = {
+        val w = Window.partitionBy($"__h").orderBy($"doc_id", $"__pos")
+        occ.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
+      }
+      val windowWglNodes =
+        if (n > maxWindow) -1
+        else "WindowGroupLimit".r.findAllIn(
+          windowForm.queryExecution.executedPlan.toString).size
       val windowSec =
         if (n > maxWindow) -1.0
-        else time {
-          val w = Window.partitionBy($"__h").orderBy($"doc_id", $"__pos")
-          occ.withColumn("__rn", row_number().over(w))
-            .filter($"__rn" === 1).count(): Unit
+        else time { windowForm.count(): Unit }
+      val maxRaw =
+        sys.env.getOrElse("SPARK_GRAFT_SKEW_MAX_RAW", "10000000").toLong
+      val windowRawSec =
+        if (n > maxRaw) -1.0
+        else {
+          spark.conf.set("spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+          // single iteration: this leg demonstrates a cliff, not a median
+          val t0 = System.nanoTime()
+          windowForm.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.conf.unset("spark.sql.optimizer.excludedRules")
+          t
         }
 
       // ---- full q86 operator end-to-end (includes reassembly) ----
@@ -117,6 +145,7 @@ object SkewScaleBench {
       val line = s"""{"n":$n,"occurrences":${6 * n},""" +
         s""""hot_key_rows":${6 * ((n + 1) / 2)},""" +
         s""""structmin_sec":${f(structSec)},"window_sec":${f(windowSec)},""" +
+        s""""window_wgl_nodes":$windowWglNodes,"window_raw_sec":${f(windowRawSec)},""" +
         s""""full_dedup_sec":${f(fullSec)},"plain_sum_sec":${f(plainSec)},""" +
         s""""salted_sum_sec":${f(saltedSec)},"distinct_lines":$distinctLines}"""
       println(line)

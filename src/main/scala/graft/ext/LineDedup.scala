@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *   - first-occurrence selection is `groupBy(line_hash).agg(min(
   *     struct(doc_id, pos, line)))` — a map-side-combinable aggregate,
   *     so a boilerplate line repeated 10^9 times collapses to one row
-  *     per map task BEFORE the exchange. A `row_number() OVER
-  *     (PARTITION BY hash)` window shuffles every occurrence raw and
-  *     sorts the hot key's partition — the classic skew cliff at
-  *     corpus scale.
+  *     per map task BEFORE the exchange. (Measured, round 16: a
+  *     `row_number() OVER (PARTITION BY hash)` + `rn = 1` filter is
+  *     rescued by Spark 4's InferWindowGroupLimit rewrite and performs
+  *     the same — but only while that optimizer pattern-match fires;
+  *     with the rule excluded the hot key sorts in ONE task and the
+  *     penalty grows superlinearly. The struct-min's skew-safety is
+  *     the aggregate's own algebraic property, so it is the shape we
+  *     keep. SkewScaleBench / SCALE.md round 16.)
   *   - per-document totals (`n_lines`) are computed from the text in
   *     the same per-row map that chunks it — dropped counts need no
   *     second pass over occurrences.

@@ -73,7 +73,14 @@ object Postprocess {
     * reflect-pads the boundary and picks a low element for even windows);
     * quantile_cont is what the DuckDB oracle compares. Null values are
     * skipped by collect_list; an all-null frame yields null (guarded).
-    * Adds column `median_value`. */
+    * Adds column `median_value`.
+    *
+    * For LARGE windows prefer [[slidingMedianPartitioned]]: the
+    * collect_list fallback here re-buffers and re-sorts the full 2k+1
+    * frame per row — measured 43× slower than the dual-heap sorted pass
+    * at window 101 on 30 M rows (SCALE.md round 16). This form remains
+    * the pick for the reference's own k ≤ 8 smoothing (lag/lead stays
+    * in whole-stage codegen, no re-encoding of the row). */
   def slidingMedian(df: DataFrame, key: Column, orderCols: Seq[Column],
                     value: Column, k: Int): DataFrame = {
     // Small k (the reference's windows are 5-11 samples): build the
