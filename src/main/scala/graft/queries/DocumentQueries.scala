@@ -1603,6 +1603,46 @@ object DocumentQueries {
         .select($"query_id", $"id".as("neighbor_id"), $"rank",
           round($"score", 6).as("adc_cosine"))
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Nearest-centroid classification (the fastText-style domain/
+    // quality-routing step of a training-data pipeline, and the
+    // supervised twin of q50's IVF cell assignment): score every
+    // corpus embedding against the k per-label mean vectors, assign
+    // the argmax cosine. Centroids are the q65 per-label means rounded
+    // to 5dp — rounding makes the averaged values bit-identical to the
+    // oracle's (avg partial-aggregation order differs between engines),
+    // after which every cosine is bit-identical too: float→double casts
+    // are exact and graft_dot sums in index order like the oracle's
+    // list_reduce. Scale shape: the centroid table is k×dim (one
+    // grouped avg over a posexploded k·dim-row frame, then BROADCAST);
+    // the corpus side is map-only scoring against the broadcast plus
+    // graft_topk's map-side-combined k→1 argmax, so the single
+    // corpus-sized exchange carries ONE row per vector — classifier
+    // scoring at 100 TB is embarrassingly parallel and stays that way.
+    // Cosine ties break to the smallest label (graft_topk id-asc
+    // tie-break, mirrored by the oracle's ORDER BY cos DESC, clabel).
+    "q90_centroid_classify" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val e = embeddings(s, d)
+        .select($"vec_id", $"label", $"embedding".cast("array<double>").as("emb"))
+      val cent = e
+        .select($"label".as("clabel"), posexplode($"emb").as(Seq("dim", "v")))
+        .groupBy($"clabel", $"dim")
+        .agg(round(avg($"v"), 5).as("cv"))
+        .groupBy($"clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+          .as("cemb"))
+        .withColumn("cnrm", l2norm($"cemb"))
+      val scored = e.withColumn("nrm", l2norm($"emb"))
+        .crossJoin(broadcast(cent))
+        .select($"vec_id", $"label", $"clabel".cast("long").as("cid"),
+          cosine($"emb", $"cemb", $"nrm", $"cnrm").as("cos"))
+      topKPerGroup(scored, Seq("vec_id", "label"), $"cos", $"cid", 1)
+        .select($"vec_id", $"label", $"id".cast("int").as("pred_label"),
+          round($"score", 6).as("cos"))
+        .orderBy($"vec_id")
     })
   )
 
@@ -1908,6 +1948,28 @@ object DocumentQueries {
            FROM p)
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            round(cos, 6) AS cosine
-         FROM r WHERE rnk <= 3 ORDER BY query_id, rank"""
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // Centroids recomputed from the raw embeddings with the same 5dp
+    // rounding; cosines then agree bit-for-bit (fixed-order dot over
+    // identical doubles), and the argmax tie-break (cos DESC, clabel
+    // ASC) mirrors graft_topk's id-asc ordering.
+    "q90_centroid_classify" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+         c0 AS (SELECT label clabel, CAST(t.i AS INT) dim,
+             round(avg(emb[CAST(t.i AS INT) + 1]), 5) cv
+           FROM e, range(0, 64) t(i) GROUP BY clabel, dim),
+         c AS (SELECT clabel, list(cv ORDER BY dim) cemb FROM c0 GROUP BY clabel),
+         cn AS (SELECT clabel, cemb, sqrt(${dotSql("cemb", "cemb")}) cnrm FROM c),
+         en AS (SELECT vec_id, label, emb, sqrt(${dotSql("emb", "emb")}) nrm FROM e),
+         p AS (SELECT vec_id, label, clabel,
+             ${dotSql("emb", "cemb")} / (nrm * cnrm) cos
+           FROM en, cn),
+         r AS (SELECT vec_id, label, clabel, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) rnk
+           FROM p)
+         SELECT vec_id, label, CAST(clabel AS INT) AS pred_label,
+           round(cos, 6) AS cos
+         FROM r WHERE rnk = 1 ORDER BY vec_id"""
   )
 }

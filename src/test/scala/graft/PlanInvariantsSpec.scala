@@ -104,6 +104,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q90 centroid classify: broadcast centroids, one corpus exchange") {
+    val p = plan("q90_centroid_classify")
+    // classifier scoring must stay embarrassingly parallel: the k×dim
+    // centroid table broadcasts (nested-loop cross with a 10-row build
+    // side, NOT a shuffled cartesian), the argmax is graft_topk's
+    // map-side-combined k→1 (no Window sort), and the only corpus-sized
+    // hash exchange carries one row per vector. 3 hash exchanges total:
+    // two tiny centroid aggs + the argmax.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+  }
+
   test("q23 exact dedup: single hash exchange (map-side combined)") {
     val p = plan("q23_exact_dedup")
     assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
