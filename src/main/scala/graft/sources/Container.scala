@@ -21,22 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object Container {
 
-  def write(ds: NilmDataset, root: String,
-            mode: SaveMode = SaveMode.Overwrite): Unit = {
-    ds.readings
-      .withColumn("power", col("power").cast("float")) // F13
-      // shuffle by (partition cols, channel): each task writes whole
-      // channels into its house's partition dir. Repartitioning by
-      // (dataset, house_id) alone would cap write parallelism at the
-      // house count and emit one arbitrarily-large file per house —
-      // a year of one house doesn't fit one write task at 100 TB.
-      // Channel files stay internally ts-clustered (source order).
-      .repartition(col("dataset"), col("house_id"), col("channel_id"))
-      .write.mode(mode)
-      .partitionBy("dataset", "house_id")
-      .parquet(s"$root/readings")
-    ds.channels.coalesce(1).write.mode(mode).parquet(s"$root/channels")
+  /** Spark's DEFAULT parquet timestamp encoding is INT96, which carries
+    * NO min/max row-group statistics — a ts-clustered layout written
+    * with it silently loses the entire row-group pruning layer (every
+    * time-slice reads every row group; measured in
+    * RowGroupPruningSpec: 400 k of 400 k rows vs 1.4 % with MICROS).
+    * Every container write therefore pins TIMESTAMP_MICROS for its
+    * duration; the caller's conf is restored afterwards. */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
+
+  def write(ds: NilmDataset, root: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    withMicrosTimestamps(ds.readings.sparkSession) {
+      ds.readings
+        .withColumn("power", col("power").cast("float")) // F13
+        // shuffle by (partition cols, channel): each task writes whole
+        // channels into its house's partition dir. Repartitioning by
+        // (dataset, house_id) alone would cap write parallelism at the
+        // house count and emit one arbitrarily-large file per house —
+        // a year of one house doesn't fit one write task at 100 TB.
+        // Channel files stay internally ts-clustered (source order), so
+        // with MICROS stats a per-channel time slice prunes row groups.
+        .repartition(col("dataset"), col("house_id"), col("channel_id"))
+        .write.mode(mode)
+        .partitionBy("dataset", "house_id")
+        .parquet(s"$root/readings")
+      ds.channels.coalesce(1).write.mode(mode).parquet(s"$root/channels")
+    }
 
   /** Bucketed variant for co-located joins/aggregations: readings
     * bucketed AND sorted by (channel_id) within (dataset, house_id)
@@ -46,13 +65,15 @@ object Container {
     * bucket count sized so a bucket's rows fit an executor's memory. */
   def writeBucketed(ds: NilmDataset, tableName: String,
                     buckets: Int = 8): Unit =
-    ds.readings
-      .withColumn("power", col("power").cast("float"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, "channel_id")
-      .sortBy("channel_id", "ts")
-      .format("parquet")
-      .saveAsTable(tableName)
+    withMicrosTimestamps(ds.readings.sparkSession) {
+      ds.readings
+        .withColumn("power", col("power").cast("float"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, "channel_id")
+        .sortBy("channel_id", "ts")
+        .format("parquet")
+        .saveAsTable(tableName)
+    }
 
   def read(spark: SparkSession, root: String): NilmDataset = {
     val readings = spark.read.parquet(s"$root/readings")

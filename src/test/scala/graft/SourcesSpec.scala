@@ -165,5 +165,26 @@ class SourcesSpec extends SparkSpec {
     // partition layout on disk: dataset=ukdale/house_id=N
     val dirs = new java.io.File(s"$root/readings/dataset=ukdale").list().sorted
     assert(dirs.count(_.startsWith("house_id=")) == 2)
+
+    // ts must be INT64 (TIMESTAMP_MICROS), not Spark's default INT96:
+    // INT96 carries no min/max row-group statistics, so the layout's
+    // "internally ts-clustered" property would prune nothing (the trap
+    // RowGroupPruningSpec measures; Container pins the conf per-write)
+    def firstParquet(f: java.io.File): java.io.File =
+      if (f.isFile)
+        if (f.getName.endsWith(".parquet")) f else null
+      else Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .iterator.map(firstParquet).find(_ != null).orNull
+    val pf = firstParquet(new java.io.File(s"$root/readings"))
+    assert(pf != null, "no parquet file written")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(pf.getAbsolutePath))
+    val tsType = footer.getFileMetaData.getSchema
+      .getType(Array("ts"): _*)
+      .asPrimitiveType().getPrimitiveTypeName.toString
+    assert(tsType == "INT64",
+      s"container ts written as $tsType — stats-less INT96 would defeat " +
+        "row-group pruning on every time slice")
   }
 }
