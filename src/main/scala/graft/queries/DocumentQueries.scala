@@ -1643,6 +1643,44 @@ object DocumentQueries {
         .select($"vec_id", $"label", $"id".cast("int").as("pred_label"),
           round($"score", 6).as("cos"))
         .orderBy($"vec_id")
+    }),
+
+    // Domain statistics over extracted URLs — the C4/RefinedWeb
+    // domain-filtering precursor: per-domain url/doc counts feed
+    // blocklists, quality priors, and mixture weights. The synthetic
+    // corpus holds no URLs, so each doc is augmented with 1-2
+    // deterministic doc_id-derived URLs (the q60 pattern); the op is
+    // regexp extraction of EVERY url from the text (codegen'd
+    // regexp_extract_all, idx 0 = full match), native parse_url host
+    // parsing, and ONE map-side-combinable aggregation (two-phase
+    // distinct). The oracle re-extracts with its own regex engine and
+    // parses hosts with a capture group, not parse_url — extractor or
+    // parser drift breaks the hash. Map-only until the single host-
+    // keyed exchange; at 100 TB the domain table is tiny and the scan
+    // dominates, exactly as it should.
+    "q91_domain_stats" -> ((s, d) => {
+      import s.implicits._
+      val domains = array(lit("example.com"), lit("data.example.org"),
+        lit("blog.example.net"), lit("cdn.example.io"), lit("docs.example.dev"))
+      val u1 = concat(lit("https://"),
+        element_at(domains, ($"doc_id" % 5 + 1).cast("int")),
+        lit("/p/"), $"doc_id")
+      val u2 = concat(lit("http://"),
+        element_at(domains, ($"doc_id" * 7 % 5 + 1).cast("int")),
+        lit("/q?x="), $"doc_id")
+      val aug = documents(s, d).select($"doc_id",
+        concat_ws(" ", coalesce($"text", lit("")), lit("see"), u1,
+          when($"doc_id" % 2 === 0, concat(lit("or "), u2))
+            .otherwise(lit(""))).as("t"))
+      aug
+        .select($"doc_id",
+          explode(regexp_extract_all($"t", lit("https?://[^\\s]+"), lit(0)))
+            .as("url"))
+        .select($"doc_id", parse_url($"url", lit("HOST")).as("host"))
+        .groupBy($"host")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"host")
     })
   )
 
@@ -1970,6 +2008,27 @@ object DocumentQueries {
            FROM p)
          SELECT vec_id, label, CAST(clabel AS INT) AS pred_label,
            round(cos, 6) AS cos
-         FROM r WHERE rnk = 1 ORDER BY vec_id"""
+         FROM r WHERE rnk = 1 ORDER BY vec_id""",
+
+    // Same augmented text, independent extraction (DuckDB regex) and
+    // host parsing (capture group, not parse_url).
+    "q91_domain_stats" ->
+      """WITH doms AS (SELECT ['example.com','data.example.org',
+             'blog.example.net','cdn.example.io','docs.example.dev'] AS ds),
+         aug AS (
+           SELECT doc_id, concat_ws(' ', coalesce(text, ''), 'see',
+             'https://' || ds[CAST(doc_id % 5 AS INT) + 1] || '/p/' || doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'or ' || 'http://' ||
+                       ds[CAST(doc_id * 7 % 5 AS INT) + 1] || '/q?x=' || doc_id
+                  ELSE '' END) AS t
+           FROM documents, doms),
+         u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url
+           FROM aug),
+         h AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host
+           FROM u)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM h GROUP BY host ORDER BY host"""
   )
 }
