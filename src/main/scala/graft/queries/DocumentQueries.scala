@@ -1681,6 +1681,33 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_urls"),
           countDistinct($"doc_id").as("n_docs"))
         .orderBy($"host")
+    }),
+
+    // Chunking with overlap — the embedding-pipeline pre-step: long
+    // docs become C=24-word windows every S=16 words, so retrieval
+    // chunks carry context across boundaries. Map-only: tokenize once,
+    // explode the chunk-start sequence, slice the word array per chunk
+    // — ZERO shuffle before the terminal sort; at 100 TB this is pure
+    // scan bandwidth. Output is chunk coordinates + a content
+    // signature, not the chunk text (don't re-emit 1.5× the corpus).
+    // The oracle recomputes every chunk from its own tokenizer via
+    // generate_series + list_slice — a start-step, slice-bound, or
+    // join-separator drift breaks the hash.
+    "q92_chunk_overlap" -> ((s, d) => {
+      import s.implicits._
+      val C = 24; val S = 16
+      val w = documents(s, d)
+        .select($"doc_id", TextOps.words($"text").as("w"))
+        .filter(size($"w") > 0)
+      w.select($"doc_id", $"w",
+          posexplode(sequence(lit(0), size($"w") - 1, lit(S)))
+            .as(Seq("chunk_idx", "start")))
+        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          slice($"w", $"start" + 1, lit(C)).as("chunk"))
+        .select($"doc_id", $"chunk_idx",
+          size($"chunk").cast("long").as("n_words"),
+          substring(md5(array_join($"chunk", " ")), 1, 16).as("chunk_sig"))
+        .orderBy($"doc_id", $"chunk_idx")
     })
   )
 
@@ -2029,6 +2056,21 @@ object DocumentQueries {
            FROM u)
          SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-         FROM h GROUP BY host ORDER BY host"""
+         FROM h GROUP BY host ORDER BY host""",
+
+    // Chunks recomputed from DuckDB's own tokenizer: 1-based starts
+    // 1, 17, 33, … mirror Spark's 0-based sequence(0, len-1, 16).
+    "q92_chunk_overlap" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(text, '\s+') w FROM documents
+           WHERE len(string_split_regex(text, '\s+')) > 0),
+         c AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 16)) st
+           FROM w),
+         ch AS (SELECT doc_id, CAST((st - 1) // 16 AS BIGINT) chunk_idx,
+             list_slice(w, st, st + 23) chunk
+           FROM c)
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_words,
+           substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_sig
+         FROM ch ORDER BY doc_id, chunk_idx"""
   )
 }
