@@ -120,6 +120,14 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 3, p)
   }
 
+  test("q92 chunk overlap: zero shuffle before the terminal sort") {
+    val p = plan("q92_chunk_overlap")
+    // tokenize → explode starts → slice is pure map work; the only
+    // exchange allowed is the terminal orderBy's rangepartitioning
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("Generate"), p) // the chunk-start explode is real
+  }
+
   test("q23 exact dedup: single hash exchange (map-side combined)") {
     val p = plan("q23_exact_dedup")
     assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
