@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * times the SAME join with AQE skew-join on vs off.
   *
   * Thresholds: the defaults trigger at 256 MB partitions — real at
-  * 100 TB, unreachable in a local bench — so the skew-on leg scales
-  * them down (16 MB advisory/threshold) exactly as a 100 TB deployment
-  * leaves them at defaults. The skew-off leg is the same conf minus the
-  * skew-join rule, so the A/B isolates the one mechanism.
+  * 100 TB, unreachable in a local bench — so the bench scales them
+  * down (16 MB skew threshold / 8 MB advisory) exactly as a 100 TB
+  * deployment leaves them at defaults. The skew-off leg is the same
+  * conf minus the skew-join rule, so the A/B isolates the one
+  * mechanism.
   *
   * Prints one JSON line per n:
   *   {"n":…,"hot_rows":…,"skew_on_sec":…,"skew_off_sec":…,
@@ -59,8 +60,7 @@ object JoinSkewBench {
     spark.conf.set(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-    // keep AQE from also coalescing the cold partitions differently
-    // between legs; only the skew-join rule differs
+
     // materialize the probe side once per n: at 30M the payload
     // generation (90M md5s) dominates both legs and masks the join
     // delta — the A/B must time the JOIN, as a real pipeline joining
@@ -70,6 +70,10 @@ object JoinSkewBench {
         .createTempDirectory(s"graft_joinskew_$n").toString
       probe(n).write.mode("overwrite").parquet(dir)
       dir
+    }
+    def deleteRec(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(deleteRec))
+      p.delete(): Unit
     }
 
     def run(skewOn: Boolean, dir: String): (Double, Boolean) = {
@@ -88,15 +92,17 @@ object JoinSkewBench {
 
     sizes.foreach { n =>
       val dir = materialize(n)
-      // warm-up (JIT + codegen), untimed
-      run(skewOn = true, dir)
-      val (onSec, handled) = run(skewOn = true, dir)
-      val (offSec, _) = run(skewOn = false, dir)
-      val line = s"""{"n":$n,"hot_rows":${n / 2},""" +
-        s""""skew_on_sec":${f(onSec)},"skew_off_sec":${f(offSec)},""" +
-        s""""skew_handled":$handled}"""
-      println(line)
-      System.err.println(line)
+      try {
+        // warm-up (JIT + codegen), untimed
+        run(skewOn = true, dir)
+        val (onSec, handled) = run(skewOn = true, dir)
+        val (offSec, _) = run(skewOn = false, dir)
+        val line = s"""{"n":$n,"hot_rows":${n / 2},""" +
+          s""""skew_on_sec":${f(onSec)},"skew_off_sec":${f(offSec)},""" +
+          s""""skew_handled":$handled}"""
+        println(line)
+        System.err.println(line)
+      } finally deleteRec(new java.io.File(dir)) // multi-GB, incompressible
     }
     spark.stop()
   }

@@ -36,8 +36,9 @@ object Sketches {
   /** (source, doc_id, tok) frame: lowercased whitespace tokens of the
     * `documents` table — the corpus-vocabulary input shape. */
   def tokens(docs: DataFrame, idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame =
-    docs.select(col("source"), col(idCol),
+             textCol: String = "text",
+             groupCol: String = "source"): DataFrame =
+    docs.select(col(groupCol), col(idCol),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
 

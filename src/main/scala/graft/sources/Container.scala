@@ -28,7 +28,7 @@ object Container {
     * RowGroupPruningSpec: 400 k of 400 k rows vs 1.4 % with MICROS).
     * Every container write therefore pins TIMESTAMP_MICROS for its
     * duration; the caller's conf is restored afterwards. */
-  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "TIMESTAMP_MICROS")

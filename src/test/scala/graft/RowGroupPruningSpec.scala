@@ -35,11 +35,10 @@ class RowGroupPruningSpec extends SparkSpec {
     // Spark's DEFAULT parquet timestamp encoding is INT96, which carries
     // NO min/max statistics — a ts-sorted INT96 layout silently reads
     // every row group (measured here before this conf was set: 400 k of
-    // 400 k). MICROS is mandatory for a prunable time-series layout, and
-    // is what the driver's own testdata uses.
-    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    try {
+    // 400 k). MICROS is mandatory for a prunable time-series layout;
+    // the same helper Container uses for its own writes pins it here,
+    // so this spec exercises the library's actual write path.
+    graft.sources.Container.withMicrosTimestamps(spark) {
       val rows = spark.range(n).select(
         timestamp_seconds(lit(1700000000L) + $"id").as("ts"),
         $"id".as("event_id"),
@@ -50,9 +49,6 @@ class RowGroupPruningSpec extends SparkSpec {
       rows.orderBy(md5($"id".cast("string"))).coalesce(1)
         .write.option("parquet.block.size", blockSize)
         .parquet(s"$base/shuffled")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
-      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
     }
     (s"$base/sorted", s"$base/shuffled")
   }
