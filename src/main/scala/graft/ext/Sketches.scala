@@ -72,4 +72,41 @@ object Sketches {
   def unionSketches(shards: DataFrame, groupCols: Seq[String]): DataFrame =
     shards.groupBy(groupCols.map(col): _*)
       .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  // ---- quantile sketches (DataSketches KLL via graft_kll natives) ----
+  // Same ingest-once / rollup-bytes-forever shape as the HLL path, for
+  // DISTRIBUTIONS instead of distinct counts: p50/p99 token counts,
+  // quality-score CDFs, length histograms — per shard at ingest, then
+  // any coarser grouping without touching raw data. Requires
+  // [[graft.plans.GraftExtensions.register]]. Accuracy is KLL's
+  // normalized-rank bound (k=200 → ~1.65 % single-sided at 99 %
+  // confidence; merge follows the smallest k involved) and estimates
+  // are NOT run-deterministic — QuantileSketchSpec pins the band.
+
+  val DefaultK = 200
+
+  /** Single-pass per-group quantile sketch blob (~KB binary rows). */
+  def quantileShardSketches(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, shardCol: Column,
+                            k: Int = DefaultK): DataFrame =
+    df.groupBy(groupCols.map(col) :+ shardCol.as("shard"): _*)
+      .agg(call_function("graft_kll",
+        col(valueCol).cast("double"), lit(k)).as("qsketch"))
+
+  /** Bytes-only rollup of persisted quantile sketches to any coarser
+    * grouping, keeping the result a sketch (chainable). */
+  def quantileUnionSketches(shards: DataFrame, groupCols: Seq[String],
+                            k: Int = DefaultK): DataFrame =
+    shards.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_kll_merge",
+        col("qsketch"), lit(k)).as("qsketch"))
+
+  /** Read estimates out of sketch rows: one column per requested
+    * quantile (`q50`, `q99`, …) — runs on aggregated rows only. */
+  def quantileEstimates(sketches: DataFrame,
+                        quantiles: Seq[Double]): DataFrame =
+    quantiles.foldLeft(sketches) { (df, q) =>
+      df.withColumn(s"q${(q * 100).round}",
+        call_function("graft_kll_quantile", col("qsketch"), lit(q)))
+    }.drop("qsketch")
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, MinHashSig, NearestCentroid, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr}
+import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, KllAgg, KllMergeAgg, KllQuantile, KllRank, MinHashSig, NearestCentroid, RollingFingerprint, SimHash60, TopKByScore, TopKByScoreStr, ZOrderKey}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -107,6 +107,37 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_nearest_centroid(emb, centroids)")
         NearestCentroid(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "graft_zorder"),
+      (args: Seq[Expression]) => {
+        require(args.size >= 4 && args.size % 2 == 0,
+          "graft_zorder(v1, cuts1, v2, cuts2, ...)")
+        ZOrderKey(args)
+      }),
+    (FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[KllAgg].getName, "graft_kll"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_kll(value, k)")
+        KllAgg(args.head, args(1)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_kll_merge(sketch, k)")
+        KllMergeAgg(args.head, args(1)).toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_kll_quantile(sketch, q)")
+        KllQuantile(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "graft_kll_rank"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_kll_rank(sketch, value)")
+        KllRank(args.head, args(1))
       }))
 
   /** Idempotent runtime registration into an existing session. */

@@ -1708,6 +1708,27 @@ object DocumentQueries {
           size($"chunk").cast("long").as("n_words"),
           substring(md5(array_join($"chunk", " ")), 1, 16).as("chunk_sig"))
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Z-order clustering key — the write-time layout lever ZOrderSpec
+    // measures (multi-column row-group pruning). This query pins the
+    // native `graft_zorder`'s VALUE semantics under the driver gate:
+    // equi-depth bucket ids (count of cut points <= v) bit-interleaved
+    // MSB-first, 31 bits/column for 2 columns. Cut points are fixed
+    // literals here (the oracle must be deterministic); production fits
+    // them with Layout.cutPoints. Map-only — zero shuffle before the
+    // terminal sort, exactly like the write path that uses the key.
+    "q93_zorder_key" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val cutsX = Array(50.0, 100.0, 200.0, 400.0, 800.0, 1600.0, 3200.0)
+      val cutsY = Array(100.0, 300.0, 500.0, 700.0, 900.0)
+      documents(s, d).select($"doc_id",
+          call_function("graft_zorder",
+            $"n_chars".cast("double"), lit(cutsX),
+            pmod($"doc_id", lit(1000)).cast("double"), lit(cutsY))
+            .as("zkey"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2071,6 +2092,27 @@ object DocumentQueries {
            FROM c)
          SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_words,
            substr(md5(array_to_string(chunk, ' ')), 1, 16) AS chunk_sig
-         FROM ch ORDER BY doc_id, chunk_idx"""
+         FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // The Z-key recomputed from first principles: bucket = count of cut
+    // points <= v (NULL never passes the filter → bucket 0, matching
+    // Spark's null handling), interleave = Σ over bit k of col0's bit
+    // at z-position 2k+1 and col1's at 2k (MSB-first interleave makes
+    // col i's value-bit k land at k·nCols + (nCols−1−i)).
+    "q93_zorder_key" ->
+      """WITH b AS (
+           SELECT doc_id,
+             len(list_filter([50.0, 100.0, 200.0, 400.0, 800.0, 1600.0,
+                              3200.0],
+                 c -> c <= CAST(n_chars AS DOUBLE))) AS bx,
+             len(list_filter([100.0, 300.0, 500.0, 700.0, 900.0],
+                 c -> c <= CAST(doc_id % 1000 AS DOUBLE))) AS yb
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 30),
+             k -> ((bx >> k) & 1) * (CAST(1 AS BIGINT) << (2 * k + 1))
+                + ((yb >> k) & 1) * (CAST(1 AS BIGINT) << (2 * k))))
+             AS BIGINT) AS zkey
+         FROM b ORDER BY doc_id"""
   )
 }

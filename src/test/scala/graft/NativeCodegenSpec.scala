@@ -59,7 +59,7 @@ class NativeCodegenSpec extends SparkSpec {
     (4L, "", "not json")
   ).toDF("id", "text", "j").repartition(2)
 
-  test("8 scalar natives compile in ONE whole-stage span (fallback off; " +
+  test("9 scalar natives compile in ONE whole-stage span (fallback off; " +
     "bloom_contains needs a foldable blob, spanned separately below)") {
     def q = docs.select(
       $"id",
@@ -73,7 +73,10 @@ class NativeCodegenSpec extends SparkSpec {
       call_function("graft_byte_hist", encode($"text", "UTF-8"), lit(0)).as("bh"),
       call_function("graft_nearest_centroid",
         array($"ent", $"ent"),
-        array(array(lit(0.0), lit(0.0)), array(lit(4.0), lit(4.0)))).as("nc")
+        array(array(lit(0.0), lit(0.0)), array(lit(4.0), lit(4.0)))).as("nc"),
+      call_function("graft_zorder",
+        call_function("graft_char_entropy", $"text"), lit(Array(1.0, 3.0)),
+        $"id".cast("double"), lit(Array(2.5))).as("zk")
     ).orderBy($"id")
     withFactoryMode("CODEGEN_ONLY") {
       val df = q
@@ -110,9 +113,11 @@ class NativeCodegenSpec extends SparkSpec {
     assertCodegenParity(q)
   }
 
-  test("all 4 native aggregates run with codegen fallback disabled") {
+  test("all 5 native aggregates run with codegen fallback disabled") {
     // TypedImperativeAggregates sit inside ObjectHashAggregate; the
-    // surrounding projections/exchange stages still must compile
+    // surrounding projections/exchange stages still must compile.
+    // graft_kll's blob is randomized (compaction coins) — reduce it to
+    // a deterministic quantile read so the parity snapshot is stable.
     def q = docs
       .withColumn("g", $"id" % 2)
       .groupBy($"g")
@@ -120,9 +125,27 @@ class NativeCodegenSpec extends SparkSpec {
         call_function("graft_topk", $"id".cast("double"), $"id", lit(2)).as("topk"),
         call_function("graft_topk_str", $"id".cast("double"), $"text", lit(2)).as("topks"),
         call_function("graft_heavy_hitters", $"text", lit(4)).as("hh"),
-        hex(call_function("graft_bloom", $"text", lit(100L), lit(0.01))).as("bloom"))
+        hex(call_function("graft_bloom", $"text", lit(100L), lit(0.01))).as("bloom"),
+        call_function("graft_kll_quantile",
+          call_function("graft_kll", $"id".cast("double"), lit(200)),
+          lit(0.5)).as("kllMed"))
       .orderBy($"g")
     withFactoryMode("CODEGEN_ONLY")(assert(q.collect().length == 2))
+    assertCodegenParity(q)
+  }
+
+  test("graft_kll_quantile/rank compile against a real blob literal") {
+    val blob = docs.agg(call_function("graft_kll",
+        $"id".cast("double"), lit(200)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    def q = docs.select($"id",
+        call_function("graft_kll_quantile", lit(blob), lit(1.0)).as("mx"),
+        call_function("graft_kll_rank", lit(blob), $"id".cast("double")).as("r"))
+      .orderBy($"id")
+    withFactoryMode("CODEGEN_ONLY") {
+      val rows = q.collect()
+      assert(rows.forall(_.getAs[Double]("mx") == 4.0))
+    }
     assertCodegenParity(q)
   }
 }
