@@ -109,4 +109,51 @@ object Sketches {
       df.withColumn(s"q${(q * 100).round}",
         call_function("graft_kll_quantile", col("qsketch"), lit(q)))
     }.drop("qsketch")
+
+  // ---- theta sketches (set algebra on distinct counts) ----
+  // The overlap/contamination-RATE question HLL cannot answer: per-slice
+  // sketches at ingest, then |A∩B| / |A\B| / Jaccard for ANY pair of
+  // slices as scalar math on KB blobs — never a join of raw corpora.
+  // Deterministic for fixed input + shard topology (k-min-hash, no
+  // random state); ThetaSketchSpec pins exactness below 2^lgK and the
+  // estimation-mode bands. Requires GraftExtensions.register.
+
+  val DefaultLgK = 12
+
+  /** Single-pass per-(group, shard) theta sketches of a string key. */
+  def thetaShardSketches(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, shardCol: Column,
+                         lgK: Int = DefaultLgK): DataFrame =
+    df.groupBy(groupCols.map(col) :+ shardCol.as("shard"): _*)
+      .agg(call_function("graft_theta",
+        col(valueCol), lit(lgK)).as("tsketch"))
+
+  /** Bytes-only union rollup to any coarser grouping (chainable). */
+  def thetaUnionSketches(shards: DataFrame, groupCols: Seq[String],
+                         lgK: Int = DefaultLgK): DataFrame =
+    shards.groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_theta_union",
+        col("tsketch"), lit(lgK)).as("tsketch"))
+
+  /** Pairwise overlap report between two sketch frames (each one
+    * `tsketch` row per key): per-side distinct, intersection,
+    * difference, and Jaccard — all from the blobs. The join carries
+    * only sketch rows (slices, not data), so an all-pairs overlap
+    * matrix over S slices is S² KB-sized rows. */
+  def thetaOverlap(a: DataFrame, b: DataFrame,
+                   joinCols: Seq[String]): DataFrame = {
+    val l = a.withColumnRenamed("tsketch", "ts_a")
+    val r = b.withColumnRenamed("tsketch", "ts_b")
+    val j = if (joinCols.isEmpty) l.crossJoin(r) else l.join(r, joinCols)
+    j.select(joinCols.map(col) ++ Seq(
+        call_function("graft_theta_estimate", col("ts_a")).as("est_a"),
+        call_function("graft_theta_estimate", col("ts_b")).as("est_b"),
+        call_function("graft_theta_intersect", col("ts_a"), col("ts_b"))
+          .as("est_overlap"),
+        call_function("graft_theta_anotb", col("ts_a"), col("ts_b"))
+          .as("est_only_a"),
+        (call_function("graft_theta_intersect", col("ts_a"), col("ts_b")) /
+          call_function("graft_theta_union_est", col("ts_a"), col("ts_b")))
+          .as("est_jaccard")): _*)
+  }
 }

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * expression throws instead of silently degrading to interpreted. Each
   * query is then re-run under `NO_CODEGEN` and the results are asserted
   * identical, so the compiled and interpreted paths can never drift apart
-  * unnoticed (the JsonLongKeySpec check generalized to all 13 natives).
+  * unnoticed (the JsonLongKeySpec check generalized to every
+  * registered graft_* native).
   */
 class NativeCodegenSpec extends SparkSpec {
 
@@ -147,5 +148,37 @@ class NativeCodegenSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Double]("mx") == 4.0))
     }
     assertCodegenParity(q)
+  }
+
+  test("theta natives: aggregates run fallback-free, scalars compile on blobs") {
+    val blobs = docs.agg(
+        call_function("graft_theta", $"text", lit(12)).as("a"),
+        call_function("graft_theta",
+          concat($"text", lit("x")), lit(12)).as("b"))
+      .head()
+    val (a, b) = (blobs.getAs[Array[Byte]]("a"), blobs.getAs[Array[Byte]]("b"))
+    def q = docs.select($"id",
+        call_function("graft_theta_estimate", lit(a)).as("est"),
+        call_function("graft_theta_intersect", lit(a), lit(b)).as("inter"),
+        call_function("graft_theta_anotb", lit(a), lit(b)).as("diff"),
+        call_function("graft_theta_union_est", lit(a), lit(b)).as("uni"))
+      .orderBy($"id")
+    withFactoryMode("CODEGEN_ONLY") {
+      val r = q.head()
+      // theta update() REJECTS the empty string (RejectedNullOrEmpty),
+      // so side a holds 3 items; side b's concat(text, "x") makes 4
+      assert(r.getAs[Double]("est") == 3.0)
+      assert(r.getAs[Double]("inter") == 0.0) // suffix makes them disjoint
+      assert(r.getAs[Double]("uni") == 7.0)
+    }
+    assertCodegenParity(q)
+    // the union-of-blobs aggregate also runs fallback-free
+    def qu = docs
+      .groupBy(($"id" % 2).as("g"))
+      .agg(call_function("graft_theta", $"text", lit(12)).as("s"))
+      .agg(call_function("graft_theta_estimate",
+        call_function("graft_theta_union", $"s", lit(12))).as("n"))
+    withFactoryMode("CODEGEN_ONLY")(assert(qu.head().getDouble(0) == 3.0))
+    assertCodegenParity(qu)
   }
 }
