@@ -1729,6 +1729,39 @@ object DocumentQueries {
             pmod($"doc_id", lit(1000)).cast("double"), lit(cutsY))
             .as("zkey"))
         .orderBy($"doc_id")
+    }),
+
+    // Theta-sketch corpus overlap — the contamination-rate shape: one
+    // KB sketch per source at ingest, then EVERY pairwise overlap from
+    // the blobs (the S×S join carries 20 sketch rows, never the
+    // corpora; at 100 TB that is the whole point). This query runs the
+    // REAL theta path end-to-end and is oracle-checkable because the
+    // per-source vocabularies sit far below 2^14 nominal entries, where
+    // theta's k-min-hash is EXACT — DuckDB recomputes the same counts
+    // with set joins. Estimation-mode behavior (the 100 TB regime) is
+    // spec-gated in ThetaSketchSpec, where no value-level oracle can
+    // exist.
+    "q94_theta_overlap" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val toks = documents(s, d).select($"source",
+          explode(TextOps.words($"text")).as("tok"))
+        .filter(length($"tok") > 0)
+      val sk = toks.groupBy($"source")
+        .agg(call_function("graft_theta", $"tok", lit(14)).as("tsketch"))
+      val a = sk.select($"source".as("source_a"), $"tsketch".as("ts_a"))
+      val b = sk.select($"source".as("source_b"), $"tsketch".as("ts_b"))
+      a.join(b, $"source_a" < $"source_b")
+        .select($"source_a", $"source_b",
+          round(call_function("graft_theta_estimate", $"ts_a"))
+            .cast("long").as("n_a"),
+          round(call_function("graft_theta_estimate", $"ts_b"))
+            .cast("long").as("n_b"),
+          round(call_function("graft_theta_intersect", $"ts_a", $"ts_b"))
+            .cast("long").as("n_overlap"),
+          round(call_function("graft_theta_anotb", $"ts_a", $"ts_b"))
+            .cast("long").as("n_only_a"))
+        .orderBy($"source_a", $"source_b")
     })
   )
 
@@ -2113,6 +2146,29 @@ object DocumentQueries {
              k -> ((bx >> k) & 1) * (CAST(1 AS BIGINT) << (2 * k + 1))
                 + ((yb >> k) & 1) * (CAST(1 AS BIGINT) << (2 * k))))
              AS BIGINT) AS zkey
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+
+    // Exact recomputation with set joins: theta in exact mode (every
+    // per-source vocabulary far below 2^14 entries) must equal true
+    // distinct/overlap/difference counts. Pairs come from the count
+    // table's self-join so zero-overlap pairs survive the LEFT JOIN.
+    "q94_theta_overlap" ->
+      """WITH tok AS (SELECT DISTINCT source, tok FROM (
+             SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents) WHERE len(tok) > 0),
+         cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY source),
+         pairs AS (SELECT a.source AS source_a, a.n AS n_a,
+             b.source AS source_b, b.n AS n_b
+           FROM cnt a, cnt b WHERE a.source < b.source),
+         ov AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_overlap
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(p.n_a - coalesce(o.n_overlap, 0) AS BIGINT) AS n_only_a
+         FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
+         ORDER BY source_a, source_b"""
   )
 }
