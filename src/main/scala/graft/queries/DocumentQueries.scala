@@ -1762,6 +1762,33 @@ object DocumentQueries {
           round(call_function("graft_theta_anotb", $"ts_a", $"ts_b"))
             .cast("long").as("n_only_a"))
         .orderBy($"source_a", $"source_b")
+    }),
+
+    // Snapshot merge (SCD-1 upsert + deletes) — the "daily refresh"
+    // operator: synthetic changes derived from doc_id arithmetic
+    // (every 7th doc updated, every 31st of those deleted, every 13th
+    // spawning a new doc at doc_id+100000) merged into the base via
+    // operators/Upsert.merge — ONE map-side-combinable max_by shuffle,
+    // no window (UpsertSpec pins the plan; the window form is its
+    // cross-check, and the DuckDB oracle below is a third independent
+    // route: anti-join + union).
+    "q95_upsert_merge" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val base = docs.select($"doc_id", $"source", $"text")
+      val changes = docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", $"source",
+          concat($"text", lit(" v2")).as("text"),
+          ($"doc_id" % 31 === 0).as("_deleted"))
+        .unionByName(docs.filter($"doc_id" % 13 === 0)
+          .select(($"doc_id" + 100000L).as("doc_id"), $"source",
+            concat(lit("new "), $"text").as("text"),
+            lit(false).as("_deleted")))
+      graft.operators.Upsert
+        .merge(base, changes, Seq("doc_id"), deleteCol = Some("_deleted"))
+        .select($"doc_id", $"source",
+          substring(md5($"text"), 1, 16).as("sig"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2169,6 +2196,25 @@ object DocumentQueries {
            CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
            CAST(p.n_a - coalesce(o.n_overlap, 0) AS BIGINT) AS n_only_a
          FROM pairs p LEFT JOIN ov o USING (source_a, source_b)
-         ORDER BY source_a, source_b"""
+         ORDER BY source_a, source_b""",
+
+    // Third independent route to the merge semantics: carried-over base
+    // rows come from an anti-join against the change keys, survivors of
+    // the change set union in — no window, no max_by.
+    "q95_upsert_merge" ->
+      """WITH up AS (
+           SELECT doc_id, source, text || ' v2' AS text,
+             doc_id % 31 = 0 AS del
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id + 100000, source, 'new ' || text, FALSE
+           FROM documents WHERE doc_id % 13 = 0),
+         merged AS (
+           SELECT b.doc_id, b.source, b.text FROM documents b
+           WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.doc_id = b.doc_id)
+           UNION ALL
+           SELECT doc_id, source, text FROM up WHERE NOT del)
+         SELECT doc_id, source, substr(md5(text), 1, 16) AS sig
+         FROM merged ORDER BY doc_id"""
   )
 }

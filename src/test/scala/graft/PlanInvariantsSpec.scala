@@ -128,6 +128,26 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the chunk-start explode is real
   }
 
+  test("q93 zorder key: map-only — zero shuffle before the terminal sort") {
+    val p = plan("q93_zorder_key")
+    // the write-path shape: key evaluation is pure projection work
+    assert(countOf(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("graft_zorder"), p)
+  }
+
+  test("q94 theta overlap: sketch rows join, corpora never do") {
+    val p = plan("q94_theta_overlap")
+    // per-source sketches = hash agg branches (≤2 exchanges, one per
+    // side of the self-join); the S×S pairing joins 20 SKETCH rows via
+    // a broadcast nested loop (non-equi a<b), never a shuffled join of
+    // token rows
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_theta"), p)
+  }
+
   test("q23 exact dedup: single hash exchange (map-side combined)") {
     val p = plan("q23_exact_dedup")
     assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
