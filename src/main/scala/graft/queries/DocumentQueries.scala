@@ -1789,6 +1789,65 @@ object DocumentQueries {
         .select($"doc_id", $"source",
           substring(md5($"text"), 1, 16).as("sig"))
         .orderBy($"doc_id")
+    }),
+
+    // Incremental near-dup: dedup the DELTA against the corpus, not the
+    // corpus against itself. The daily-arrivals shape: a synthetic
+    // batch (every 9th doc re-arrives with its first two words dropped
+    // — jaccard (W−4)/(W−2) ≥ 0.5 for W ≥ 6 words; every 9th+4 doc
+    // arrives as genuinely novel md5 text) is LSH-banded against the
+    // base corpus signatures and each batch doc reports the smallest
+    // base doc it duplicates (or null). At 100 TB the base signature
+    // frame is the persisted ingest-time index (KB/doc), so the work is
+    // batch-sized band probes + candidate verifies — never a corpus
+    // re-scan, the batch-vs-index sibling of q24's corpus self-join.
+    "q96_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val docs = documents(s, d)
+      val nearCopy = docs.filter($"doc_id" % 9 === 0)
+        .select(($"doc_id" + 500000L).as("batch_id"),
+          array_join(slice(TextOps.words($"text"), 3, 1000000), " ").as("text"))
+      val novel = docs.filter($"doc_id" % 9 === 4)
+        .select(($"doc_id" + 600000L).as("batch_id"),
+          concat_ws(" ", (0 to 5).map(i =>
+            concat(lit("zz"), md5(concat($"doc_id".cast("string"),
+              lit(i.toString))))): _*).as("text"))
+      val batch = nearCopy.unionByName(novel)
+      def sigOf(df: DataFrame, idCol: String): DataFrame = df
+        .select(col(idCol), expr("graft_minhash_sig(text)").as("__s"))
+        .filter($"__s".isNotNull)
+        .select(col(idCol) +: $"__s.sh".as("sh") +:
+          (0 until NumHashes).map(j => $"__s.m"(j).as(s"m$j")): _*)
+      // both referenced twice (bands + verify): persist via the library
+      // cache contract; repartition for the same split-count reason as
+      // q24 (a map-only projection inherits the single-file scan split)
+      val baseSig = graft.Caching.persisted(
+        sigOf(docs, "doc_id").repartition($"doc_id"))
+      val batchSig = graft.Caching.persisted(
+        sigOf(batch, "batch_id").repartition($"batch_id"))
+      def bandsOf(sig: DataFrame, idCol: String): DataFrame = sig
+        .select(col(idCol), explode(bandStructs).as("band"))
+        .select(col(idCol), $"band.bi".as("bi"), $"band.bk".as("bk"))
+      val cand = bandsOf(batchSig, "batch_id").as("a")
+        .join(bandsOf(baseSig, "doc_id").as("b"),
+          col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk"))
+        .select($"batch_id", col("b.doc_id").as("b_id")).distinct()
+      val withSig = cand
+        .join(batchSig.as("sa"), Seq("batch_id"))
+        .join(baseSig.as("sb"), $"b_id" === col("sb.doc_id"))
+      val inter = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
+      val jac = inter /
+        (size(col("sa.sh")) + size(col("sb.sh")) - inter)
+      val best = withSig
+        .select($"batch_id", $"b_id", jac.as("jac"))
+        .filter($"jac" >= 0.5)
+        .groupBy($"batch_id")
+        .agg(min(struct($"b_id", $"jac")).as("m"))
+        .select($"batch_id", $"m.b_id".as("dup_of"),
+          round($"m.jac", 6).as("jac"))
+      batch.select($"batch_id").join(best, Seq("batch_id"), "left")
+        .orderBy($"batch_id")
     })
   )
 
@@ -2215,6 +2274,65 @@ object DocumentQueries {
            UNION ALL
            SELECT doc_id, source, text FROM up WHERE NOT del)
          SELECT doc_id, source, substr(md5(text), 1, 16) AS sig
-         FROM merged ORDER BY doc_id"""
+         FROM merged ORDER BY doc_id""",
+
+    // Batch and base signatures recomputed from raw text with the same
+    // md5-derived minhash arithmetic as q24's oracle; the len(s) > 0
+    // filters mirror graft_minhash_sig's null-for-<3-words contract
+    // (an unfiltered empty signature would band-key to '' and
+    // spuriously match every other empty doc).
+    "q96_incremental_dedup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(text, '\\s+') w
+           FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) s
+           FROM tok),
+         ids AS (SELECT doc_id, s,
+           list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
+           FROM sh),
+         sig AS (SELECT doc_id, s, $sigExprs m FROM ids WHERE len(s) > 0),
+         batch AS (
+           SELECT doc_id + 500000 AS batch_id,
+             array_to_string(w[3:], ' ') AS text
+           FROM tok WHERE doc_id % 9 = 0
+           UNION ALL
+           SELECT doc_id + 600000 AS batch_id,
+             concat_ws(' ', 'zz' || md5(doc_id || '0'), 'zz' || md5(doc_id || '1'),
+               'zz' || md5(doc_id || '2'), 'zz' || md5(doc_id || '3'),
+               'zz' || md5(doc_id || '4'), 'zz' || md5(doc_id || '5')) AS text
+           FROM documents WHERE doc_id % 9 = 4),
+         btok AS (SELECT batch_id, string_split_regex(text, '\\s+') w FROM batch),
+         bsh AS (SELECT batch_id,
+           list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) s
+           FROM btok),
+         bids AS (SELECT batch_id, s,
+           list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
+           FROM bsh),
+         bsig AS (SELECT batch_id, s, $sigExprs m FROM bids WHERE len(s) > 0),
+         bands AS (SELECT doc_id, bi,
+           concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
+           FROM sig, range(0, 4) t(bi)),
+         bbands AS (SELECT batch_id, bi,
+           concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
+           FROM bsig, range(0, 4) t(bi)),
+         cand AS (SELECT DISTINCT a.batch_id, b.doc_id b_id
+           FROM bbands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk),
+         verified AS (SELECT c.batch_id, c.b_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) jac
+           FROM cand c JOIN bsig sa ON c.batch_id = sa.batch_id
+                       JOIN sig sb ON c.b_id = sb.doc_id),
+         best AS (SELECT batch_id, min(b_id) AS dup_of,
+             round(arg_min(jac, b_id), 6) AS jac
+           FROM verified WHERE jac >= 0.5 GROUP BY batch_id)
+         SELECT b.batch_id, best.dup_of, best.jac
+         FROM batch b LEFT JOIN best USING (batch_id)
+         ORDER BY batch_id"""
   )
 }
