@@ -76,4 +76,49 @@ object Layout {
     }
     writer.parquet(path)
   }
+
+  /** Small-files compaction — the maintenance half of incremental
+    * ingest: streaming sinks and per-batch appends leave a directory of
+    * KB-to-MB files whose per-file open/footer/seek overhead (and
+    * driver listing cost) eventually dominates scans. Rewrite it into
+    * `ceil(totalBytes / targetFileBytes)` files:
+    *
+    *   - `sortCols` empty → `coalesce`: NO shuffle — adjacent input
+    *     splits merge in place. Cheapest, preserves only coarse input
+    *     order; the right default when the input was never clustered.
+    *   - `sortCols` given → `repartitionByRange` + sortWithinPartitions:
+    *     one shuffle that re-establishes clustering while compacting,
+    *     so the row-group stats layer (RowGroupPruningSpec) comes back
+    *     with the rewrite. Use for time-series dirs whose append order
+    *     drifted from ts order.
+    *
+    * Sizing reads the SOURCE directory's byte size from the filesystem
+    * (a driver-side listing — the same cost any maintenance job pays;
+    * compression ratio carries over since input and output are both
+    * parquet). Writes to a NEW directory: swapping it in atomically is
+    * the caller's move (rename), matching every table format's
+    * compact-then-commit shape. Returns (inputFiles, outputFiles). */
+  def compact(df: DataFrame, inputPath: String, outputPath: String,
+              targetFileBytes: Long = 1L << 30,
+              sortCols: Seq[Column] = Nil,
+              options: Map[String, String] = Map.empty): (Int, Int) = {
+    require(targetFileBytes > 0)
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(inputPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inputPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val totalBytes = files.map(_.getLen).sum
+    val numFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    val compacted =
+      if (sortCols.isEmpty) df.coalesce(numFiles)
+      else df.repartitionByRange(numFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    options.foldLeft(compacted.write) { case (w, (k, v)) => w.option(k, v) }
+      .parquet(outputPath)
+    val out = fs.listStatus(new org.apache.hadoop.fs.Path(outputPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (files.length, out)
+  }
 }
