@@ -1848,6 +1848,91 @@ object DocumentQueries {
           round($"m.jac", 6).as("jac"))
       batch.select($"batch_id").join(best, Seq("batch_id"), "left")
         .orderBy($"batch_id")
+    }),
+
+    // Exact duplicated-span REMOVAL (Lee et al., ACL'22 "ExactSubstr",
+    // at shingle granularity — the rewrite sibling of q71, which only
+    // MEASURES coverage): every k-gram occurring in >= 2 distinct
+    // documents marks its k token positions covered; covered tokens are
+    // deleted and the survivors reassembled in order. This is the
+    // RefinedWeb/FineWeb "remove the boilerplate span everywhere, keep
+    // the rest of the page" step that doc-level dedup (q23/q24) cannot
+    // express. Scale shape: occurrence rows group ONCE on the gram for
+    // the document-frequency filter (map-side combinable after the
+    // per-doc distinct), covered positions flow through one doc-keyed
+    // collect_set whose explode is dup-occurrences × k (bounded by dup
+    // density, never corpus-tokens × k), and the rewrite itself is a
+    // map-side higher-order array filter — no doc×doc join, no
+    // token-level corpus exchange, no window over the corpus.
+    "q97_span_removal" -> ((s, d) => {
+      import s.implicits._
+      val k = TextOps.ShingleK
+      val docs = documents(s, d)
+      val occ = graft.Caching.persisted(
+        TextOps.shingleRowsPos(
+          documents(s, d).select($"doc_id",
+            coalesce($"text", lit("")).as("text")),
+          "doc_id", "text"))
+      val dup = occ.select($"shingle", $"doc_id").distinct()
+        .groupBy($"shingle").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 2)
+        .select($"shingle")
+      // left_semi keeps only duplicated-gram occurrences; the offset
+      // explode lands directly in the partial collect_set (no distinct
+      // exchange — the set dedups map-side)
+      val covered = occ.join(dup, Seq("shingle"), "left_semi")
+        .select($"doc_id",
+          explode(sequence($"pos", $"pos" + lit(k - 1))).as("p"))
+        .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
+      docs
+        .select($"doc_id", TextOps.words(coalesce($"text", lit(""))).as("w"))
+        .join(covered, Seq("doc_id"), "left")
+        .select($"doc_id",
+          size($"w").cast("long").as("n_tokens"),
+          when($"cov".isNull, lit(0L))
+            .otherwise(size($"cov").cast("long")).as("n_removed"),
+          concat_ws(" ", filter($"w", (_, i) =>
+            !coalesce(array_contains($"cov", i), lit(false))))
+            .as("clean_text"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-source robust outlier pruning (quality-filter CALIBRATION: a
+    // single global length threshold misfires when sources have
+    // different length distributions — C4 prunes per-heuristic, Gopher/
+    // FineWeb tune per-corpus): median + MAD of the per-doc token count
+    // per source, robust z = (x − med) / (1.4826·MAD), keep |z| ≤ 3.
+    // MAD = 0 (degenerate constant-length source) keeps everything and
+    // nulls z. Scale shape: the scored frame is ONE corpus scan
+    // persisted across the two stat passes; the stat frames are
+    // source-cardinality rows joined back by BROADCAST, so the flag +
+    // filter pass is pure map work. The stat passes here run EXACT
+    // percentile for oracle parity (DuckDB median is exact), which
+    // buffers each source's values in one task — the production switch
+    // at 100 TB is `approx = true` on the same Quantiles.quantile call
+    // (t-digest sketch: fixed state, map-side combinable; see the
+    // Quantiles scaladoc for the exact-path OOM contract).
+    "q98_robust_outliers" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Quantiles
+      val scored = graft.Caching.persisted(
+        documents(s, d).select($"doc_id", $"source",
+          size(TextOps.words(coalesce($"text", lit(""))))
+            .cast("long").as("n_tokens")))
+      val med = scored.groupBy($"source")
+        .agg(Quantiles.quantile($"n_tokens", 0.5, approx = false).as("med"))
+      val mad = scored.join(broadcast(med), Seq("source"))
+        .groupBy($"source")
+        .agg(first($"med").as("med"),
+          Quantiles.quantile(abs($"n_tokens" - $"med"), 0.5, approx = false)
+            .as("mad"))
+      val z = ($"n_tokens" - $"med") / (lit(1.4826) * $"mad")
+      scored.join(broadcast(mad), Seq("source"))
+        .select($"doc_id", $"source", $"n_tokens",
+          round($"med", 4).as("med"), round($"mad", 4).as("mad"),
+          when($"mad" > 0, round(z, 4)).as("robust_z"),
+          ($"mad" === 0 || abs(z) <= 3).as("kept"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2333,6 +2418,69 @@ object DocumentQueries {
            FROM verified WHERE jac >= 0.5 GROUP BY batch_id)
          SELECT b.batch_id, best.dup_of, best.jac
          FROM batch b LEFT JOIN best USING (batch_id)
-         ORDER BY batch_id"""
+         ORDER BY batch_id""",
+
+    // Independent route: token positions are materialized as rows (the
+    // "pos|token" ordinality trick q71 uses — split on the FIRST '|'
+    // only, tokens may contain '|'), covered positions come from an
+    // explicit DISTINCT offset cross join, and the rewrite is an
+    // anti-join + ordered string_agg — where Spark runs a left-semi
+    // gram probe, a map-side collect_set, and a higher-order array
+    // filter. Both gram and token positions are 0-based so coverage
+    // aligns; all-covered docs reassemble to '' on both sides
+    // (string_agg over zero rows is NULL → coalesce; concat_ws over an
+    // empty array is '').
+    "q97_span_removal" ->
+      """WITH tok AS (SELECT doc_id,
+           string_split_regex(coalesce(text, ''), '\s+') w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+             i -> CAST(i - 1 AS VARCHAR) || '|' || w[i] || ' ' || w[i+1] || ' ' || w[i+2])) pg
+           FROM tok WHERE len(w) >= 3),
+         occ AS (SELECT doc_id, CAST(regexp_extract(pg, '^(\d+)\|', 1) AS INT) pos,
+           regexp_replace(pg, '^\d+\|', '') gram FROM g),
+         dupg AS (SELECT gram FROM occ GROUP BY gram
+           HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT o.doc_id, o.pos + ofs AS p
+           FROM occ o JOIN dupg USING (gram)
+           CROSS JOIN (SELECT unnest([0, 1, 2]) ofs) t),
+         tp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+             i -> CAST(i - 1 AS VARCHAR) || '|' || w[i])) pt FROM tok),
+         tokp AS (SELECT doc_id, CAST(regexp_extract(pt, '^(\d+)\|', 1) AS INT) p,
+           regexp_replace(pt, '^\d+\|', '') tk FROM tp),
+         kept AS (SELECT t.doc_id, t.p, t.tk FROM tokp t
+           LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+           WHERE c.doc_id IS NULL),
+         agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) clean
+           FROM kept GROUP BY doc_id),
+         nr AS (SELECT doc_id, count(*) n_removed FROM cov GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.clean, '') AS clean_text
+         FROM tok t LEFT JOIN agg USING (doc_id) LEFT JOIN nr USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    // median() / quantile_cont are DuckDB's exact interpolated
+    // percentiles — the same definition as Spark's exact percentile
+    // (q16 pins the parity); the kept flag compares the UNROUNDED z on
+    // both sides.
+    "q98_robust_outliers" ->
+      """WITH scored AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT)
+             n_tokens
+           FROM documents),
+         med AS (SELECT source, median(n_tokens) med FROM scored
+           GROUP BY source),
+         mad AS (SELECT s.source, any_value(m.med) med,
+             median(abs(s.n_tokens - m.med)) mad
+           FROM scored s JOIN med m USING (source) GROUP BY s.source)
+         SELECT s.doc_id, s.source, s.n_tokens,
+           round(mad.med, 4) AS med, round(mad.mad, 4) AS mad,
+           CASE WHEN mad.mad > 0
+             THEN round((s.n_tokens - mad.med) / (1.4826 * mad.mad), 4)
+           END AS robust_z,
+           (mad.mad = 0 OR
+            abs((s.n_tokens - mad.med) / (1.4826 * mad.mad)) <= 3) AS kept
+         FROM scored s JOIN mad USING (source)
+         ORDER BY s.doc_id"""
   )
 }

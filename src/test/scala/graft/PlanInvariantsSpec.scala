@@ -128,6 +128,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the chunk-start explode is real
   }
 
+  test("q97 span removal: gram-keyed aggs only, never doc×doc, no corpus window") {
+    val p = plan("q97_span_removal")
+    // 4 real hash exchanges — the occ build (reused via
+    // InMemoryRelation, so its exchange PRINTS under both cached scans
+    // → 5 textual occurrences), the per-doc gram distinct, the gram
+    // document-frequency agg, and the covered-position collect_set;
+    // the rewrite itself is a map-side higher-order array filter —
+    // nothing pairs documents and the only Window is the shingle
+    // build's per-doc lead()
+    assert(countOf(p, "Exchange hashpartitioning") == 5, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("collect_set"), p)
+    // offset explode + token posexplode are real generators
+    assert(countOf(p, "Generate explode(sequence") == 1, p)
+  }
+
   test("q93 zorder key: map-only — zero shuffle before the terminal sort") {
     val p = plan("q93_zorder_key")
     // the write-path shape: key evaluation is pure projection work
