@@ -1866,34 +1866,8 @@ object DocumentQueries {
     // token-level corpus exchange, no window over the corpus.
     "q97_span_removal" -> ((s, d) => {
       import s.implicits._
-      val k = TextOps.ShingleK
-      val docs = documents(s, d)
-      val occ = graft.Caching.persisted(
-        TextOps.shingleRowsPos(
-          documents(s, d).select($"doc_id",
-            coalesce($"text", lit("")).as("text")),
-          "doc_id", "text"))
-      val dup = occ.select($"shingle", $"doc_id").distinct()
-        .groupBy($"shingle").agg(count(lit(1)).as("ndocs"))
-        .filter($"ndocs" >= 2)
-        .select($"shingle")
-      // left_semi keeps only duplicated-gram occurrences; the offset
-      // explode lands directly in the partial collect_set (no distinct
-      // exchange — the set dedups map-side)
-      val covered = occ.join(dup, Seq("shingle"), "left_semi")
-        .select($"doc_id",
-          explode(sequence($"pos", $"pos" + lit(k - 1))).as("p"))
-        .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
-      docs
-        .select($"doc_id", TextOps.words(coalesce($"text", lit(""))).as("w"))
-        .join(covered, Seq("doc_id"), "left")
-        .select($"doc_id",
-          size($"w").cast("long").as("n_tokens"),
-          when($"cov".isNull, lit(0L))
-            .otherwise(size($"cov").cast("long")).as("n_removed"),
-          concat_ws(" ", filter($"w", (_, i) =>
-            !coalesce(array_contains($"cov", i), lit(false))))
-            .as("clean_text"))
+      graft.ext.SpanDedup
+        .removeDuplicatedSpans(documents(s, d), "doc_id", "text")
         .orderBy($"doc_id")
     }),
 
