@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * Prints one JSON line per n:
   *   {"n":…,"span_sec":…,"exchanges":…,"removed_frac":…,"out_rows":…}
-  * Sizes: SPARK_GRAFT_SPAN_N (default "1000000,3000000,10000000").
+  * Sizes: SPARK_GRAFT_SPAN_N (default "1000000,3000000,10000000");
+  * SPARK_GRAFT_SPAN_PERSIST=0 switches to the recompute-per-branch
+  * form (no occurrence cache — see the SpanDedup scaladoc for why
+  * that is the memory-constrained/100 TB configuration).
   */
 object SpanScaleBench {
 
@@ -40,10 +43,13 @@ object SpanScaleBench {
       "1000000,3000000,10000000").split(",").map(_.trim.toLong)
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+    val persistOcc = sys.env.getOrElse("SPARK_GRAFT_SPAN_PERSIST", "1") != "0"
+
     sizes.foreach { n =>
       val corpus = DedupScaleBench.corpus(spark, n)
       val out = graft.ext.SpanDedup
-        .removeDuplicatedSpans(corpus, "doc_id", "text")
+        .removeDuplicatedSpans(corpus, "doc_id", "text",
+          persistOcc = persistOcc)
       val t0 = System.nanoTime()
       out.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9

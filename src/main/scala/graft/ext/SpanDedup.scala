@@ -36,17 +36,29 @@ object SpanDedup {
 
   /** Rewrite `textCol`: delete every token covered by a k-gram that
     * occurs in at least `minDocs` distinct documents. Returns
-    * (idCol, n_tokens, n_removed, clean_text). The input occurrence
-    * frame is persisted via [[graft.Caching]] (two plan branches);
-    * callers release after their terminal action. */
+    * (idCol, n_tokens, n_removed, clean_text).
+    *
+    * `persistOcc` caches the occurrence frame via [[graft.Caching]]
+    * (it feeds two plan branches; callers release after their terminal
+    * action). That is the right default up to the memory the cache can
+    * actually get — but the occurrence frame is corpus-token-SIZED, and
+    * a MEMORY_AND_DISK cache of it competes with the aggregations for
+    * unified memory (measured: the 10 M-doc / 280 M-occurrence leg of
+    * SpanScaleBench dies with UNABLE_TO_ACQUIRE_MEMORY in an 8 GB JVM
+    * with the cache on, and completes with it off — SCALE.md round 16).
+    * At 100 TB a corpus-sized intermediate is never RAM-cached:
+    * `persistOcc = false` recomputes the shingle pass per branch (one
+    * extra scan+window of pure map work), trading CPU nobody is short
+    * of for the memory headroom the wide stages need. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             k: Int = TextOps.ShingleK,
-                            minDocs: Int = 2): DataFrame = {
+                            minDocs: Int = 2,
+                            persistOcc: Boolean = true): DataFrame = {
     val id = col(idCol)
     val safeText = coalesce(col(textCol), lit(""))
-    val occ = graft.Caching.persisted(
-      TextOps.shingleRowsPos(
-        df.select(id, safeText.as("__t")), idCol, "__t", k))
+    val occRaw = TextOps.shingleRowsPos(
+      df.select(id, safeText.as("__t")), idCol, "__t", k)
+    val occ = if (persistOcc) graft.Caching.persisted(occRaw) else occRaw
     val dup = occ.select(col("shingle"), id).distinct()
       .groupBy(col("shingle")).agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") >= minDocs)

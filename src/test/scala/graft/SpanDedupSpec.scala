@@ -59,6 +59,24 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(4) === Row(5L, 4L, 3L, "p"))
   }
 
+  test("persistOcc=false (recompute-per-branch) is result-identical") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i =>
+      i -> s"open${i % 5} gram${i % 5} run${i % 5} u${i}a u${i}b")
+    val cached = SpanDedup.removeDuplicatedSpans(
+      rows.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    Caching.release()
+    assert(Caching.trackedCount === 0)
+    val plain = SpanDedup.removeDuplicatedSpans(
+      rows.toDF("doc_id", "text"), "doc_id", "text", k = 3,
+      persistOcc = false)
+      .orderBy("doc_id").collect()
+    // the no-cache form must not register anything to release
+    assert(Caching.trackedCount === 0)
+    assert(cached === plain)
+  }
+
   test("repartition-stable") {
     import spark.implicits._
     val rows = (0L until 200L).map(i =>
