@@ -25,7 +25,13 @@ import org.apache.spark.sql.functions._
   * Sizes: SPARK_GRAFT_SPAN_N (default "1000000,3000000,10000000");
   * SPARK_GRAFT_SPAN_PERSIST=0 switches to the recompute-per-branch
   * form (no occurrence cache — see the SpanDedup scaladoc for why
-  * that is the memory-constrained/100 TB configuration).
+  * that is the memory-constrained/100 TB configuration);
+  * SPARK_GRAFT_SPAN_HOT=1 plants ONE mega-boilerplate on 50% of docs
+  * (the "cookie-notice on a third of the web" case): the occ→dup
+  * semi-join is keyed by gram, so every occurrence of the hot gram
+  * lands in one reducer partition — this leg measures whether AQE's
+  * skew-split (or the sheer pass-through cheapness of a semi probe)
+  * absorbs it or the operator needs a salted variant.
   */
 object SpanScaleBench {
 
@@ -44,9 +50,10 @@ object SpanScaleBench {
     def f(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     val persistOcc = sys.env.getOrElse("SPARK_GRAFT_SPAN_PERSIST", "1") != "0"
+    val hot = sys.env.getOrElse("SPARK_GRAFT_SPAN_HOT", "0") == "1"
 
     sizes.foreach { n =>
-      val corpus = DedupScaleBench.corpus(spark, n)
+      val corpus = if (hot) hotCorpus(spark, n) else DedupScaleBench.corpus(spark, n)
       val out = graft.ext.SpanDedup
         .removeDuplicatedSpans(corpus, "doc_id", "text",
           persistOcc = persistOcc)
@@ -67,5 +74,22 @@ object SpanScaleBench {
         s""""out_rows":${stats.getLong(2)}}""")
     }
     spark.stop()
+  }
+
+  /** [[DedupScaleBench.corpus]]'s shape (30 words, 3-word boilerplate
+    * opening, hash-spread tail) but HALF the corpus opens with the SAME
+    * boilerplate run — the planted hot key. Deterministic in id. */
+  private def hotCorpus(spark: SparkSession,
+                        n: Long): org.apache.spark.sql.DataFrame = {
+    val b = org.apache.spark.sql.functions.when(
+      col("id") % 2 === 0, lit(0))
+      .otherwise(pmod(col("id"), lit(19)) + 1)
+    val words = (0 until 30).map { j =>
+      if (j < 3) concat(lit("hot"), b, lit("_"), lit(j))
+      else concat(lit("w"),
+        pmod(xxhash64(col("id") * 37 + j), lit(50000L)))
+    }
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
   }
 }
