@@ -1907,6 +1907,24 @@ object DocumentQueries {
           when($"mad" > 0, round(z, 4)).as("robust_z"),
           ($"mad" === 0 || abs(z) <= 3).as("kept"))
         .orderBy($"doc_id")
+    }),
+
+    // DSIR importance weighting (Xie et al., NeurIPS 2023): hashed
+    // unigram+bigram bucket LM ratio between the target slice (English
+    // docs) and the raw pool, plus the deterministic Gumbel-max
+    // selection key ("sample ∝ w" = "take top-K sel_key", reproducible
+    // across retries AND by the oracle). Scale shape (ext/Dsir.scala):
+    // two map-only passes over the gram stream, a B-row broadcast
+    // model, ONE doc-keyed shuffle with map-side partial aggregation —
+    // no corpus-sized persist (the SpanDedup 8g lesson applied).
+    "q99_dsir_weights" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Dsir.importanceWeights(documents(s, d), "doc_id", "text",
+          isTarget = $"lang" === "en", buckets = 1024, alpha = 1.0,
+          salt = "q99")
+        .select($"doc_id", $"n_feats", round($"log_w", 6).as("log_w"),
+          round($"sel_key", 6).as("sel_key"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2455,6 +2473,41 @@ object DocumentQueries {
            (mad.mad = 0 OR
             abs((s.n_tokens - mad.med) / (1.4826 * mad.mad)) <= 3) AS kept
          FROM scored s JOIN mad USING (source)
-         ORDER BY s.doc_id"""
+         ORDER BY s.doc_id""",
+
+    // Recomputes the whole DSIR stack from raw text: same md5 bucket
+    // hash (q54 arithmetic), same add-1 smoothing, same ln-ratio model;
+    // the per-doc sum runs over occurrence rows exactly like Spark's
+    // scoring pass (round(6) absorbs reduction-order ulps, the q77
+    // precedent). Gumbel coin is the q54 md5 uniform with salt 'q99'.
+    "q99_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' tgt,
+           string_split_regex(coalesce(text, ''), '\s+') ws
+           FROM documents),
+         uni AS (SELECT doc_id, tgt, unnest(ws) g FROM w),
+         bi AS (SELECT doc_id, tgt, unnest(list_transform(
+             generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1])) g FROM w),
+         f AS (SELECT doc_id, tgt,
+             CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 1024 b
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         bt AS (SELECT b,
+             CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) ct,
+             CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) cr
+           FROM f GROUP BY b),
+         tot AS (SELECT CAST(sum(ct) AS DOUBLE) tt,
+             CAST(sum(cr) AS DOUBLE) tr FROM bt),
+         lr AS (SELECT b,
+             ln((ct + 1.0) / (tt + 1.0 * 1024.0)) -
+             ln((cr + 1.0) / (tr + 1.0 * 1024.0)) lr
+           FROM bt, tot),
+         score AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_feats,
+             sum(lr) log_w
+           FROM f JOIN lr USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_feats, round(log_w, 6) AS log_w,
+           round(log_w - ln(-ln(
+             (CAST(concat('0x', substr(md5('q99' || CAST(doc_id AS VARCHAR)),
+                1, 4)) AS BIGINT) + 0.5) / 65536.0)), 6) AS sel_key
+         FROM score ORDER BY doc_id"""
   )
 }

@@ -177,6 +177,31 @@ object RelationalQueries {
         .select($"col_name", $"n", $"n_nulls", $"n_distinct", $"vmin",
           $"vmax", round($"vmean", 4).as("vmean"))
         .orderBy($"col_name")
+    }),
+
+    // Snapshot diff / CDC derivation (operators/SnapshotDiff.scala):
+    // two full dumps of `orders` derived from deterministic md5 coins
+    // (q54 arithmetic — ~10% keys new-only, ~10% deleted, ~10% price
+    // bump, ~10% priority reclass, coins independent so some updates
+    // touch both columns) → the changelog: insert/delete/update rows
+    // with the changed-column list. ONE full-outer SMJ on the unique
+    // key is the whole wide cost; bucketed snapshots join
+    // exchange-free (pinned in SnapshotDiffSpec).
+    "q100_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      def coin(salt: String) =
+        conv(substring(md5(concat(lit(salt),
+          $"o_orderkey".cast("string"))), 1, 4), 16, 10).cast("long")
+      val base = orders(s, d)
+      val oldSnap = base.filter(coin("ins") >= 6554)
+      val newSnap = base.filter(coin("del") >= 6554)
+        .withColumn("o_totalprice", when(coin("updp") < 6554,
+          round($"o_totalprice" * 1.1, 2)).otherwise($"o_totalprice"))
+        .withColumn("o_orderpriority", when(coin("updr") < 6554,
+          lit("9-RECLASSIFIED")).otherwise($"o_orderpriority"))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
+          Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -278,6 +303,53 @@ object RelationalQueries {
            FROM lineitem"""
       Seq("l_quantity", "l_extendedprice", "l_discount")
         .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
-    }
+    },
+
+    // Rebuilds both snapshots from the same md5 coins, then diffs via
+    // an explicit FULL OUTER JOIN with presence flags — change
+    // classification and the changed-column list recomputed with
+    // IS DISTINCT FROM (the null-safe inequality Spark's <=> negates).
+    "q100_snapshot_diff" ->
+      """WITH c AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+           CAST(concat('0x', substr(md5('ins' ||
+             CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) ci,
+           CAST(concat('0x', substr(md5('del' ||
+             CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) cd,
+           CAST(concat('0x', substr(md5('updp' ||
+             CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) cp,
+           CAST(concat('0x', substr(md5('updr' ||
+             CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT) cq
+           FROM orders),
+         old AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM c WHERE ci >= 6554),
+         nw AS (SELECT o_orderkey,
+             CASE WHEN cp < 6554 THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END o_totalprice,
+             CASE WHEN cq < 6554 THEN '9-RECLASSIFIED'
+                  ELSE o_orderpriority END o_orderpriority
+           FROM c WHERE cd >= 6554),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) o_orderkey,
+             o.o_orderkey IS NOT NULL op, n.o_orderkey IS NOT NULL np,
+             o.o_totalprice old_p, n.o_totalprice new_p,
+             o.o_orderpriority old_r, n.o_orderpriority new_r
+           FROM old o FULL OUTER JOIN nw n ON o.o_orderkey = n.o_orderkey),
+         t AS (SELECT o_orderkey,
+             CASE WHEN NOT op THEN 'insert'
+                  WHEN NOT np THEN 'delete'
+                  WHEN old_p IS DISTINCT FROM new_p
+                    OR old_r IS DISTINCT FROM new_r THEN 'update'
+                  ELSE 'unchanged' END change_type,
+             CASE WHEN op AND np THEN array_to_string(list_filter([
+                 CASE WHEN old_p IS DISTINCT FROM new_p
+                   THEN 'o_totalprice' END,
+                 CASE WHEN old_r IS DISTINCT FROM new_r
+                   THEN 'o_orderpriority' END], x -> x IS NOT NULL), ',')
+               ELSE '' END changed_cols,
+             old_p, new_p, old_r, new_r
+           FROM j)
+         SELECT o_orderkey, change_type, changed_cols,
+           old_p AS old_o_totalprice, new_p AS new_o_totalprice,
+           old_r AS old_o_orderpriority, new_r AS new_o_orderpriority
+         FROM t WHERE change_type <> 'unchanged' ORDER BY o_orderkey"""
   )
 }

@@ -362,4 +362,28 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("graft_json_long"), p)
     assert(!p.contains("get_json_object"), p)
   }
+
+  test("q99 dsir: B-row model broadcast onto the gram stream, no window") {
+    val p = plan("q99_dsir_weights")
+    // the bucket log-ratio table must ride as a broadcast — a sort-merge
+    // join here would shuffle the full gram stream on bucket id
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOf(p, "SortMergeJoin") == 0, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // doc-keyed scoring agg is map-side combined (partial_count visible)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q100 snapshot diff: ONE key-shuffled join pair, no cartesian") {
+    val p = plan("q100_snapshot_diff")
+    // full-outer on the unique key: exactly one SMJ (FullOuter), its two
+    // side exchanges, and the classification entirely above it
+    assert(countOf(p, "SortMergeJoin") == 1, p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    val exchanges = countOf(p, "Exchange hashpartitioning")
+    assert(exchanges <= 2, s"expected ≤2 side exchanges, got $exchanges:\n$p")
+  }
 }
