@@ -25,15 +25,17 @@ import org.apache.spark.sql.functions._
   * no extrapolation policy needed.
   *
   * ==Scale shape (100 TB)==
-  * ONE hash exchange on the key carries everything wide: the bucket
-  * mean, the span agg, the grid join, and BOTH window passes (the
-  * backward `last ignoreNulls` and forward `first ignoreNulls` share
-  * one ascending sort — Spark evaluates them over the same
-  * WindowExec sort, no second exchange, pinned in GapFillSpec). The
-  * grid explode is `sequence(min, max, step)` per key — rows ∝ span/
-  * step, generated map-side after the span agg, never collected.
-  * Per-key time ordering is inherent to interpolation; there is no
-  * narrower correct plan.
+  * The only raw-data-sized wide operation is the bucket-mean
+  * aggregation — map-side combinable, so each task emits one partial
+  * row per (key, bucket) it saw, and a raw series of any density
+  * collapses to grid cardinality before it ever shuffles. Everything
+  * downstream (span agg, grid join, both window passes) operates on
+  * bucket/grid-sized frames, all hashed on the same key family. The
+  * backward `last ignoreNulls` and forward `first ignoreNulls` windows
+  * share ONE ascending sort (a single WindowExec pair over one
+  * exchange — no per-direction re-sort, pinned in GapFillSpec). The
+  * grid explode is `sequence(min, max, step)` per key — rows ∝
+  * span/step, generated map-side after the span agg, never collected.
   */
 object GapFill {
 

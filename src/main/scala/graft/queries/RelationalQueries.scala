@@ -194,9 +194,12 @@ object RelationalQueries {
           $"o_orderkey".cast("string"))), 1, 4), 16, 10).cast("long")
       val base = orders(s, d)
       val oldSnap = base.filter(coin("ins") >= 6554)
+      // exact double add for the bump — round(x*1.1, 2) lands on 2dp
+      // half-boundaries where Spark (shortest-string BigDecimal) and
+      // DuckDB (exact binary) round apart (bit at sf0.1, q101 note)
       val newSnap = base.filter(coin("del") >= 6554)
         .withColumn("o_totalprice", when(coin("updp") < 6554,
-          round($"o_totalprice" * 1.1, 2)).otherwise($"o_totalprice"))
+          $"o_totalprice" + lit(1000.0)).otherwise($"o_totalprice"))
         .withColumn("o_orderpriority", when(coin("updr") < 6554,
           lit("9-RECLASSIFIED")).otherwise($"o_orderpriority"))
       graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
@@ -323,7 +326,7 @@ object RelationalQueries {
          old AS (SELECT o_orderkey, o_totalprice, o_orderpriority
            FROM c WHERE ci >= 6554),
          nw AS (SELECT o_orderkey,
-             CASE WHEN cp < 6554 THEN round(o_totalprice * 1.1, 2)
+             CASE WHEN cp < 6554 THEN o_totalprice + 1000.0
                   ELSE o_totalprice END o_totalprice,
              CASE WHEN cq < 6554 THEN '9-RECLASSIFIED'
                   ELSE o_orderpriority END o_orderpriority

@@ -243,6 +243,47 @@ object TimeSeriesQueries {
         .select($"event_type", ($"rnk" + 1).cast("long").as("rank"),
           $"e.item".as("top_user"), $"e.count".as("cnt"))
         .orderBy($"event_type", $"rank")
+    }),
+
+    // Linear-interpolation gap fill (operators/GapFill.scala) — the
+    // upsample sibling of q01's resample-mean: hourly grid per user
+    // over the 'click' series, interior holes filled between the
+    // nearest observed buckets. user_id < 50 bounds the output (the
+    // predicate pushes to the scan); the raw-sized wide op is the
+    // map-side-combinable bucket mean, both window directions share
+    // one sort (pinned in GapFillSpec).
+    "q101_gap_fill" -> ((s, d) => {
+      import s.implicits._
+      // Float-parity note: the interpolated values are compared
+      // UNROUNDED, as raw bit-identical doubles. Interpolating
+      // 2-decimal inputs lands exactly on decimal half-boundaries
+      // (e.g. 128.6934375), where Spark's round() (BigDecimal of the
+      // SHORTEST decimal repr) and DuckDB's (the exact binary value)
+      // legitimately disagree — so instead of rounding, the bucket
+      // means are snapped to 6dp up front (identity for these ≤4dp
+      // averages, but pins both engines to the same bits) and every
+      // downstream op (+,−,×,÷ in one association order) is IEEE-
+      // deterministic from there.
+      val hourly = events(s, d)
+        .filter($"event_type" === "click" && $"user_id" < 50)
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("ts"))
+        .agg(round(avg($"value"), 6).as("value"))
+      graft.operators.GapFill.interpolate(hourly,
+          Seq("user_id"), "ts", "value", 3600L)
+        .orderBy($"user_id", $"ts")
+    }),
+
+    // Ordered-step funnel (operators/Funnel.scala): earliest
+    // view → click → purchase progression per user, later steps
+    // bounded to 7 days after the first view. Every wide op hashes on
+    // user_id (co-partitioned agg/join chain, no per-user buffering).
+    "q102_funnel" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Funnel.funnel(events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), 7L * 86400L)
+        .select($"user_id", $"ts_1".as("ts_view"), $"ts_2".as("ts_click"),
+          $"ts_3".as("ts_purchase"), $"stage")
+        .orderBy($"user_id")
     })
   )
 
@@ -427,6 +468,68 @@ object TimeSeriesQueries {
          SELECT event_type, CAST(rank AS BIGINT) AS rank,
            u AS top_user, CAST(n AS BIGINT) AS cnt
          FROM r WHERE rank <= 3
-         ORDER BY event_type, rank"""
+         ORDER BY event_type, rank""",
+
+    // Recomputes the grid + interpolation with DuckDB windows: same
+    // snapped bucket mean, same span-closed generate_series grid, same
+    // nearest-observation arithmetic in the same association order —
+    // outputs compare as raw BIT-IDENTICAL doubles (no final round:
+    // boundary values like x.xxx4375 round differently per engine, see
+    // the query-side note); IGNORE NULLS last/first mirror Spark's
+    // last/first(ignoreNulls).
+    "q101_gap_fill" ->
+      """WITH obs AS (SELECT user_id, date_trunc('hour', ts) h,
+           round(avg(value), 6) v
+           FROM events WHERE event_type = 'click' AND user_id < 50
+           GROUP BY 1, 2),
+         span AS (SELECT user_id, min(h) mn, max(h) mx FROM obs
+           GROUP BY 1),
+         grid AS (SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) h
+           FROM span),
+         g AS (SELECT grid.user_id, grid.h, obs.v
+           FROM grid LEFT JOIN obs USING (user_id, h)),
+         w AS (SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER b pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER b ph,
+             first_value(v IGNORE NULLS) OVER f nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER f nh
+           FROM g
+           WINDOW b AS (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           f AS (PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, h AS ts,
+           coalesce(v, pv + ((nv - pv) *
+             (CAST(epoch(h) - epoch(ph) AS DOUBLE) /
+              CAST(epoch(nh) - epoch(ph) AS DOUBLE)))) AS value,
+           v IS NOT NULL AS observed
+         FROM w ORDER BY user_id, ts""",
+
+    // Independent per-step CTE chain: min-ts progression with the same
+    // strict > lower bound and ts_1 + 7d horizon; stage from the
+    // rightmost reached step.
+    "q102_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) t3
+           FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id)
+         SELECT s1.user_id, t1 AS ts_view, t2 AS ts_click,
+           t3 AS ts_purchase,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+             AS stage
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY s1.user_id"""
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.GapFill
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** GapFill (operators/GapFill.scala): hand-computed interpolation
+  * values, bucket-mean semantics, span/edge contract, and the
+  * one-sort-pair window plan pin. */
+class GapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("interior gaps fill linearly between the nearest observations") {
+    val df = Seq(("a", ts(0), 1.0), ("a", ts(3), 7.0), ("a", ts(5), 3.0))
+      .toDF("k", "t", "v")
+    val out = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
+      .orderBy($"t").as[(String, Timestamp, Double, Boolean)].collect()
+    assert(out.map(_._2) === (0 to 5).map(ts(_)))
+    assert(out.map(_._3) === Seq(1.0, 3.0, 5.0, 7.0, 5.0, 3.0))
+    assert(out.map(_._4) === Seq(true, false, false, true, false, true))
+  }
+
+  test("same-bucket observations average before interpolation") {
+    val df = Seq(("a", ts(0, 10), 2.0), ("a", ts(0, 50), 4.0),
+      ("a", ts(2), 9.0)).toDF("k", "t", "v")
+    val out = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
+      .orderBy($"t").as[(String, Timestamp, Double, Boolean)].collect()
+    assert(out.map(_._3) === Seq(3.0, 6.0, 9.0)) // bucket mean 3, interp 6
+  }
+
+  test("keys are independent; single-bucket keys emit one observed row") {
+    val df = Seq(("a", ts(0), 1.0), ("a", ts(2), 5.0), ("b", ts(7), 42.0))
+      .toDF("k", "t", "v")
+    val out = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
+      .as[(String, Timestamp, Double, Boolean)].collect()
+    assert(out.count(_._1 == "a") == 3)
+    assert(out.filter(_._1 == "b").toSeq == Seq(("b", ts(7), 42.0, true)))
+  }
+
+  test("grid is closed under the step: no rows outside [first, last]") {
+    val df = Seq(("a", ts(1, 30), 1.0), ("a", ts(4, 10), 2.0))
+      .toDF("k", "t", "v")
+    val out = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
+      .orderBy($"t").as[(String, Timestamp, Double, Boolean)].collect()
+    // buckets floor to 01:00 and 04:00
+    assert(out.head._2 == ts(1) && out.last._2 == ts(4))
+    assert(out.length == 4)
+  }
+
+  test("plan: both window directions share one sort (no re-sort pair)") {
+    val df = Seq(("a", ts(0), 1.0), ("a", ts(3), 7.0)).toDF("k", "t", "v")
+    val p = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
+      .queryExecution.executedPlan.toString
+    // the backward and forward frames share one WindowExec over one
+    // sort: a split into two Window nodes (each with its own sort)
+    // would double the grid pass
+    val windowNodes = p.linesIterator.count(_.contains("Window ["))
+    assert(windowNodes == 1, s"expected ONE WindowExec, got $windowNodes:\n$p")
+    assert(p.contains("unboundedpreceding$(), currentrow$()") &&
+      p.contains("currentrow$(), unboundedfollowing$()"),
+      s"both frame directions must sit in the single WindowExec:\n$p")
+  }
+}

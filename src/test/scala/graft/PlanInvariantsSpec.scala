@@ -375,6 +375,28 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q101 gap fill: one WindowExec for both directions, pushdown intact") {
+    val p = plan("q101_gap_fill")
+    // the type/user filters must reach the scan, the backward+forward
+    // interpolation frames must share one WindowExec (GapFillSpec pins
+    // the same on the operator), and nothing goes cartesian
+    assert(p.contains("PushedFilters: ["), p)
+    val windowNodes = p.linesIterator.count(_.contains("Window ["))
+    assert(windowNodes == 1, s"expected ONE WindowExec, got $windowNodes:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q102 funnel: every exchange hashes on the user key, no cartesian") {
+    val p = plan("q102_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // all wide ops re-key on user_id only — a different grouping would
+    // break the co-partitioned agg/join chain
+    val keys = "hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id"), s"unexpected shuffle keys $keys:\n$p")
+  }
+
   test("q100 snapshot diff: ONE key-shuffled join pair, no cartesian") {
     val p = plan("q100_snapshot_diff")
     // full-outer on the unique key: exactly one SMJ (FullOuter), its two
