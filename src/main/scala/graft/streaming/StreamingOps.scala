@@ -379,4 +379,68 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  case class FunnelEvt(user_id: Long, ts: java.sql.Timestamp,
+                       event_type: String)
+  case class FunnelStage(user_id: Long, stage: Int,
+                         ts: java.sql.Timestamp)
+
+  /** Per-user funnel state: event-time µs of each stage reached so far
+    * (size ≤ steps, so state is bounded by the funnel depth — a few
+    * longs per user regardless of event volume) + max processed event
+    * time for the late-row guard. */
+  case class FunnelState(stageTsUs: Seq[Long], maxTsUs: Long)
+
+  /** The streaming form of [[graft.operators.Funnel]]: emits a row the
+    * moment a user advances a stage — (user, stage, event time) —
+    * under the batch operator's exact semantics (earliest step-1, each
+    * later step strictly after the previous and within
+    * `horizonSeconds` of step 1). Rows are processed in event-time
+    * order within a batch; rows strictly before the max processed
+    * event time are dropped (the [[sessionize]]/[[onOffTransitions]]
+    * late-row contract), so when batches arrive in event-time order
+    * the emitted stages are IDENTICAL to the batch operator on the
+    * same rows (StreamingSpec pins the equivalence on random streams).
+    * Equal-timestamp rows are not late — strict `>` between
+    * consecutive stages already makes co-timestamped progression
+    * impossible, matching batch. */
+  def funnelStages(events: DataFrame, steps: Seq[String],
+                   horizonSeconds: Long): Dataset[FunnelStage] = {
+    require(steps.size >= 2, "funnel needs at least two steps")
+    implicit val ee = Encoders.product[FunnelEvt]
+    implicit val fe = Encoders.product[FunnelStage]
+    implicit val se = Encoders.product[FunnelState]
+    implicit val ke = Encoders.scalaLong
+    val stepIdx = steps.zipWithIndex.toMap
+    val horizonUs = horizonSeconds * 1000000L
+    events.as[FunnelEvt]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvt],
+         state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Seq.empty, Long.MinValue))
+          val reached = st.stageTsUs.toBuffer
+          var maxTs = st.maxTsUs
+          val out = scala.collection.mutable.ArrayBuffer[FunnelStage]()
+          rows.toSeq.sortBy(r => micros(r.ts)).foreach { r =>
+            val t = micros(r.ts)
+            if (t >= maxTs || maxTs == Long.MinValue) {
+              if (t > maxTs) maxTs = t
+              stepIdx.get(r.event_type).foreach { i =>
+                val advances = i == reached.size &&
+                  (i == 0 || (t > reached(i - 1) &&
+                    t <= reached.head + horizonUs))
+                if (advances) {
+                  reached += t
+                  out += FunnelStage(user, i + 1, r.ts)
+                }
+              }
+            }
+          }
+          state.update(FunnelState(reached.toSeq, maxTs))
+          out.iterator
+      }
+  }
 }

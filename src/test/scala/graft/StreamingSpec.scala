@@ -421,4 +421,74 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("funnelStages: event-ordered stream reproduces the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val types = Vector("view", "click", "purchase", "error")
+    val base = 1700000000L
+    val rows = (for (u <- 0L until 60L; _ <- 0 until rnd.nextInt(10)) yield
+      (u, base + rnd.nextInt(12 * 86400), types(rnd.nextInt(types.size))))
+      .sortBy(_._2) // event-time order: the stream contract under which
+                    // the op promises batch equivalence
+    val horizon = 5L * 86400L
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDS().toDF("user_id", "ts_s", "event_type")
+      .select($"user_id", timestamp_seconds($"ts_s").as("ts"),
+        $"event_type")
+    val q = StreamingOps.funnelStages(events,
+        Seq("view", "click", "purchase"), horizon)
+      .writeStream.format("memory").queryName("mq_funnel")
+      .outputMode("append").start()
+    try {
+      // three consecutive event-time chunks across micro-batches so
+      // state carries stages over batch boundaries
+      rows.grouped((rows.size + 2) / 3).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("mq_funnel")
+        .select($"user_id", $"stage", unix_timestamp($"ts"))
+        .as[(Long, Int, Long)].collect().toSet
+      // batch reference on the same rows
+      val batch = graft.operators.Funnel.funnel(
+          rows.toDF("user_id", "ts_s", "event_type")
+            .select($"user_id", timestamp_seconds($"ts_s").as("ts"),
+              $"event_type"),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), horizon)
+      val want = batch.collect().flatMap { r =>
+        (1 to 3).flatMap { i =>
+          Option(r.getTimestamp(i)).map(t =>
+            (r.getLong(0), i, t.getTime / 1000L))
+        }
+      }.toSet
+      assert(want.exists(_._2 == 3), "fixture must complete some funnels")
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("funnelStages: strictly-late events are dropped, not time-travel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val events = mem.toDS().toDF("user_id", "ts_s", "event_type")
+      .select($"user_id", timestamp_seconds($"ts_s").as("ts"),
+        $"event_type")
+    val q = StreamingOps.funnelStages(events, Seq("view", "click"), 86400L)
+      .writeStream.format("memory").queryName("mq_funnel_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1000L, "view"), (1L, 2000L, "click"))
+      q.processAllAvailable()
+      // a late view at t=500 must NOT rewrite stage 1 backwards
+      mem.addData((1L, 500L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("mq_funnel_late")
+        .select($"stage", unix_timestamp($"ts")).as[(Int, Long)]
+        .collect().toSet
+      assert(got == Set((1, 1000L), (2, 2000L)))
+    } finally q.stop()
+  }
 }
