@@ -50,8 +50,21 @@ object GapFill {
       .agg(avg(col(valCol)).as("__v"))
     val span = hourly.groupBy(keys: _*)
       .agg(min(col("__h")).as("__mn"), max(col("__h")).as("__mx"))
-    val grid = span.select(keys :+ explode(sequence(col("__mn"), col("__mx"),
-      expr(s"INTERVAL $step SECONDS"))).as("__h"): _*)
+    // two-level grid explode: sequence(min, max, step) materializes the
+    // WHOLE grid as one array inside one row — a decade-long key at a
+    // 1 s step would be a ~3·10^8-element cell (executor OOM long
+    // before Spark's sequence-length cap). Chunking bounds every
+    // generated array at `chunk` elements while producing the identical
+    // row set (GapFillSpec pins multi-chunk ≡ values).
+    val chunk = 8192L
+    val chunkStarts = sequence(col("__mn"), col("__mx"),
+      expr(s"INTERVAL ${step * chunk} SECONDS"))
+    val grid = span
+      .select(keys ++ Seq(explode(chunkStarts).as("__c"), col("__mx")): _*)
+      .select(keys :+ explode(sequence(col("__c"),
+        least(col("__c") + expr(s"INTERVAL ${step * (chunk - 1)} SECONDS"),
+          col("__mx")),
+        expr(s"INTERVAL $step SECONDS"))).as("__h"): _*)
     val g = grid.join(hourly, keyCols :+ "__h", "left")
     val back = Window.partitionBy(keys: _*).orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

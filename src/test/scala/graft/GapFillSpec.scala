@@ -50,6 +50,25 @@ class GapFillSpec extends SparkSpec {
     assert(out.length == 4)
   }
 
+  test("multi-chunk grids produce the identical row set (chunk boundary)") {
+    // 3-day span at 60 s step = 4321 grid rows < 8192 (single chunk) vs
+    // a 14-day span = 20161 rows (3 chunks): verify the chunked explode
+    // never duplicates or drops boundary rows — count + endpoints +
+    // exact minute spacing
+    val df = Seq(("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", Timestamp.valueOf("2024-01-15 00:00:00"), 29.0))
+      .toDF("k", "t", "v")
+    val out = GapFill.interpolate(df, Seq("k"), "t", "v", 60L)
+      .orderBy($"t").as[(String, Timestamp, Double, Boolean)].collect()
+    assert(out.length == 14 * 1440 + 1)
+    assert(out.head._2 == ts(0) && out.map(_._2).distinct.length == out.length)
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      b._2.getTime - a._2.getTime == 60000L })
+    // linearity spot-check at a chunk boundary (row 8192)
+    val mid = out(8192)
+    assert(math.abs(mid._3 - (1.0 + 28.0 * 8192.0 / 20160.0)) < 1e-9)
+  }
+
   test("plan: both window directions share one sort (no re-sort pair)") {
     val df = Seq(("a", ts(0), 1.0), ("a", ts(3), 7.0)).toDF("k", "t", "v")
     val p = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
