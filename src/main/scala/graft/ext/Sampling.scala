@@ -41,6 +41,30 @@ object Sampling {
     df.filter(hashBucket(id, salt) < threshold)
   }
 
+  /** Leakage-safe split assignment: every row of a GROUP (source,
+    * domain, repository…) lands in the same split, so near-duplicates
+    * and templated siblings — which cluster within a group — can never
+    * straddle train/validation and leak. Row-hash splits look unbiased
+    * but systematically overstate eval: the validation twin of a
+    * training doc is the easiest possible held-out example. `splits`
+    * are (name, weight) pairs (weights need not sum to 1 — they are
+    * normalized); assignment is the md5 coin on the GROUP key, so it is
+    * deterministic, repartition/retry-stable, and oracle-replicable.
+    * Pure per-row map work — the group never shuffles. */
+  def groupSplit(group: Column, splits: Seq[(String, Double)],
+                 salt: String): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad splits $splits")
+    val total = splits.map(_._2).sum
+    val coin = hashBucket(group, salt)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => math.floor(c / total * 65536).toLong)
+    // last bound is 65536 → the otherwise-branch never fires, but keep
+    // the final name as the fallback for exact-boundary safety
+    splits.init.zip(bounds.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), bound), acc) => when(coin < bound, name).otherwise(acc)
+    }
+  }
+
   /** Greedy token-budget selection (data-mixture assembly): within each
     * group, rows in `ord` order are kept while the RUNNING token total
     * stays within `budget` (the row that crosses the budget is

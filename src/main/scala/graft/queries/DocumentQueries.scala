@@ -1925,6 +1925,21 @@ object DocumentQueries {
         .select($"doc_id", $"n_feats", round($"log_w", 6).as("log_w"),
           round($"sel_key", 6).as("sel_key"))
         .orderBy($"doc_id")
+    }),
+
+    // Leakage-safe train/val/test split (Sampling.groupSplit): the
+    // whole SOURCE is assigned to one split, so templated siblings and
+    // near-dups — which cluster within a source — can never straddle
+    // train/validation. Pure map work (md5 coin on the group key), no
+    // shuffle before the terminal sort.
+    "q103_group_split" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"doc_id", $"source",
+          graft.ext.Sampling.groupSplit($"source",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "q103").as("split"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2508,6 +2523,17 @@ object DocumentQueries {
            round(log_w - ln(-ln(
              (CAST(concat('0x', substr(md5('q99' || CAST(doc_id AS VARCHAR)),
                 1, 4)) AS BIGINT) + 0.5) / 65536.0)), 6) AS sel_key
-         FROM score ORDER BY doc_id"""
+         FROM score ORDER BY doc_id""",
+
+    // Same md5 coin on the GROUP key, same floor(cumweight·65536)
+    // thresholds (0.8 → 52428, 0.9 → 58982).
+    "q103_group_split" ->
+      """SELECT doc_id, source,
+         CASE WHEN CAST(concat('0x', substr(md5('q103' || source), 1, 4))
+                AS BIGINT) < 52428 THEN 'train'
+              WHEN CAST(concat('0x', substr(md5('q103' || source), 1, 4))
+                AS BIGINT) < 58982 THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -44,4 +44,27 @@ class SamplingSpec extends SparkSpec {
     // b: first row alone exceeds the budget → dropped.
     assert(out == Set(("a", 1L, 40L), ("a", 2L, 90L)))
   }
+
+  test("groupSplit: whole groups land in one split, ~weights, stable") {
+    val df = (0 until 5000).map(i => (i.toLong, s"g${i % 500}"))
+      .toDF("id", "g")
+    def splits() = df.select($"id", $"g",
+        Sampling.groupSplit($"g",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s1").as("sp"))
+      .as[(Long, String, String)].collect()
+    val a = splits()
+    // leakage safety: a group never straddles splits
+    assert(a.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    // deterministic + repartition-stable
+    assert(splits().toSeq == a.toSeq)
+    val fr = a.groupBy(_._3).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(fr("train") - 0.8) < 0.08 &&
+      math.abs(fr("val") - 0.1) < 0.05 && math.abs(fr("test") - 0.1) < 0.05,
+      fr.toString)
+    // unnormalized weights assign identically to their normalized form
+    val b = df.select(Sampling.groupSplit($"g",
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0), "s1").as("sp"))
+      .as[String].collect()
+    assert(b.toSeq == a.map(_._3).toSeq)
+  }
 }
