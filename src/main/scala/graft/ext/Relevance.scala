@@ -132,4 +132,54 @@ object Relevance {
         (sum(col("tf") * -log(col("ctf") / col("__tot"))) / log(lit(2.0)) /
           sum(col("tf"))).as("nll"))
   }
+
+  /** Multinomial Naive-Bayes log-odds quality scorer — the classic
+    * "quality classifier" of a pretraining pipeline (CCNet / GPT-3
+    * style: label a reference slice positive, the raw pool negative,
+    * keep documents the classifier scores reference-like), trained and
+    * applied in ONE plan with no driver-side model materialization.
+    *
+    * `isPositive` is any boolean Column over `docs` (the pseudo-label:
+    * a trusted source, a language, a hand-curated flag). Per term,
+    * add-one-smoothed class-conditional log-likelihood ratio
+    * `llr(t) = ln((c_pos+1)/(T_pos+V)) − ln((c_neg+1)/(T_neg+V))`;
+    * per document, `log_odds = ln(N_pos/N_neg) + Σ_tokens llr(t)`
+    * (multinomial NB with token multiplicity). Output: (id,
+    * `n_tokens`, `log_odds`, `pred_positive` = log_odds > 0). Only
+    * documents with ≥1 token appear (same contract as [[unigramNll]]).
+    *
+    * Scale shape (the 100 TB path): the per-term class-count model
+    * derives from the tf frame (one extra map-side-combinable agg —
+    * never a text rescan); the four corpus scalars (T_pos, T_neg, V,
+    * prior) ride along as broadcast one-row frames; scoring is one
+    * term-keyed join of tf against the model plus one doc-keyed
+    * aggregate with map-side partial combine — exactly the
+    * [[unigramNll]] plan with a two-class model. Nothing is collected
+    * to the driver and no corpus-sized frame is persisted. */
+  def nbLogOdds(docs: DataFrame, idCol: String, textCol: String,
+                isPositive: Column): DataFrame = {
+    val tok = docs.select(col(idCol), isPositive.as("__pos"),
+      explode(TextOps.words(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("__pos"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("term")).agg(
+      sum(when(col("__pos"), col("tf")).otherwise(lit(0L))).as("__cpos"),
+      sum(when(col("__pos"), lit(0L)).otherwise(col("tf"))).as("__cneg"))
+    val totals = model.agg(
+      sum(col("__cpos")).cast("double").as("__tpos"),
+      sum(col("__cneg")).cast("double").as("__tneg"),
+      count(lit(1)).cast("double").as("__v"))
+    val prior = docs.agg(
+      log(sum(when(isPositive, 1L).otherwise(0L)).cast("double") /
+        sum(when(isPositive, 0L).otherwise(1L)).cast("double")).as("__prior"))
+    val llr = log((col("__cpos") + 1) / (col("__tpos") + col("__v"))) -
+      log((col("__cneg") + 1) / (col("__tneg") + col("__v")))
+    tf.join(model, "term")
+      .join(broadcast(totals))
+      .join(broadcast(prior))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (first(col("__prior")) + sum(col("tf") * llr)).as("log_odds"))
+      .withColumn("pred_positive", col("log_odds") > 0)
+  }
 }

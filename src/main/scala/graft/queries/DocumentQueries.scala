@@ -1940,6 +1940,82 @@ object DocumentQueries {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
             salt = "q103").as("split"))
         .orderBy($"doc_id")
+    }),
+
+    // Naive-Bayes quality classifier (CCNet / GPT-3 style): label the
+    // English slice positive, the rest negative, train a multinomial NB
+    // in-plan, score every document with the add-one-smoothed
+    // log-odds. The model derives from the tf frame (no text rescan),
+    // corpus scalars ride as broadcast one-row frames, and scoring is
+    // one term-keyed join + one doc-keyed map-side-combinable agg —
+    // see ext/Relevance.nbLogOdds for the 100 TB shape.
+    "q104_nb_quality" -> ((s, d) => {
+      import s.implicits._
+      graft.ext.Relevance.nbLogOdds(documents(s, d), "doc_id", "text",
+          isPositive = $"lang" === "en")
+        .select($"doc_id", $"n_tokens", round($"log_odds", 6).as("log_odds"),
+          $"pred_positive")
+        .orderBy($"doc_id")
+    }),
+
+    // Vocabulary-coverage / OOV-rate quality signal: the top-200
+    // corpus words by document frequency (ties to the smaller word)
+    // are the "vocabulary"; per document, the fraction of TOKENS
+    // falling outside it. High OOV = noise/boilerplate/wrong-language.
+    // The vocab frame is 200 rows (broadcast — the corpus side never
+    // shuffles for the membership test); the only corpus-keyed
+    // exchange is the per-doc count agg with map-side partial combine.
+    // The corpus is deliberately scanned twice (vocab pass + scoring
+    // pass) rather than persisting a corpus-sized token frame — the
+    // SpanDedup 8g lesson: recompute beats caching at memory-tight
+    // scale.
+    "q105_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val docsDf = documents(s, d)
+      val vocab = docsDf
+        .select(explode(array_distinct(TextOps.words($"text"))).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"term").limit(200)
+        .select($"term", lit(1).as("__in"))
+      docsDf.select($"doc_id", explode(TextOps.words($"text")).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"__in".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round($"n_oov" / $"n_tokens", 6))
+        .orderBy($"doc_id")
+    }),
+
+    // Length-curriculum decile buckets WITHOUT ntile's corpus-wide
+    // single-partition window: the doc-length histogram (distinct
+    // lengths — bounded, tiny) yields exact discrete decile cuts
+    // (cut_k = min length with cume_count·10 ≥ k·n, pure integer
+    // comparisons — no interpolated-quantile float to disagree on),
+    // the 9 cuts fold into ONE broadcast array row, and bucket
+    // assignment is a map-only array fold over the corpus. The only
+    // corpus window anywhere is... none; the window below runs over
+    // the tiny histogram.
+    "q108_curriculum_buckets" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val docsDf = documents(s, d).select($"doc_id",
+        size(TextOps.words($"text")).cast("long").as("n_tokens"))
+      val hist = docsDf.groupBy($"n_tokens".as("v")).agg(count(lit(1)).as("c"))
+      val cum = hist.select($"v",
+        sum($"c").over(W.orderBy($"v")
+          .rowsBetween(W.unboundedPreceding, 0)).as("cum"))
+      val n = docsDf.agg(count(lit(1)).as("__n"))
+      val cuts = cum.join(broadcast(n))
+        .select($"v", $"cum", $"__n", explode(sequence(lit(1), lit(9))).as("k"))
+        .filter($"cum" * 10 >= $"k" * $"__n")
+        .groupBy($"k").agg(min($"v").as("cut"))
+        .agg(sort_array(collect_list($"cut")).as("__cuts"))
+      docsDf.join(broadcast(cuts))
+        .select($"doc_id", $"n_tokens",
+          (lit(1) + aggregate($"__cuts", lit(0),
+            (acc, c) => acc + when($"n_tokens" > c, 1).otherwise(0)))
+            .cast("int").as("bucket"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2534,6 +2610,77 @@ object DocumentQueries {
               WHEN CAST(concat('0x', substr(md5('q103' || source), 1, 4))
                 AS BIGINT) < 58982 THEN 'val'
               ELSE 'test' END AS split
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // Multinomial NB retrained from scratch in SQL: same add-one
+    // smoothing, same ln arithmetic on identical integer class counts;
+    // pred_positive compares the UNROUNDED log-odds on both sides.
+    "q104_nb_quality" ->
+      """WITH tok AS (
+           SELECT doc_id, lang = 'en' AS pos,
+             unnest(string_split_regex(text, '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, pos, term, count(*) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+         model AS (SELECT term,
+             sum(CASE WHEN pos THEN tf ELSE 0 END) AS cpos,
+             sum(CASE WHEN pos THEN 0 ELSE tf END) AS cneg
+           FROM tf GROUP BY term),
+         tot AS (SELECT CAST(sum(cpos) AS DOUBLE) tpos,
+             CAST(sum(cneg) AS DOUBLE) tneg,
+             CAST(count(*) AS DOUBLE) v FROM model),
+         pr AS (SELECT ln(
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE))
+             AS prior FROM documents),
+         sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tokens,
+             any_value(prior) + sum(tf * (
+               ln((cpos + 1) / (tpos + v)) - ln((cneg + 1) / (tneg + v))))
+               AS lo
+           FROM tf JOIN model USING (term), tot, pr
+           GROUP BY doc_id)
+         SELECT doc_id, n_tokens, round(lo, 6) AS log_odds,
+           lo > 0 AS pred_positive
+         FROM sc ORDER BY doc_id""",
+
+    // Vocab = q62's df ranking truncated at 200 (same total tie order);
+    // coverage recomputed via an independent LEFT JOIN route.
+    "q105_vocab_coverage" ->
+      """WITH dtok AS (
+           SELECT DISTINCT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS word
+           FROM documents),
+         v AS (SELECT word FROM (
+             SELECT word, count(*) df FROM dtok GROUP BY word
+             ORDER BY df DESC, word LIMIT 200)),
+         tok AS (SELECT doc_id,
+             unnest(string_split_regex(text, '\s+')) AS term
+           FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) /
+             count(*), 6) AS oov_rate
+         FROM tok LEFT JOIN v ON tok.term = v.word
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // Discrete decile cuts recomputed from the same integer histogram
+    // (cume·10 >= k·n — integer comparisons, no interpolated-quantile
+    // float), bucket = 1 + #cuts strictly below the doc's length.
+    "q108_curriculum_buckets" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) n_tokens
+           FROM documents),
+         n AS (SELECT count(*) n FROM d),
+         h AS (SELECT n_tokens v, count(*) c FROM d GROUP BY 1),
+         cum AS (SELECT v, sum(c) OVER (ORDER BY v) cum FROM h),
+         ks AS (SELECT unnest(generate_series(1, 9)) k),
+         cuts AS (SELECT k, min(v) cut FROM cum, n, ks
+           WHERE cum * 10 >= k * n GROUP BY k)
+         SELECT d.doc_id, d.n_tokens,
+           CAST(1 + sum(CASE WHEN d.n_tokens > cuts.cut THEN 1 ELSE 0 END)
+             AS INTEGER) AS bucket
+         FROM d CROSS JOIN cuts
+         GROUP BY d.doc_id, d.n_tokens ORDER BY d.doc_id"""
   )
 }

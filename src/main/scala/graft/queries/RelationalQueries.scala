@@ -205,6 +205,35 @@ object RelationalQueries {
       graft.operators.SnapshotDiff.diff(oldSnap, newSnap,
           Seq("o_orderkey"), Seq("o_totalprice", "o_orderpriority"))
         .orderBy($"o_orderkey")
+    }),
+
+    // Fuzzy entity resolution at edit distance ≤ 1 (ext/FuzzyJoin):
+    // part names augmented with deterministic single-char-deletion
+    // mutants (every 10th part, deleted position keyed on p_partkey —
+    // both engines derive the identical corpus), exact duplicates
+    // collapsed to a min-id representative FIRST (p_name is a 64-value
+    // vocabulary — pairing raw rows would be the m² hot-variant
+    // blow-up the FuzzyJoin scaladoc warns about), then the FastSS
+    // deletion-neighborhood self-join over the distinct strings.
+    // Candidates come from ONE variant-keyed join (a string of length
+    // L emits L+1 keys), never an all-pairs comparison; the oracle IS
+    // the all-pairs levenshtein join — hash-match doubles as the
+    // blocking-completeness witness on this corpus.
+    "q106_edit_neardup" -> ((s, d) => {
+      import s.implicits._
+      val p = part(s, d)
+      val base = p.select($"p_partkey".cast("long").as("id"),
+        $"p_name".as("s"))
+      val pos = (expr("p_partkey div 10") % length($"p_name") + 1).cast("int")
+      val mut = p.filter($"p_partkey" % 10 === 0)
+        .select(($"p_partkey" + 1000000L).cast("long").as("id"),
+          concat($"p_name".substr(lit(1), pos - 1),
+            $"p_name".substr(pos + 1, length($"p_name") - pos)).as("s"))
+      val rep = base.unionByName(mut)
+        .groupBy($"s").agg(min($"id").as("id"), count(lit(1)).as("n_copies"))
+      graft.ext.FuzzyJoin.ed1Pairs(rep, "id", "s")
+        .select($"a_id", $"b_id", $"a_str", $"b_str", $"ed")
+        .orderBy($"a_id", $"b_id")
     })
   )
 
@@ -353,6 +382,27 @@ object RelationalQueries {
          SELECT o_orderkey, change_type, changed_cols,
            old_p AS old_o_totalprice, new_p AS new_o_totalprice,
            old_r AS old_o_orderpriority, new_r AS new_o_orderpriority
-         FROM t WHERE change_type <> 'unchanged' ORDER BY o_orderkey"""
+         FROM t WHERE change_type <> 'unchanged' ORDER BY o_orderkey""",
+
+    // The oracle is the BRUTE-FORCE all-pairs levenshtein join over the
+    // identically-derived augmented corpus — agreeing with Spark's
+    // deletion-neighborhood route proves the blocking lost no pair.
+    "q106_edit_neardup" ->
+      """WITH base AS (SELECT CAST(p_partkey AS BIGINT) id, p_name s
+           FROM part),
+         mut AS (SELECT CAST(p_partkey + 1000000 AS BIGINT) id,
+             substr(p_name, 1,
+               CAST((p_partkey // 10) % len(p_name) AS INTEGER)) ||
+             substr(p_name,
+               CAST((p_partkey // 10) % len(p_name) AS INTEGER) + 2) s
+           FROM part WHERE p_partkey % 10 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+         rep AS (SELECT s, min(id) id FROM u GROUP BY s)
+         SELECT a.id a_id, b.id b_id, a.s a_str, b.s b_str,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) ed
+         FROM rep a JOIN rep b
+           ON a.id < b.id AND abs(len(a.s) - len(b.s)) <= 1
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY a_id, b_id"""
   )
 }

@@ -284,6 +284,35 @@ object TimeSeriesQueries {
         .select($"user_id", $"ts_1".as("ts_view"), $"ts_2".as("ts_click"),
           $"ts_3".as("ts_purchase"), $"stage")
         .orderBy($"user_id")
+    }),
+
+    // Cohort retention matrix: users cohorted by the Monday week of
+    // their FIRST event; retention(k) = fraction of the cohort active
+    // k weeks later. ONE user-keyed shuffle computes both the cohort
+    // and the activity set (min + collect_set in one agg — per-user
+    // state is bounded by calendar weeks, not events); the explode is
+    // map-side, the (cohort, offset) rollup is map-side combinable,
+    // and the denominator joins back as a broadcast cohort-sized
+    // frame. datediff div 7 is exact integer arithmetic (both weeks
+    // are Monday-truncated).
+    "q107_cohort_retention" -> ((s, d) => {
+      import s.implicits._
+      val weeks = events(s, d).select($"user_id",
+        date_trunc("week", $"ts").cast("date").as("week"))
+      val perUser = weeks.groupBy($"user_id")
+        .agg(min($"week").as("cohort_week"), collect_set($"week").as("wks"))
+      val act = perUser
+        .select($"cohort_week", explode($"wks").as("week"))
+        .select($"cohort_week",
+          expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      val counts = act.groupBy($"cohort_week", $"week_offset")
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = counts.filter($"week_offset" === 0)
+        .select($"cohort_week", $"n_users".as("__cohort_size"))
+      counts.join(broadcast(sizes), "cohort_week")
+        .select($"cohort_week", $"week_offset", $"n_users",
+          round($"n_users" / $"__cohort_size", 6).as("retention"))
+        .orderBy($"cohort_week", $"week_offset")
     })
   )
 
@@ -530,6 +559,27 @@ object TimeSeriesQueries {
                      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
              AS stage
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-         ORDER BY s1.user_id"""
+         ORDER BY s1.user_id""",
+
+    // Independent route: per-user cohort via min-over-join (not the
+    // single-agg collect_set form Spark runs), distinct activity
+    // weeks, integer // 7 offsets.
+    "q107_cohort_retention" ->
+      """WITH w AS (SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         cu AS (SELECT user_id, min(wk) cohort_week
+           FROM w GROUP BY user_id),
+         act AS (SELECT DISTINCT cu.cohort_week,
+             (w.wk - cu.cohort_week) // 7 AS week_offset, w.user_id
+           FROM w JOIN cu USING (user_id)),
+         c AS (SELECT cohort_week, CAST(week_offset AS BIGINT) week_offset,
+             CAST(count(*) AS BIGINT) n_users
+           FROM act GROUP BY 1, 2),
+         sz AS (SELECT cohort_week, n_users cohort_size
+           FROM c WHERE week_offset = 0)
+         SELECT c.cohort_week, c.week_offset, c.n_users,
+           round(c.n_users / sz.cohort_size, 6) AS retention
+         FROM c JOIN sz USING (cohort_week)
+         ORDER BY c.cohort_week, c.week_offset"""
   )
 }

@@ -408,4 +408,56 @@ class PlanInvariantsSpec extends SparkSpec {
     val exchanges = countOf(p, "Exchange hashpartitioning")
     assert(exchanges <= 2, s"expected ≤2 side exchanges, got $exchanges:\n$p")
   }
+
+  test("q104 nb quality: scalar model stats broadcast, no window, no cartesian") {
+    // train + apply in one plan: the tf→model join is key-equality, the
+    // corpus scalars (totals, prior) ride as broadcast one-row frames —
+    // a CartesianProduct or Window here would mean the classifier
+    // stopped being a join-and-aggregate pipeline
+    val p = plan("q104_nb_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q106 edit neardup: variant-keyed equality join, never a cartesian") {
+    // FastSS blocking: candidates come from hash-joining deletion
+    // variants; the all-pairs form would surface as a cartesian (or a
+    // non-equi nested loop) over the string table
+    val p = plan("q106_edit_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p) // the deletion-variant explode
+  }
+
+  test("q107 cohort retention: user-keyed agg + broadcast denominator") {
+    // one user-keyed shuffle builds cohort+activity in a single agg;
+    // the cohort-size denominator joins back broadcast — a SortMergeJoin
+    // or corpus Window here breaks the shape
+    val p = plan("q107_cohort_retention")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val keys = "hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id", "cohort_week"),
+      s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
+    // the decile machinery (histogram, cume window, cut fold) runs over
+    // the tiny distinct-length frame; the CORPUS side must see only a
+    // broadcast of the one-row cut array — its lone hash exchange is the
+    // length histogram's, and the Window must sit above a histogram-
+    // sized aggregate, never the raw docs
+    val p = plan("q108_curriculum_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row cut array
+    // windows in this plan: the histogram cume-sum only (over the
+    // grouped frame, i.e. downstream of a HashAggregate)
+    assert(countOf(p, "Window") <= 2, p) // WindowExec (+ its sort node)
+  }
 }

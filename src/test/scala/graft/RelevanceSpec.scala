@@ -114,6 +114,30 @@ class RelevanceSpec extends SparkSpec {
     assert(out(6).contains(1.0))                 // non-ASCII two symbols
   }
 
+  test("nbLogOdds matches the hand-computed multinomial NB log-odds") {
+    // pos (doc 1, 2): "a b a", "b c"  →  T_pos = 5
+    // neg (doc 3):    "c c c"         →  T_neg = 3; V = 3 (a, b, c)
+    val out = Relevance.nbLogOdds(corpus, "doc_id", "text",
+        isPositive = $"doc_id" <= 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val prior = math.log(2.0 / 1.0)
+    def llr(cp: Long, cn: Long) =
+      math.log((cp + 1) / 8.0) - math.log((cn + 1) / 6.0)
+    val a = llr(2, 0); val b = llr(2, 0); val c = llr(1, 3)
+    val want = Seq(
+      (1L, 3L, prior + 2 * a + b), (2L, 2L, prior + b + c),
+      (3L, 3L, prior + 3 * c))
+    assert(out.map(r => (r._1, r._2)) == want.map(w => (w._1, w._2)))
+    out.zip(want).foreach { case ((d, _, lo, pred), (_, _, wlo)) =>
+      assert(math.abs(lo - wlo) < 1e-12, s"log_odds(doc $d)")
+      assert(pred == (wlo > 0), s"pred_positive(doc $d)")
+    }
+    // sanity: all-positive-vocab doc scores positive, the all-"c"
+    // negative doc scores negative
+    assert(out(0)._4 && !out(2)._4)
+  }
+
   test("graft_char_entropy: codegen equals interpreted eval on random text") {
     val rnd = new scala.util.Random(11)
     val strs = Seq.tabulate(50)(_ =>
