@@ -109,6 +109,42 @@ object Postprocess {
     df.withColumn("median_value", med)
   }
 
+  /** Trailing exponentially-weighted moving average over the last
+    * `span` samples per key — the smoothing sibling of
+    * [[slidingMedian]] (median kills impulse noise; EWMA tracks level
+    * shifts with recency weighting). Weights follow the pandas
+    * `ewm(alpha).mean()` `adjust=True` convention restricted to a
+    * bounded trailing frame: for the frame x_1..x_n (oldest first),
+    * `ewma = Σ x_i·(1−α)^(n−i) / Σ (1−α)^(n−i)` — a weighted mean, so
+    * the first rows of a key are well-defined (no warm-up NaNs) and
+    * the bounded frame keeps the state O(span), unlike the recursive
+    * `adjust=False` form whose tail never truncates (a sequential
+    * recursion Spark cannot parallelize without a prefix scan).
+    *
+    * Scale shape: one keyed window (hash exchange + in-partition sort
+    * — same wide cost as every per-key ordered op here); the frame
+    * buffer is `span` elements and the weighted fold is a map-side
+    * array expression. Deterministic: the fold is sequential
+    * left-to-right from 0.0, so the result is bit-stable across
+    * partitionings. Precondition: non-null `value` (collect_list
+    * drops nulls, which would misalign the weights). Adds `ewma`. */
+  def ewma(df: DataFrame, key: Column, orderCols: Seq[Column],
+           value: Column, alpha: Double, span: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(span >= 1, s"span must be >= 1, got $span")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+      .rowsBetween(-(span - 1), 0)
+    val vals = collect_list(value).over(w)
+    val n = size(vals)
+    def fold(weighted: Column) =
+      aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+    val num = fold(zip_with(vals, sequence(lit(1), n),
+      (x, i) => x * pow(lit(1 - alpha), (n - i).cast("double"))))
+    val den = fold(transform(sequence(lit(1), n),
+      i => pow(lit(1 - alpha), (n - i).cast("double"))))
+    df.withColumn("ewma", num / den)
+  }
+
   /** Sliding median with EXACT `scipy.ndimage.median_filter` semantics
     * (the reference's smoothing, postprocessing.py:27-30) — for users
     * replicating the reference's published numbers bit-for-bit, where

@@ -2016,6 +2016,60 @@ object DocumentQueries {
             (acc, c) => acc + when($"n_tokens" > c, 1).otherwise(0)))
             .cast("int").as("bucket"))
         .orderBy($"doc_id")
+    }),
+
+    // Per-source characteristic terms: top-5 words per source by term
+    // frequency — the corpus-profiling sibling of q62's global vocab
+    // (per-SOURCE profiles drive mixture weighting and blocklists).
+    // Ranking is graft_topk_str's map-side bounded buffer (≤5 rows per
+    // source per task cross the exchange), never a per-source
+    // row_number sort over the full (source, term) frame.
+    "q110_source_top_terms" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val tf = documents(s, d)
+        .select($"source", explode(TextOps.words($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      tf.groupBy($"source")
+        .agg(call_function("graft_topk_str",
+          $"tf".cast("double"), $"term", lit(5)).as("__topk"))
+        .select($"source", posexplode($"__topk").as(Seq("__pos", "__e")))
+        .select($"source", $"__e.id".as("term"),
+          ($"__pos" + 1).cast("long").as("rank"),
+          $"__e.score".cast("long").as("tf"))
+        .orderBy($"source", $"rank")
+    }),
+
+    // PMI collocation mining (word2vec-phrases style): adjacent word
+    // pairs scored by ln(p(xy)/(p(x)p(y))) with a min-count floor —
+    // the phrase-vocabulary builder of a tokenizer pipeline. Bigrams
+    // come from a map-side zip of the token array with its own tail
+    // (never a positional self-join); the unigram model joins in
+    // term-keyed, corpus totals as broadcast one-row frames.
+    "q111_pmi_bigrams" -> ((s, d) => {
+      import s.implicits._
+      val ws = TextOps.words($"text")
+      val docsDf = documents(s, d)
+      val uni = docsDf.select(explode(ws).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum($"c").cast("double").as("__nu"))
+      val bigramArr = when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val bi = docsDf.select(explode(bigramArr).as("b"))
+        .select($"b.w1", $"b.w2")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      val nb = bi.agg(sum($"cb").cast("double").as("__nb"))
+      bi.filter($"cb" >= 5)
+        .join(uni.select($"w".as("w1"), $"c".as("c1")), "w1")
+        .join(uni.select($"w".as("w2"), $"c".as("c2")), "w2")
+        .join(broadcast(nb)).join(broadcast(nu))
+        .select($"w1", $"w2", $"cb", $"c1", $"c2",
+          round(log(($"cb" / $"__nb") /
+            (($"c1" / $"__nu") * ($"c2" / $"__nu"))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(100)
     })
   )
 
@@ -2681,6 +2735,42 @@ object DocumentQueries {
            CAST(1 + sum(CASE WHEN d.n_tokens > cuts.cut THEN 1 ELSE 0 END)
              AS INTEGER) AS bucket
          FROM d CROSS JOIN cuts
-         GROUP BY d.doc_id, d.n_tokens ORDER BY d.doc_id"""
+         GROUP BY d.doc_id, d.n_tokens ORDER BY d.doc_id""",
+
+    // Window-rank reformulation of the bounded-buffer top-k Spark runs
+    // (same tf-desc, term-asc tie order).
+    "q110_source_top_terms" ->
+      """WITH tf AS (SELECT source,
+             unnest(string_split_regex(text, '\s+')) term
+           FROM documents),
+         c AS (SELECT source, term, count(*) tf FROM tf GROUP BY 1, 2),
+         r AS (SELECT source, term, tf, row_number() OVER (
+             PARTITION BY source ORDER BY tf DESC, term) rn FROM c)
+         SELECT source, term, CAST(rn AS BIGINT) rank,
+           CAST(tf AS BIGINT) tf
+         FROM r WHERE rn <= 5 ORDER BY source, rank""",
+
+    // Same bigram derivation (token array zipped with its own tail),
+    // same PMI association order, same min-count floor and rounded-PMI
+    // tie order.
+    "q111_pmi_bigrams" ->
+      """WITH docs AS (
+           SELECT string_split_regex(text, '\s+') w FROM documents),
+         uc AS (SELECT u, count(*) c FROM (
+             SELECT unnest(w) u FROM docs) GROUP BY u),
+         nu AS (SELECT CAST(sum(c) AS DOUBLE) nu FROM uc),
+         bg AS (SELECT unnest(list_transform(
+             generate_series(1, len(w) - 1), i -> [w[i], w[i+1]])) p
+           FROM docs),
+         bc AS (SELECT p[1] w1, p[2] w2, count(*) cb FROM bg GROUP BY 1, 2),
+         nb AS (SELECT CAST(sum(cb) AS DOUBLE) nb FROM bc)
+         SELECT w1, w2, CAST(cb AS BIGINT) cb,
+           CAST(u1.c AS BIGINT) c1, CAST(u2.c AS BIGINT) c2,
+           round(ln((cb / nb.nb) /
+             ((u1.c / nu.nu) * (u2.c / nu.nu))), 6) AS pmi
+         FROM bc JOIN uc u1 ON bc.w1 = u1.u
+           JOIN uc u2 ON bc.w2 = u2.u, nb, nu
+         WHERE cb >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 100"""
   )
 }

@@ -313,6 +313,24 @@ object TimeSeriesQueries {
         .select($"cohort_week", $"week_offset", $"n_users",
           round($"n_users" / $"__cohort_size", 6).as("retention"))
         .orderBy($"cohort_week", $"week_offset")
+    }),
+
+    // Trailing EWMA smoothing (operators/Postprocess.ewma): pandas
+    // ewm(adjust=True) weighting over the last 10 samples per user —
+    // the recency-weighted level tracker beside q20's impulse-killing
+    // sliding median. One user-keyed window; the weighted fold is a
+    // sequential left-to-right map-side array expression, so the value
+    // is bit-stable across partitionings (both engines fold in the
+    // same association order; pow wobble absorbed by round 6).
+    "q109_ewma" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Postprocess.ewma(
+          events(s, d).select($"user_id", $"ts", $"event_id", $"value"),
+          key = $"user_id", orderCols = Seq($"ts", $"event_id"),
+          value = $"value", alpha = 0.3, span = 10)
+        .select($"user_id", $"event_id", $"value",
+          round($"ewma", 6).as("ewma"))
+        .orderBy($"user_id", $"event_id")
     })
   )
 
@@ -580,6 +598,22 @@ object TimeSeriesQueries {
          SELECT c.cohort_week, c.week_offset, c.n_users,
            round(c.n_users / sz.cohort_size, 6) AS retention
          FROM c JOIN sz USING (cohort_week)
-         ORDER BY c.cohort_week, c.week_offset"""
+         ORDER BY c.cohort_week, c.week_offset""",
+
+    // Same trailing frame, same (1-α)^(n-i) weights, same sequential
+    // left-fold association (list_reduce's first-element seed equals
+    // Spark's 0.0+x1 exactly).
+    "q109_ewma" ->
+      """WITH sel AS (SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) vals
+           FROM events)
+         SELECT user_id, event_id, value,
+           round(
+             list_reduce(list_transform(generate_series(1, len(vals)),
+               i -> vals[i] * pow(0.7, len(vals) - i)), (x, y) -> x + y) /
+             list_reduce(list_transform(generate_series(1, len(vals)),
+               i -> pow(0.7, len(vals) - i)), (x, y) -> x + y), 6) AS ewma
+         FROM sel ORDER BY user_id, event_id"""
   )
 }

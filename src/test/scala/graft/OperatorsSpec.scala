@@ -63,6 +63,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(5.0, 5.0, 7.0, 5.0, 5.0))
   }
 
+  test("ewma matches hand-computed pandas adjust=True weighting") {
+    val df = series(Seq(1, 2, 4, 8))
+    val out = Postprocess.ewma(df, $"key", Seq($"ts"), $"value",
+        alpha = 0.5, span = 10)
+      .orderBy("ts").select("ewma").as[Double].collect().toSeq
+    // pandas ewm(alpha=0.5, adjust=True).mean() on [1,2,4,8]:
+    // t1: 1; t2: (0.5+2)/1.5; t3: (0.25+1+4)/1.75 = 3;
+    // t4: (0.125 + 0.5 + 2 + 8)/1.875
+    val want = Seq(1.0, 2.5 / 1.5, 3.0, 10.625 / 1.875)
+    out.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $g want $w") }
+  }
+
+  test("ewma span truncates the tail; keys do not bleed") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 4.0),
+      ("b", 1L, 100.0)).toDF("key", "ts", "value")
+    val out = Postprocess.ewma(df, $"key", Seq($"ts"), $"value",
+        alpha = 0.5, span = 2)
+      .orderBy("key", "ts").select("ewma").as[Double].collect().toSeq
+    // span=2 → frame is (prev, cur): t3 sees only [2,4]: (1+4)/1.5
+    val want = Seq(1.0, 2.5 / 1.5, 5.0 / 1.5, 100.0)
+    out.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-12, s"got $g want $w") }
+  }
+
   test("slidingMedianScipy matches precomputed scipy.ndimage.median_filter vectors") {
     // golden vectors for x = [5,1,4,2,8,3,9,7,6,0] computed from
     // median_filter's documented semantics (mode='reflect' pad,

@@ -446,6 +446,37 @@ class PlanInvariantsSpec extends SparkSpec {
       s"unexpected shuffle keys $keys:\n$p")
   }
 
+  test("q109 ewma: one user-keyed window, fold is map-side array work") {
+    // the weighted fold must ride the collect_list frame as a projection
+    // — the only hash exchange is the keyed window's
+    val p = plan("q109_ewma")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = "hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id"), s"unexpected shuffle keys $keys:\n$p")
+  }
+
+  test("q110 source top terms: bounded-buffer ranking, no window sort") {
+    // same contract as q74: graft_topk_str's map-side partial keeps ≤k
+    // rows per source per task; a row_number formulation would show
+    // Window + a full per-source sort
+    val p = plan("q110_source_top_terms")
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q111 pmi bigrams: keyed model joins, scalar totals broadcast") {
+    // bigrams come from a map-side zip (Generate over the array), the
+    // unigram joins are term-keyed equality, and the two corpus totals
+    // are broadcast one-row frames — no cartesian, no window anywhere
+    val p = plan("q111_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
