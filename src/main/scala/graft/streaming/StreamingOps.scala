@@ -105,6 +105,39 @@ object StreamingOps {
       }
   }
 
+  /** Per-SESSION summary aggregation via Spark's native
+    * `session_window` — the watermark-managed alternative to the
+    * per-row custom-state [[sessionize]]: state is merged session
+    * windows (closed and evicted once the watermark passes a session's
+    * end), late rows are handled by the watermark instead of a
+    * hand-rolled max-ts guard, and the output is one row per completed
+    * session (device, bounds, event count, power sum) rather than one
+    * per reading. Use this form when the consumer wants session
+    * SUMMARIES; use [[sessionize]] when every reading needs its
+    * session id attached in-flight.
+    *
+    * Boundary convention (differs from the batch operator by the
+    * equal-gap tie): `session_window` closes when the next event's ts
+    * is AT or beyond the previous end (= last ts + gap), i.e. an
+    * inter-event delta exactly equal to `gapSeconds` starts a NEW
+    * session, where [[graft.operators.Sessionize]] breaks only on
+    * strictly-greater deltas. On real sensor streams an exact-gap tie
+    * is measure-zero; callers replicating batch output around ties
+    * should pass the gap one tick larger. Output in append mode emits
+    * only sessions the watermark has sealed — the streaming-correct
+    * contract (a still-open session could otherwise grow). */
+  def sessionAgg(readings: DataFrame, gapSeconds: Long,
+                 lateness: String): DataFrame =
+    readings
+      .withWatermark("ts", lateness)
+      .groupBy(col("device"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("apower")).as("sum_apower"))
+      .select(col("device"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"), col("sum_apower"))
+
   case class TaggedAsOf(device: String, ts: java.sql.Timestamp, side: Int,
                         apower: Option[Double], ref: Option[Double])
   case class Enriched(device: String, ts: java.sql.Timestamp,

@@ -273,6 +273,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionAgg: native session_window summaries match the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // random per-device streams; deltas drawn from {1..50, 70..200} so
+    // no inter-event delta ever equals the 60 s gap (the documented
+    // boundary-tie convention difference vs the batch operator)
+    val rows = Seq("a", "b", "c").flatMap { dev =>
+      var t = 1000L + rnd.nextInt(100)
+      Seq.fill(40) {
+        t += (if (rnd.nextBoolean()) 1 + rnd.nextInt(50)
+              else 70 + rnd.nextInt(131))
+        (dev, t, rnd.nextInt(100).toDouble)
+      }
+    }
+    val mem = MemoryStream[(String, Long, Double)]
+    val readings = mem.toDS().toDF("device", "ts_s", "apower")
+      .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower")
+    val q = StreamingOps.sessionAgg(readings, gapSeconds = 60,
+        lateness = "0 seconds")
+      .writeStream.format("memory").queryName("mq_sessagg")
+      .outputMode("append").start()
+    try {
+      // arrival in global event-time order — a per-device split would
+      // put device c's whole stream behind the watermark batch 1 set
+      val (b1, b2) = rows.sortBy(_._2).splitAt(rows.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // two far-future sentinel batches advance the watermark past every
+      // real session end so append mode seals and emits them
+      mem.addData(("zz", 10_000_000L, 0.0)); q.processAllAvailable()
+      mem.addData(("zz", 20_000_000L, 0.0)); q.processAllAvailable()
+      val got = spark.table("mq_sessagg")
+        .filter($"device" =!= "zz")
+        .select($"device", unix_timestamp($"session_start"),
+          unix_timestamp($"session_end"), $"n_events", $"sum_apower")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      // batch reference: Sessionize.assignSessions → per-session summary;
+      // session_window end = last ts + gap
+      val want = graft.operators.Sessionize.assignSessions(
+          rows.toDF("device", "ts_s", "apower")
+            .select($"device", timestamp_seconds($"ts_s").as("ts"), $"apower"),
+          $"device", $"ts", Nil, gapSeconds = 60)
+        .groupBy($"device", $"session_id")
+        .agg(unix_timestamp(min($"ts")).as("s"),
+          (unix_timestamp(max($"ts")) + 60).as("e"),
+          count(lit(1)).as("n"), sum($"apower").as("p"))
+        .select($"device", $"s", $"e", $"n", $"p")
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupKeepFirst: within-watermark duplicate drop") {
     val q = StreamingOps.dedupKeepFirst(
         StreamingOps.mqttStream(spark, stageFixtureDir()),
