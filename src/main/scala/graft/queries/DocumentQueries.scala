@@ -2070,6 +2070,34 @@ object DocumentQueries {
             (($"c1" / $"__nu") * ($"c2" / $"__nu"))), 6).as("pmi"))
         .orderBy($"pmi".desc, $"w1", $"w2")
         .limit(100)
+    }),
+
+    // Exact phrase search through POSITIONAL POSTINGS — the
+    // inverted-index route a retrieval system runs instead of a
+    // LIKE-scan of every document: one (doc, pos) posting list per
+    // phrase word (each a filtered projection that prunes before any
+    // join), aligned by (doc_id, pos − offset) equality joins. At
+    // 100 TB the postings frame is built once at ingest; each phrase
+    // query touches only its own words' postings. The oracle takes the
+    // OTHER route (per-doc token-array scan) — two independent
+    // algorithms agreeing.
+    "q112_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      val phrase = Seq("slow", "hash", "batch")
+      val toks = documents(s, d).select($"doc_id",
+        posexplode(TextOps.words($"text")).as(Seq("pos", "w")))
+      val first = toks.filter($"w" === phrase.head)
+        .select($"doc_id", $"pos")
+      val matches = phrase.zipWithIndex.drop(1)
+        .foldLeft(first) { case (acc, (w, i)) =>
+          acc.join(toks.filter($"w" === w)
+              .select($"doc_id", ($"pos" - i).as("pos")),
+            Seq("doc_id", "pos"))
+        }
+      matches.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min($"pos").cast("long").as("first_pos"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2771,6 +2799,21 @@ object DocumentQueries {
          FROM bc JOIN uc u1 ON bc.w1 = u1.u
            JOIN uc u2 ON bc.w2 = u2.u, nb, nu
          WHERE cb >= 5
-         ORDER BY pmi DESC, w1, w2 LIMIT 100"""
+         ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+
+    // The independent route: per-doc token-array scan (no postings, no
+    // join) — hash-match proves the postings-join route lost/invented
+    // no occurrence. Spark's pos is 0-based, DuckDB's 1-based.
+    "q112_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') w FROM documents),
+         m AS (SELECT doc_id, list_filter(
+             generate_series(1, len(w) - 2),
+             i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch')
+             hits
+           FROM t WHERE len(w) >= 3)
+         SELECT doc_id, CAST(len(hits) AS BIGINT) n_matches,
+           CAST(hits[1] - 1 AS BIGINT) first_pos
+         FROM m WHERE len(hits) > 0 ORDER BY doc_id"""
   )
 }

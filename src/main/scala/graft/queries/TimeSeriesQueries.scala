@@ -331,6 +331,27 @@ object TimeSeriesQueries {
         .select($"user_id", $"event_id", $"value",
           round($"ewma", 6).as("ewma"))
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // Time-weighted average for IRREGULARLY sampled series: each value
+    // holds until the next sample (step interpolation), so the mean
+    // weights each value by its holding duration — the correct
+    // "average level" where q01's bucket mean would over-weight burst
+    // periods. One keyed window derives the per-segment duration
+    // (lead), the rollup is a map-side-combinable weighted sum.
+    // Zero-length segments (equal-ts ties) carry no weight and drop.
+    "q113_time_weighted_avg" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val dtUs = lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts")
+      events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"value")
+        .withColumn("dt_us", dtUs)
+        .filter($"dt_us".isNotNull && $"dt_us" > 0)
+        .groupBy($"user_id")
+        .agg(round(sum($"value" * $"dt_us") / sum($"dt_us"), 6).as("twa"),
+          count(lit(1)).as("n_segments"))
+        .orderBy($"user_id")
     })
   )
 
@@ -614,6 +635,19 @@ object TimeSeriesQueries {
                i -> vals[i] * pow(0.7, len(vals) - i)), (x, y) -> x + y) /
              list_reduce(list_transform(generate_series(1, len(vals)),
                i -> pow(0.7, len(vals) - i)), (x, y) -> x + y), 6) AS ewma
-         FROM sel ORDER BY user_id, event_id"""
+         FROM sel ORDER BY user_id, event_id""",
+
+    // Same step-interpolation segments (q06's epoch_us idiom), same
+    // weighted-sum association.
+    "q113_time_weighted_avg" ->
+      """WITH s AS (SELECT user_id, value,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+               - epoch_us(CAST(ts AS TIMESTAMP)) dt
+           FROM events)
+         SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa,
+           CAST(count(*) AS BIGINT) n_segments
+         FROM s WHERE dt IS NOT NULL AND dt > 0
+         GROUP BY user_id ORDER BY user_id"""
   )
 }

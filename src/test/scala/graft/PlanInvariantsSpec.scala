@@ -477,6 +477,25 @@ class PlanInvariantsSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("q112 phrase search: postings equality joins, no cartesian, no window") {
+    // each phrase word's postings are a filtered projection joined on
+    // (doc_id, pos − offset) EQUALITY — a LIKE-scan or positional
+    // cross-join would surface as a cartesian / nested loop
+    val p = plan("q112_phrase_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the positional posting explode
+  }
+
+  test("q113 time-weighted avg: single user-keyed shuffle end to end") {
+    val p = plan("q113_time_weighted_avg")
+    assert(!p.contains("CartesianProduct"), p)
+    val keys = "hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("user_id"), s"unexpected shuffle keys $keys:\n$p")
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
