@@ -234,6 +234,40 @@ object RelationalQueries {
       graft.ext.FuzzyJoin.ed1Pairs(rep, "id", "s")
         .select($"a_id", $"b_id", $"a_str", $"b_str", $"ed")
         .orderBy($"a_id", $"b_id")
+    }),
+
+    // Referential-integrity audit (the data-quality gate an ingest
+    // pipeline runs before publishing a snapshot): orphan counts and
+    // rates along three FK edges, with ~10% of lineitem's FKs
+    // deterministically corrupted (md5 coin, out-of-range remap) so
+    // the audit has something to catch — the two clean edges prove the
+    // zero-orphan path, the planted edge the detection path. Each edge
+    // is ONE left join + one count pass; dims broadcast, nothing
+    // collected.
+    "q115_fk_audit" -> ((s, d) => {
+      import s.implicits._
+      val coin = conv(substring(md5(concat(lit("fk"),
+        ($"l_orderkey" * 10 + $"l_linenumber").cast("string"))), 1, 4),
+        16, 10).cast("long")
+      val li = lineitem(s, d).select(
+        when(coin < 6554, $"l_orderkey" + 100000000L)
+          .otherwise($"l_orderkey").as("fk"))
+      def edge(name: String, child: DataFrame, parent: DataFrame) =
+        child.toDF("fk")
+          .join(parent.toDF("__pk").distinct(), $"fk" === $"__pk", "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when($"__pk".isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .withColumn("edge", lit(name))
+      edge("lineitem_orders", li, orders(s, d).select($"o_orderkey"))
+        .unionByName(edge("orders_customer",
+          orders(s, d).select($"o_custkey"),
+          customer(s, d).select($"c_custkey")))
+        .unionByName(edge("customer_nation",
+          customer(s, d).select($"c_nationkey"),
+          nation(s, d).select($"n_nationkey")))
+        .select($"edge", $"n_child", $"n_orphans",
+          round($"n_orphans" / $"n_child", 6).as("orphan_rate"))
+        .orderBy($"edge")
     })
   )
 
@@ -403,6 +437,38 @@ object RelationalQueries {
          FROM rep a JOIN rep b
            ON a.id < b.id AND abs(len(a.s) - len(b.s)) <= 1
          WHERE levenshtein(a.s, b.s) <= 1
-         ORDER BY a_id, b_id"""
+         ORDER BY a_id, b_id""",
+
+    // Same md5 corruption coin, same three LEFT JOIN counts.
+    "q115_fk_audit" ->
+      """WITH li AS (SELECT CASE WHEN CAST(concat('0x', substr(md5('fk' ||
+             CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4))
+             AS BIGINT) < 6554
+           THEN l_orderkey + 100000000 ELSE l_orderkey END fk
+           FROM lineitem),
+         e1 AS (SELECT 'lineitem_orders' edge,
+             CAST(count(*) AS BIGINT) n_child,
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) n_orphans
+           FROM li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON li.fk = o.o_orderkey),
+         e2 AS (SELECT 'orders_customer' edge,
+             CAST(count(*) AS BIGINT) n_child,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) n_orphans
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON orders.o_custkey = c.c_custkey),
+         e3 AS (SELECT 'customer_nation' edge,
+             CAST(count(*) AS BIGINT) n_child,
+             CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) n_orphans
+           FROM customer LEFT JOIN
+             (SELECT DISTINCT n_nationkey FROM nation) n
+             ON customer.c_nationkey = n.n_nationkey),
+         u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3)
+         SELECT edge, n_child, n_orphans,
+           round(n_orphans / n_child, 6) AS orphan_rate
+         FROM u ORDER BY edge"""
   )
 }

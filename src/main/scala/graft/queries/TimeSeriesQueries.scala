@@ -352,6 +352,37 @@ object TimeSeriesQueries {
         .agg(round(sum($"value" * $"dt_us") / sum($"dt_us"), 6).as("twa"),
           count(lit(1)).as("n_segments"))
         .orderBy($"user_id")
+    }),
+
+    // Equi-width histogram per group (dashboard / data-quality
+    // binning): 20 bins spanning each event_type's [min, max]. The
+    // per-type bounds are a group-cardinality broadcast frame, so bin
+    // assignment is map-only and the rollup is one map-side-combinable
+    // (type, bin) agg — no corpus sort, no window. Bin arithmetic is
+    // the identical float expression in both engines (same association
+    // order), so bin edges cannot disagree.
+    "q114_histogram" -> ((s, d) => {
+      import s.implicits._
+      val bins = 20
+      val ev = events(s, d).select($"event_type", $"value")
+      val mm = ev.groupBy($"event_type")
+        .agg(min($"value").as("__mn"), max($"value").as("__mx"))
+      val width = ($"__mx" - $"__mn") / bins
+      val bin = when($"__mx" === $"__mn", lit(0))
+        .otherwise(least(floor(($"value" - $"__mn") / width), lit(bins - 1)))
+        .cast("int")
+      ev.join(broadcast(mm), "event_type")
+        .select($"event_type", bin.as("bin"), $"__mn", $"__mx")
+        .groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n"),
+          first($"__mn").as("__mn0"), first($"__mx").as("__mx0"))
+        .select($"event_type", $"bin",
+          round($"__mn0" + $"bin" * (($"__mx0" - $"__mn0") / bins), 6)
+            .as("bin_lo"),
+          round($"__mn0" + ($"bin" + 1) * (($"__mx0" - $"__mn0") / bins), 6)
+            .as("bin_hi"),
+          $"n")
+        .orderBy($"event_type", $"bin")
     })
   )
 
@@ -648,6 +679,24 @@ object TimeSeriesQueries {
          SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa,
            CAST(count(*) AS BIGINT) n_segments
          FROM s WHERE dt IS NOT NULL AND dt > 0
-         GROUP BY user_id ORDER BY user_id"""
+         GROUP BY user_id ORDER BY user_id""",
+
+    // Identical bin arithmetic ((v-mn)/((mx-mn)/20), floor, cap at 19)
+    // so bin edges are the same doubles on both sides.
+    "q114_histogram" ->
+      """WITH mm AS (SELECT event_type, min(value) mn, max(value) mx
+           FROM events GROUP BY event_type),
+         b AS (SELECT e.event_type,
+             CAST(CASE WHEN mm.mx = mm.mn THEN 0
+               ELSE least(floor((e.value - mm.mn) / ((mm.mx - mm.mn) / 20)),
+                 19) END AS INTEGER) bin,
+             mm.mn, mm.mx
+           FROM events e JOIN mm USING (event_type))
+         SELECT event_type, bin,
+           round(mn + bin * ((mx - mn) / 20), 6) AS bin_lo,
+           round(mn + (bin + 1) * ((mx - mn) / 20), 6) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY event_type, bin, mn, mx
+         ORDER BY event_type, bin"""
   )
 }

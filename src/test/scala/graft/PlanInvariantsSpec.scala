@@ -496,6 +496,26 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(keys == Set("user_id"), s"unexpected shuffle keys $keys:\n$p")
   }
 
+  test("q114 histogram: per-type bounds broadcast, bin assignment map-only") {
+    // the (type, min, max) stats frame must come back as a broadcast —
+    // a shuffled join here would re-key the whole event stream just to
+    // learn 5 rows of bounds
+    val p = plan("q114_histogram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q115 fk audit: dim key sets broadcast, no cartesian") {
+    // each edge is child LEFT JOIN broadcast(distinct parent keys) + one
+    // count pass; the three edges union above their own aggregates
+    val p = plan("q115_fk_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
