@@ -36,6 +36,32 @@ class CompactionSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"coalesce form must not shuffle:\n$plan")
   }
 
+  test("exact dedup on a text_hash-bucketed table runs with ZERO exchange") {
+    // the 100 TB ingest story: persist the corpus bucketBy(text_hash)
+    // once, and every subsequent hash-keyed dedup/group pass reads the
+    // bucketed layout's HashPartitioning instead of re-shuffling the
+    // corpus — the q23 aggregate with its one exchange deleted
+    val docs = (0L until 2000L)
+      .map(i => (i, s"text body number ${i % 700}"))
+      .toDF("doc_id", "text")
+      .withColumn("text_hash", md5($"text"))
+    docs.write.mode("overwrite").bucketBy(4, "text_hash")
+      .saveAsTable("graft_docs_bucketed")
+    try {
+      val deduped = spark.table("graft_docs_bucketed")
+        .groupBy($"text_hash")
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keep_doc"))
+      val plan = deduped.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed dedup must not shuffle:\n$plan")
+      val rows = deduped.collect()
+      assert(rows.length == 700)
+      // keep-first: representative is the minimum doc_id of the group
+      val keep = rows.map(r => r.getLong(2)).toSet
+      assert(keep == (0L until 700L).toSet, "keep-first ids wrong")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_docs_bucketed")
+  }
+
   test("sort form: compaction re-establishes row-group prunability") {
     val base = java.nio.file.Files.createTempDirectory("graft_cmps").toString
     graft.sources.Container.withMicrosTimestamps(spark) {
