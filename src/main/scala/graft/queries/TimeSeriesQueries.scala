@@ -383,6 +383,41 @@ object TimeSeriesQueries {
             .as("bin_hi"),
           $"n")
         .orderBy($"event_type", $"bin")
+    }),
+
+    // CUBE grouping sets — all four rollup combinations of
+    // (event_type, day-of-week) in ONE pass with grouping_id
+    // disambiguating genuine nulls from subtotal rows. Spark expands
+    // the cube BEFORE the map-side partial aggregate, so the exchange
+    // carries ≤ |types|×|dows|×4 rows per task, not 4× the corpus.
+    // dow is normalized to 0=Sunday on both engines (Spark dayofweek
+    // is 1-based, DuckDB 0-based).
+    "q116_cube" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select($"event_type", (dayofweek($"ts") - 1).cast("long").as("dow"),
+          $"value")
+        .cube($"event_type", $"dow")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum($"value"), 4).as("sum_value"))
+        .select($"gid", $"event_type", $"dow", $"n", $"sum_value")
+        .orderBy($"gid", $"event_type", $"dow")
+    }),
+
+    // Week-over-week growth: the corpus aggregates ONCE to the tiny
+    // (type, week) series; the lag window runs over that result, never
+    // the raw events. First week of each type has no prior → null pct.
+    "q117_wow_growth" -> ((s, d) => {
+      import s.implicits._
+      val wk = events(s, d)
+        .groupBy($"event_type",
+          date_trunc("week", $"ts").cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"week")
+      wk.withColumn("prev_n", lag($"n", 1).over(w))
+        .withColumn("wow_pct",
+          round(($"n" - $"prev_n") * 100.0 / $"prev_n", 6))
+        .orderBy($"event_type", $"week")
     })
   )
 
@@ -697,6 +732,30 @@ object TimeSeriesQueries {
            round(mn + (bin + 1) * ((mx - mn) / 20), 6) AS bin_hi,
            CAST(count(*) AS BIGINT) AS n
          FROM b GROUP BY event_type, bin, mn, mx
-         ORDER BY event_type, bin"""
+         ORDER BY event_type, bin""",
+
+    // GROUPING() bit order matches Spark's grouping_id (first column =
+    // most significant bit); NULLS FIRST mirrors Spark's default asc.
+    "q116_cube" ->
+      """WITH e AS (SELECT event_type,
+             CAST(dayofweek(ts) AS BIGINT) dow, value FROM events)
+         SELECT CAST(GROUPING(event_type, dow) AS BIGINT) gid,
+           event_type, dow,
+           CAST(count(*) AS BIGINT) n,
+           round(sum(value), 4) sum_value
+         FROM e GROUP BY CUBE (event_type, dow)
+         ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""",
+
+    "q117_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS wkd,
+             CAST(count(*) AS BIGINT) n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, wkd, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY wkd) prev_n
+           FROM wk)
+         SELECT event_type, wkd AS week, n, prev_n,
+           round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
+         FROM l ORDER BY event_type, wkd"""
   )
 }

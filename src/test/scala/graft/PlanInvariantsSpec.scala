@@ -516,6 +516,26 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q116 cube: expand feeds a map-side partial aggregate") {
+    // the 4-way cube must expand BELOW the partial HashAggregate so the
+    // exchange carries per-task subtotals, not 4× the corpus
+    val p = plan("q116_cube")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q117 wow growth: corpus aggregates before the lag window") {
+    // the window runs over the tiny (type, week) series — its sort key
+    // appears only above the aggregate, and the only corpus-sized
+    // exchange is the weekly rollup's
+    val p = plan("q117_wow_growth")
+    assert(p.contains("Window"), p) // the lag IS a window — over the agg
+    val keys = "hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("event_type"), s"unexpected shuffle keys $keys:\n$p")
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
