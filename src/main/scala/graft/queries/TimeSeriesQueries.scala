@@ -418,6 +418,27 @@ object TimeSeriesQueries {
         .withColumn("wow_pct",
           round(($"n" - $"prev_n") * 100.0 / $"prev_n", 6))
         .orderBy($"event_type", $"week")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences (the product-analytics "what happens after X" op, and
+    // the degenerate-loop detector for synthetic event data). One
+    // user-keyed window derives each event's predecessor; the pair
+    // rollup is map-side combinable; row-normalization joins the
+    // |types|-row totals back broadcast.
+    "q118_event_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type").agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy($"prev_type").agg(sum($"n").as("__tot"))
+      tr.join(broadcast(tot), "prev_type")
+        .select($"prev_type", $"event_type", $"n",
+          round($"n" / $"__tot", 6).as("p"))
+        .orderBy($"prev_type", $"event_type")
     })
   )
 
@@ -687,9 +708,11 @@ object TimeSeriesQueries {
          FROM c JOIN sz USING (cohort_week)
          ORDER BY c.cohort_week, c.week_offset""",
 
-    // Same trailing frame, same (1-α)^(n-i) weights, same sequential
-    // left-fold association (list_reduce's first-element seed equals
-    // Spark's 0.0+x1 exactly).
+    // Same trailing frame, same (1-α)^j weights summed NEWEST-FIRST —
+    // the association order of the span ≤ 16 lag branch Spark runs
+    // (terms j = 0..span-1, missing lags contributing exact 0.0 at the
+    // reduction tail, which list_reduce over only the available terms
+    // reproduces bit-for-bit).
     "q109_ewma" ->
       """WITH sel AS (SELECT user_id, event_id, value,
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -698,9 +721,10 @@ object TimeSeriesQueries {
          SELECT user_id, event_id, value,
            round(
              list_reduce(list_transform(generate_series(1, len(vals)),
-               i -> vals[i] * pow(0.7, len(vals) - i)), (x, y) -> x + y) /
+               j -> vals[len(vals) + 1 - j] * pow(0.7, j - 1)),
+               (x, y) -> x + y) /
              list_reduce(list_transform(generate_series(1, len(vals)),
-               i -> pow(0.7, len(vals) - i)), (x, y) -> x + y), 6) AS ewma
+               j -> pow(0.7, j - 1)), (x, y) -> x + y), 6) AS ewma
          FROM sel ORDER BY user_id, event_id""",
 
     // Same step-interpolation segments (q06's epoch_us idiom), same
@@ -756,6 +780,19 @@ object TimeSeriesQueries {
            FROM wk)
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
-         FROM l ORDER BY event_type, wkd"""
+         FROM l ORDER BY event_type, wkd""",
+
+    "q118_event_transitions" ->
+      """WITH seq AS (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) prev_type
+           FROM events),
+         tr AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) n
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type, sum(n) t FROM tr GROUP BY prev_type)
+         SELECT tr.prev_type, tr.event_type, tr.n,
+           round(tr.n / tot.t, 6) AS p
+         FROM tr JOIN tot USING (prev_type)
+         ORDER BY tr.prev_type, tr.event_type"""
   )
 }

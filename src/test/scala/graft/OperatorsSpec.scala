@@ -76,6 +76,32 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(g - w) < 1e-12, s"got $g want $w") }
   }
 
+  test("ewma: both branches match a driver-side brute force") {
+    // span 12 runs the lag composition, span 20 the collect_list fold
+    // — each checked against an independent per-row weighted mean
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(200)(i =>
+      ("k" + i % 3, i.toLong, rnd.nextInt(1000) / 7.0))
+      .toDF("key", "ts", "value")
+    val rows = df.as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def brute(span: Int) = rows.toSeq.sortBy(_._1).flatMap { case (_, vs) =>
+      vs.indices.map { i =>
+        val frame = vs.slice(math.max(0, i - span + 1), i + 1)
+        val wts = frame.indices.map(j =>
+          math.pow(0.7, frame.size - 1 - j))
+        frame.zip(wts).map { case (x, wt) => x * wt }.sum / wts.sum
+      }
+    }
+    Seq(12, 20).foreach { span =>
+      val got = Postprocess.ewma(df, $"key", Seq($"ts"), $"value",
+          alpha = 0.3, span = span)
+        .orderBy("key", "ts").select("ewma").as[Double].collect().toSeq
+      got.zip(brute(span)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"span $span: got $g want $w") }
+    }
+  }
+
   test("ewma span truncates the tail; keys do not bleed") {
     val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 4.0),
       ("b", 1L, 100.0)).toDF("key", "ts", "value")
