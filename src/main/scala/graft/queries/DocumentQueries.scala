@@ -2098,6 +2098,29 @@ object DocumentQueries {
         .agg(count(lit(1)).as("n_matches"),
           min($"pos").cast("long").as("first_pos"))
         .orderBy($"doc_id")
+    }),
+
+    // BPE pair statistics — the tokenizer-training bootstrap: symbol-
+    // pair frequencies over word TYPES weighted by word occurrence
+    // count (exactly the statistic a BPE trainer maximizes each merge
+    // round). The corpus collapses to the word histogram first (one
+    // shuffle, map-side combinable), so the char-pair explode runs
+    // over the VOCABULARY — sublinear in corpus size — and the pair
+    // rollup weights by `freq` instead of touching raw text again.
+    "q119_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      val wh = documents(s, d)
+        .select(explode(TextOps.words($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+      val pairArr = when(length($"w") >= 2,
+        transform(sequence(lit(1), length($"w") - 1),
+          i => concat($"w".substr(i, lit(1)), lit(" "),
+            $"w".substr(i + 1, lit(1)))))
+        .otherwise(array().cast("array<string>"))
+      wh.select($"freq", explode(pairArr).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("pair_freq"))
+        .orderBy($"pair_freq".desc, $"pair")
+        .limit(50)
     })
   )
 
@@ -2814,6 +2837,19 @@ object DocumentQueries {
            FROM t WHERE len(w) >= 3)
          SELECT doc_id, CAST(len(hits) AS BIGINT) n_matches,
            CAST(hits[1] - 1 AS BIGINT) first_pos
-         FROM m WHERE len(hits) > 0 ORDER BY doc_id"""
+         FROM m WHERE len(hits) > 0 ORDER BY doc_id""",
+
+    // Same statistic from the same word histogram (string indexing
+    // w[i] = i-th char in both engines' 1-based convention).
+    "q119_bpe_pairs" ->
+      """WITH wh AS (SELECT w, CAST(count(*) AS BIGINT) freq FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) w
+             FROM documents) GROUP BY w),
+         p AS (SELECT freq, unnest(list_transform(
+             generate_series(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1])) pair
+           FROM wh WHERE len(w) >= 2)
+         SELECT pair, CAST(sum(freq) AS BIGINT) pair_freq
+         FROM p GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 50"""
   )
 }

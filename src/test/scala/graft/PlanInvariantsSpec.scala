@@ -536,6 +536,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(keys == Set("event_type"), s"unexpected shuffle keys $keys:\n$p")
   }
 
+  test("q119 bpe pairs: char-pair explode runs over the vocabulary, not the corpus") {
+    // the corpus collapses to the word histogram FIRST — the Generate
+    // (char-pair explode) must sit above the word HashAggregate, and
+    // the only exchanges are the histogram's and the pair rollup's
+    val p = plan("q119_bpe_pairs")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"explode must run above the word histogram aggregate:\n$p")
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
