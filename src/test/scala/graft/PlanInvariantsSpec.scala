@@ -550,6 +550,18 @@ class PlanInvariantsSpec extends SparkSpec {
       s"explode must run above the word histogram aggregate:\n$p")
   }
 
+  test("q120 stupid backoff: term-keyed model joins, scalars broadcast") {
+    // bigram derivation is map-side (Generate over the zip), the three
+    // model joins are key-equality, the (N, V) scalars broadcast —
+    // no cartesian, no window, no corpus-vs-corpus join
+    val p = plan("q120_stupid_backoff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
