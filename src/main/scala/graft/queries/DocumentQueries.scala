@@ -775,6 +775,36 @@ object DocumentQueries {
     (6, [0.008187, -0.033210, 0.019814, 0.000308, -0.003337, -0.054777, -0.023259, 0.058058, -0.008273, 0.025420, -0.031213, -0.018376, -0.006949, -0.001665, 0.026632, 0.025051, 0.005042, -0.024635, 0.021724, 0.017688, -0.038668, -0.027626, -0.021339, 0.022954, 0.007557, 0.002851, -0.034309, 0.049984, 0.026774, 0.021475, 0.032622, 0.033567, -0.008123, 0.015697, -0.000177, 0.037323, 0.005636, 0.007731, -0.076439, -0.022080, 0.034527, -0.001878, 0.026809, 0.061390, -0.043634, 0.011366, 0.036254, -0.041295, -0.044752, 0.016166, 0.010096, 0.008650, 0.041552, -0.007147, -0.012144, -0.018995, 0.029357, -0.044714, -0.062519, -0.005673, 0.002673, 0.020930, -0.022596, 0.021614]),
     (7, [0.002790, -0.000167, 0.017315, -0.068486, -0.040222, -0.044908, -0.018069, -0.059967, 0.017028, -0.029652, 0.003751, -0.016405, 0.030683, 0.047327, -0.022553, -0.005837, -0.051789, 0.082447, -0.003234, 0.037802, 0.006805, 0.091702, 0.016298, 0.010488, -0.011484, -0.009065, -0.011988, -0.037151, -0.020361, 0.028150, -0.039192, -0.031581, 0.006674, -0.012525, 0.005149, 0.012917, 0.006609, -0.069411, -0.003606, -0.000174, 0.068392, -0.048126, 0.049663, -0.039734, 0.010036, 0.045453, -0.002619, -0.004164, 0.026886, 0.003222, 0.022516, -0.022324, 0.060816, -0.021907, -0.018508, 0.036145, -0.032336, -0.056049, 0.050067, -0.010587, -0.006597, 0.031928, 0.029629, -0.031302])"""
 
+  /** The q53 duplicate-cluster assignment as a reusable CTE chain
+    * (shingles → minhash bands → candidates → verified pairs →
+    * recursive closure → `clus(doc_id, cluster_rep)`); shared by the
+    * q53 / q121 / q122 oracles so all three re-derive clusters from
+    * raw text rather than trusting each other. */
+  private val clusterRepCte: String =
+    s"""$shingleCte,
+       ids AS (SELECT doc_id, s,
+         list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
+         FROM sh),
+       sig AS (SELECT doc_id, s, $sigExprs m FROM ids),
+       bands AS (SELECT doc_id, bi,
+         concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
+         FROM sig, range(0, 4) t(bi)),
+       cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+         FROM bands a JOIN bands b
+         ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       pr AS (SELECT a_id, b_id FROM cand
+         JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id
+         WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+       edges AS (SELECT a_id src, b_id dst FROM pr
+         UNION ALL SELECT b_id, a_id FROM pr),
+       reach(src, dst) AS (SELECT src, dst FROM edges
+         UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       mn AS (SELECT src, min(dst) m FROM reach GROUP BY src),
+       clus AS (SELECT d.doc_id,
+         CAST(least(d.doc_id, coalesce(mn.m, d.doc_id)) AS BIGINT) AS cluster_rep
+         FROM documents d LEFT JOIN mn ON d.doc_id = mn.src)"""
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
@@ -843,30 +873,8 @@ object DocumentQueries {
     // different algorithm: recursive-CTE transitive closure over the
     // q24 pair graph, then min(reachable ∪ self) per document.
     "q53_dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-         ids AS (SELECT doc_id, s,
-           list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
-           FROM sh),
-         sig AS (SELECT doc_id, s, $sigExprs m FROM ids),
-         bands AS (SELECT doc_id, bi,
-           concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
-           FROM sig, range(0, 4) t(bi)),
-         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
-           FROM bands a JOIN bands b
-           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
-         pr AS (SELECT a_id, b_id FROM cand
-           JOIN sig sa ON a_id = sa.doc_id JOIN sig sb ON b_id = sb.doc_id
-           WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
-         edges AS (SELECT a_id src, b_id dst FROM pr
-           UNION ALL SELECT b_id, a_id FROM pr),
-         reach(src, dst) AS (SELECT src, dst FROM edges
-           UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         mn AS (SELECT src, min(dst) m FROM reach GROUP BY src)
-         SELECT d.doc_id,
-           CAST(least(d.doc_id, coalesce(mn.m, d.doc_id)) AS BIGINT) AS cluster_rep
-         FROM documents d LEFT JOIN mn ON d.doc_id = mn.src
-         ORDER BY d.doc_id""",
+      s"""WITH RECURSIVE $clusterRepCte
+         SELECT doc_id, cluster_rep FROM clus ORDER BY doc_id""",
 
     "q24_minhash_neardup" ->
       s"""WITH $shingleCte,
@@ -2168,6 +2176,48 @@ object DocumentQueries {
           round(sum(-lnScore) / log(lit(2.0)) / count(lit(1)), 6)
             .as("sb_bits"))
         .orderBy($"doc_id")
+    }),
+
+    // Quality-aware dedup materialization — the step AFTER q53's
+    // cluster assignment: per duplicate cluster keep the LONGEST
+    // member (the common "keep longest" canonicalization policy),
+    // ties to the smaller doc_id. One map-side-combinable
+    // max(struct(len, -id)) per cluster — no window, no per-cluster
+    // sort; composes q24's banded candidates, q53's components and a
+    // length score in one plan.
+    "q121_keep_longest" -> ((s, d) => {
+      import s.implicits._
+      val pairs = minhashPairs(s, d).select($"a_id", $"b_id")
+      val clusters = graft.ext.DedupClusters
+        .connectedComponents(documents(s, d), "doc_id", pairs)
+      clusters
+        .join(documents(s, d).select($"doc_id",
+          size(TextOps.words($"text")).cast("long").as("nt")), "doc_id")
+        .groupBy($"cluster_rep")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct($"nt", (-$"doc_id").as("negid"))).as("__best"))
+        .select($"cluster_rep", (-$"__best.negid").as("keep_doc"),
+          $"n_docs", $"__best.nt".as("max_tokens"))
+        .orderBy($"cluster_rep")
+    }),
+
+    // Leakage-safe split at the NEAR-DUP level: q103 held whole
+    // sources out; this holds whole DUPLICATE CLUSTERS out — two
+    // near-copies can never straddle train/validation even when they
+    // come from different sources. The md5 coin runs on the cluster
+    // representative, so the split is deterministic and every cluster
+    // member lands together. Composition: q24 candidates → q53
+    // components → groupSplit, one plan.
+    "q122_cluster_split" -> ((s, d) => {
+      import s.implicits._
+      val pairs = minhashPairs(s, d).select($"a_id", $"b_id")
+      graft.ext.DedupClusters
+        .connectedComponents(documents(s, d), "doc_id", pairs)
+        .select($"doc_id", $"cluster_rep",
+          graft.ext.Sampling.groupSplit($"cluster_rep",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            salt = "q122").as("split"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2928,6 +2978,39 @@ object DocumentQueries {
              LEFT JOIN tuni u2 ON b2.w2 = u2.u, scal)
          SELECT doc_id, CAST(count(*) AS BIGINT) n_bigrams,
            round(sum(-s) / ln(2) / count(*), 6) AS sb_bits
-         FROM sc GROUP BY doc_id ORDER BY doc_id"""
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // Clusters re-derived from raw text (shared CTE), keep-longest via
+    // the independent two-level max/filter route (not struct-max).
+    "q121_keep_longest" ->
+      s"""WITH RECURSIVE $clusterRepCte,
+         toks AS (SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) nt
+           FROM documents),
+         j AS (SELECT c.cluster_rep, c.doc_id, t.nt
+           FROM clus c JOIN toks t USING (doc_id)),
+         m AS (SELECT cluster_rep, max(nt) mx,
+             CAST(count(*) AS BIGINT) n_docs
+           FROM j GROUP BY cluster_rep)
+         SELECT j.cluster_rep, min(j.doc_id) AS keep_doc,
+           m.n_docs, CAST(m.mx AS BIGINT) AS max_tokens
+         FROM j JOIN m USING (cluster_rep)
+         WHERE j.nt = m.mx
+         GROUP BY j.cluster_rep, m.n_docs, m.mx
+         ORDER BY j.cluster_rep""",
+
+    // Same clusters, q103's md5 thresholds on the cluster rep
+    // (0.8 → 52428, 0.9 → 58982).
+    "q122_cluster_split" ->
+      s"""WITH RECURSIVE $clusterRepCte
+         SELECT doc_id, cluster_rep,
+           CASE WHEN CAST(concat('0x', substr(md5('q122' ||
+                  CAST(cluster_rep AS VARCHAR)), 1, 4)) AS BIGINT) < 52428
+                THEN 'train'
+                WHEN CAST(concat('0x', substr(md5('q122' ||
+                  CAST(cluster_rep AS VARCHAR)), 1, 4)) AS BIGINT) < 58982
+                THEN 'val'
+                ELSE 'test' END AS split
+         FROM clus ORDER BY doc_id"""
   )
 }

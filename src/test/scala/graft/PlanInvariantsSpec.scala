@@ -562,6 +562,19 @@ class PlanInvariantsSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("q121 keep longest: canonical selection is a struct-max agg, no window") {
+    // per-cluster keep-longest must be the map-side-combinable
+    // max(struct(len, -id)) — a row_number-per-cluster window here
+    // reintroduces the skew shape LineDedup's struct-min avoids
+    val p = plan("q121_keep_longest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("row_number"), p)
+    // the struct-max is an aggregate node (sort-based for struct
+    // ordering), never a Window
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Aggregate"), p)
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
