@@ -138,6 +138,29 @@ object StreamingOps {
         col("sw.end").as("session_end"),
         col("n_events"), col("sum_apower"))
 
+  /** Trending terms per event-time window — the streaming form of
+    * q69's heavy-hitters profile: tokenize, tumbling-window groupBy,
+    * ONE Misra–Gries aggregate (`graft_heavy_hitters`, mergeable,
+    * O(capacity) state per window) whose partial merge happens in the
+    * state store. This is deliberately a SINGLE streaming aggregation:
+    * the exact "rank then top-k" form would need a second aggregation
+    * over the first (unsupported in append mode), while the sketch
+    * keeps bounded state AND exact counts while a window's distinct
+    * terms stay under `capacity` (the q69 exactness argument). Output
+    * per watermark-sealed window: (window_start, window_end, hh) with
+    * `hh` the count-descending (item, count) array. Register
+    * [[graft.plans.GraftExtensions]] on the session first. */
+  def trendingTerms(docs: DataFrame, windowDur: String, lateness: String,
+                    capacity: Int): DataFrame =
+    docs.withWatermark("ts", lateness)
+      .select(col("ts"),
+        explode(graft.ext.TextOps.words(col("text"))).as("term"))
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(call_function("graft_heavy_hitters",
+        col("term"), lit(capacity)).as("hh"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("hh"))
+
   case class TaggedAsOf(device: String, ts: java.sql.Timestamp, side: Int,
                         apower: Option[Double], ref: Option[Double])
   case class Enriched(device: String, ts: java.sql.Timestamp,

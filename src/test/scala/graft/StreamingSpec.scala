@@ -327,6 +327,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trendingTerms: windowed Misra-Gries matches exact batch counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    // Zipf-ish draws over a 5-word vocab, two 60s windows of docs
+    val rows = (0 until 120).map { i =>
+      val t = 1000L + i // window 1: 960-1020, window 2: 1020-1080
+      val text = Seq.fill(1 + rnd.nextInt(6))(
+        vocab(math.min(rnd.nextInt(6), 4) % 5)).mkString(" ")
+      (t, text)
+    }
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("ts_s", "text")
+      .select(timestamp_seconds($"ts_s").as("ts"), $"text")
+    val q = StreamingOps.trendingTerms(docs, "60 seconds", "0 seconds",
+        capacity = 1024) // capacity >> 5 distinct terms → exact counts
+      .writeStream.format("memory").queryName("mq_trend")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(60)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData((1_000_000L, "x")); q.processAllAvailable()
+      mem.addData((2_000_000L, "x")); q.processAllAvailable()
+      val got = spark.table("mq_trend")
+        .filter(unix_timestamp($"window_start") < 10000)
+        .select(unix_timestamp($"window_start").as("ws"),
+          explode($"hh").as("e"))
+        .select($"ws", $"e.item", $"e.count")
+        .as[(Long, String, Long)].collect().toSet
+      val want = rows.toDF("ts_s", "text")
+        .select(($"ts_s" - $"ts_s" % 60).as("ws"),
+          explode(graft.ext.TextOps.words($"text")).as("term"))
+        .groupBy($"ws", $"term").agg(count(lit(1)).as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(want.nonEmpty && got == want,
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("dedupKeepFirst: within-watermark duplicate drop") {
     val q = StreamingOps.dedupKeepFirst(
         StreamingOps.mqttStream(spark, stageFixtureDir()),
