@@ -439,6 +439,43 @@ object TimeSeriesQueries {
         .select($"prev_type", $"event_type", $"n",
           round($"n" / $"__tot", 6).as("p"))
         .orderBy($"prev_type", $"event_type")
+    }),
+
+    // Distribution-drift monitoring via the Population Stability Index
+    // — the data-quality check a 100 TB pipeline runs between a
+    // baseline period and the current period before trusting new data.
+    // Bins are fixed from the BASELINE's [min,max] (out-of-range
+    // current values clamp into the edge bins, so range drift shows up
+    // there); both periods bin in ONE scan (the baseline/current flag
+    // rides the row), counts Laplace-smooth with +1 per bin so empty
+    // bins stay finite, and the per-type PSI is a sum over the
+    // observed-bin rows. Bounds and totals are type-cardinality
+    // broadcast frames; nothing re-scans events.
+    "q123_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val bins = 10
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val ev = events(s, d).select($"event_type", $"value",
+        ($"ts" < cutoff).as("is_base"))
+      val mm = ev.filter($"is_base").groupBy($"event_type")
+        .agg(min($"value").as("__mn"), max($"value").as("__mx"))
+      val width = ($"__mx" - $"__mn") / bins
+      val bin = when($"__mx" === $"__mn", lit(0))
+        .otherwise(greatest(least(floor(($"value" - $"__mn") / width),
+          lit(bins - 1)), lit(0))).cast("int")
+      val counts = ev.join(broadcast(mm), "event_type")
+        .groupBy($"event_type", bin.as("bin"))
+        .agg(sum(when($"is_base", 1L).otherwise(0L)).as("cb"),
+          sum(when($"is_base", 0L).otherwise(1L)).as("cc"))
+      val tots = counts.groupBy($"event_type")
+        .agg(sum($"cb").as("__nb"), sum($"cc").as("__nc"))
+      val p = ($"cb" + 1) / ($"__nb" + bins)
+      val q = ($"cc" + 1) / ($"__nc" + bins)
+      counts.join(broadcast(tots), "event_type")
+        .groupBy($"event_type")
+        .agg(first($"__nb").as("n_base"), first($"__nc").as("n_current"),
+          round(sum((q - p) * log(q / p)), 6).as("psi"))
+        .orderBy($"event_type")
     })
   )
 
@@ -781,6 +818,35 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // Same baseline-derived bins, same Laplace smoothing, same
+    // (q−p)·ln(q/p) summed over the observed-bin rows.
+    "q123_psi_drift" ->
+      """WITH ev AS (SELECT event_type, value,
+             ts < TIMESTAMP '2024-01-15 00:00:00' AS is_base FROM events),
+         mm AS (SELECT event_type, min(value) mn, max(value) mx
+           FROM ev WHERE is_base GROUP BY event_type),
+         b AS (SELECT e.event_type,
+             CAST(CASE WHEN mm.mx = mm.mn THEN 0
+               ELSE greatest(least(
+                 floor((e.value - mm.mn) / ((mm.mx - mm.mn) / 10)), 9), 0)
+               END AS INTEGER) bin,
+             e.is_base
+           FROM ev e JOIN mm USING (event_type)),
+         c AS (SELECT event_type, bin,
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) cb,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) cc
+           FROM b GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(cb) nb, sum(cc) nc
+           FROM c GROUP BY event_type)
+         SELECT c.event_type, CAST(t.nb AS BIGINT) n_base,
+           CAST(t.nc AS BIGINT) n_current,
+           round(sum(
+             (((cc + 1) / (nc + 10)) - ((cb + 1) / (nb + 10))) *
+             ln(((cc + 1) / (nc + 10)) / ((cb + 1) / (nb + 10)))), 6) AS psi
+         FROM c JOIN t USING (event_type)
+         GROUP BY c.event_type, t.nb, t.nc
+         ORDER BY c.event_type""",
 
     "q118_event_transitions" ->
       """WITH seq AS (SELECT event_type,
