@@ -476,6 +476,87 @@ object TimeSeriesQueries {
         .agg(first($"__nb").as("n_base"), first($"__nc").as("n_current"),
           round(sum((q - p) * log(q / p)), 6).as("psi"))
         .orderBy($"event_type")
+    }),
+
+    // Per-user OLS trend: is this user's metric drifting up or down?
+    // One map-side-combinable aggregate of the five OLS sums (n, Σx,
+    // Σy, Σxy, Σxx) with the closed-form slope/intercept assembled
+    // ABOVE the agg — the explicit formula (not regr_slope) so both
+    // engines evaluate the identical expression tree over the same
+    // sums. x = seconds since 2024-01-01 (small integers — no epoch-
+    // magnitude cancellation in Σxx).
+    "q124_trend_slope" -> ((s, d) => {
+      import s.implicits._
+      // Deterministic distributed OLS: EVERY sum is an exact 64-bit
+      // integer — x is seconds since 2024-01-01 (small), y is
+      // quantized to 1e-4 fixed point via floor(y·10⁴ + 0.5) (floor is
+      // bit-deterministic on the identical input double, unlike
+      // round(), whose half rule differs between engines). Identical
+      // integer sums make every downstream double op (cast, ×, −, /)
+      // IEEE-identical in both engines, so the slope ships UNROUNDED
+      // and hash-exact — no rounding boundary to straddle (round(…,4)
+      // and round(…,6) both measurably failed on half-boundary rows).
+      // Long-sum headroom: Σ(x·yq) ≲ rows_per_user · 10¹³ — exact past
+      // sf1 with orders of magnitude to spare.
+      // NB Column./ is DOUBLE division — `div` keeps x integral
+      val x = expr("unix_micros(ts) div 1000000") -
+        lit(java.time.LocalDate.of(2024, 1, 1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+      val yq = floor($"value" * 10000 + 0.5).cast("long")
+      val sums = events(s, d)
+        .select($"user_id", x.as("x"), yq.as("yq"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"yq").as("syq"),
+          sum($"x" * $"yq").as("sxyq"), sum($"x" * $"x").as("sxx"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val slope = (d2($"n") * d2($"sxyq") - d2($"sx") * d2($"syq")) /
+        (d2($"n") * d2($"sxx") - d2($"sx") * d2($"sx"))
+      sums.select($"user_id", $"n".as("n_points"),
+          (slope * 86400 / 10000).as("slope_per_day"))
+        .orderBy($"user_id")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift statistic (binned form) —
+    // the PSI sibling that asks "how far apart are the CDFs" instead
+    // of "how surprised is each bin". 100 equi-width bins over the
+    // combined range; the sup is found by maximizing the INTEGER
+    // cross-product |cumb·nc − cumc·nb| (exact in both engines — no
+    // float CDF comparison), and only the final D = num/(nb·nc) is a
+    // double division of exact integers, so the value ships unrounded
+    // and bit-exact. The cum window runs over the 100-bins-per-type
+    // frame, never raw events; at corpus scales beyond long headroom
+    // (n_b·n_c ≳ 2⁶³) the same query runs on decimal128.
+    "q125_ks_drift" -> ((s, d) => {
+      import s.implicits._
+      val bins = 100
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val ev = events(s, d).select($"event_type", $"value",
+        ($"ts" < cutoff).as("is_base"))
+      val mm = ev.groupBy($"event_type")
+        .agg(min($"value").as("__mn"), max($"value").as("__mx"))
+      val width = ($"__mx" - $"__mn") / bins
+      val bin = when($"__mx" === $"__mn", lit(0))
+        .otherwise(least(floor(($"value" - $"__mn") / width),
+          lit(bins - 1))).cast("int")
+      val counts = ev.join(broadcast(mm), "event_type")
+        .groupBy($"event_type", bin.as("bin"))
+        .agg(sum(when($"is_base", 1L).otherwise(0L)).as("cb"),
+          sum(when($"is_base", 0L).otherwise(1L)).as("cc"))
+      val w = Window.partitionBy($"event_type").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts.select($"event_type",
+        sum($"cb").over(w).as("cumb"), sum($"cc").over(w).as("cumc"))
+      val tots = counts.groupBy($"event_type")
+        .agg(sum($"cb").as("__nb"), sum($"cc").as("__nc"))
+      cum.join(broadcast(tots), "event_type")
+        .groupBy($"event_type")
+        .agg(first($"__nb").as("n_base"), first($"__nc").as("n_current"),
+          max(abs($"cumb" * $"__nc" - $"cumc" * $"__nb")).as("__num"))
+        .select($"event_type", $"n_base", $"n_current",
+          ($"__num".cast("double") /
+            ($"n_base" * $"n_current").cast("double")).as("ks"))
+        .orderBy($"event_type")
     })
   )
 
@@ -818,6 +899,63 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // Identical exact-integer sums (same floor(y·10⁴+0.5) fixed point),
+    // identical double expression tree — slope compared UNROUNDED.
+    "q124_trend_slope" ->
+      """WITH s AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) n,
+             CAST(sum(x) AS BIGINT) sx,
+             CAST(sum(yq) AS BIGINT) syq,
+             CAST(sum(x * yq) AS BIGINT) sxyq,
+             CAST(sum(x * x) AS BIGINT) sxx
+           FROM (SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                 - 1704067200 AS x,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) yq FROM events)
+           GROUP BY user_id),
+         sl AS (SELECT user_id, n,
+             (CAST(n AS DOUBLE) * CAST(sxyq AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(syq AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) slope
+           FROM s)
+         SELECT user_id, n AS n_points,
+           slope * 86400 / 10000 AS slope_per_day
+         FROM sl ORDER BY user_id""",
+
+    // Same combined-range bins, same integer cross-product sup, same
+    // single exact-integer division — compared unrounded.
+    "q125_ks_drift" ->
+      """WITH ev AS (SELECT event_type, value,
+             ts < TIMESTAMP '2024-01-15 00:00:00' AS is_base FROM events),
+         mm AS (SELECT event_type, min(value) mn, max(value) mx
+           FROM ev GROUP BY event_type),
+         b AS (SELECT e.event_type,
+             CAST(CASE WHEN mm.mx = mm.mn THEN 0
+               ELSE least(floor((e.value - mm.mn) / ((mm.mx - mm.mn) / 100)),
+                 99) END AS INTEGER) bin,
+             e.is_base
+           FROM ev e JOIN mm USING (event_type)),
+         c AS (SELECT event_type, bin,
+             CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) cb,
+             CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) cc
+           FROM b GROUP BY 1, 2),
+         cum AS (SELECT event_type,
+             CAST(sum(cb) OVER (PARTITION BY event_type ORDER BY bin)
+               AS BIGINT) cumb,
+             CAST(sum(cc) OVER (PARTITION BY event_type ORDER BY bin)
+               AS BIGINT) cumc
+           FROM c),
+         t AS (SELECT event_type, CAST(sum(cb) AS BIGINT) nb,
+             CAST(sum(cc) AS BIGINT) nc
+           FROM c GROUP BY event_type)
+         SELECT cum.event_type, t.nb AS n_base, t.nc AS n_current,
+           CAST(max(abs(cumb * t.nc - cumc * t.nb)) AS DOUBLE)
+             / CAST(t.nb * t.nc AS DOUBLE) AS ks
+         FROM cum JOIN t USING (event_type)
+         GROUP BY cum.event_type, t.nb, t.nc
+         ORDER BY cum.event_type""",
 
     // Same baseline-derived bins, same Laplace smoothing, same
     // (q−p)·ln(q/p) summed over the observed-bin rows.
