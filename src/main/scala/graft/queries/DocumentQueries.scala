@@ -253,6 +253,38 @@ object DocumentQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // FILTERED vector search — ANN with a metadata predicate, the
+    // capability every production vector store names: only corpus
+    // vectors satisfying the predicate are searchable. Semantics are
+    // PRE-filter (the predicate restricts the candidate set BEFORE
+    // ranking, so top-k is always k-from-eligible) — post-filtering a
+    // plain ANN's top-k would return fewer than k and miss eligible
+    // neighbors just outside the unfiltered top-k. Plan-pinned: the
+    // label Filter sits below the bucket join, so ineligible vectors
+    // never enter candidate scoring.
+    "q126_filtered_ann" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val bucketed = graft.Caching.persisted(withLshBucket(
+        embeddings(s, d)
+          .select($"vec_id", $"label",
+            $"embedding".cast("array<double>").as("emb"))
+          .withColumn("nrm", l2norm($"emb")),
+        "vec_id", "emb"))
+      val q = bucketed.filter($"vec_id" < 20)
+        .select($"vec_id".as("query_id"), $"emb".as("qemb"),
+          $"nrm".as("qnrm"), $"bucket".as("qbucket"))
+      val corpus = bucketed.filter($"label" % 3 === 0)
+      val scored = corpus.join(broadcast(q),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"emb", $"qemb", $"nrm", $"qnrm").as("cos"))
+      topKPerGroup(scored, Seq("query_id"), $"cos", $"neighbor_id", 3)
+        .select($"query_id", $"id".as("neighbor_id"), $"rank",
+          round($"score", 6).as("cosine"))
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Per-language corpus stats (count / char / token distributions).
     "q29_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -952,6 +984,27 @@ object DocumentQueries {
          p AS (SELECT query_id, vec_id neighbor_id,
            ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
            FROM n JOIN q ON bucket = qbucket AND vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
+           FROM p)
+         SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+           round(cos, 6) AS cosine
+         FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // q28's oracle with the eligibility predicate applied to the
+    // CORPUS side before ranking (pre-filter semantics).
+    "q126_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb
+           FROM embeddings),
+         n AS (SELECT vec_id, label, emb,
+           sqrt(${dotSql("emb", "emb")}) nrm,
+           $lshBucketSql bucket FROM e),
+         q AS (SELECT vec_id query_id, emb qemb, nrm qnrm, bucket qbucket
+           FROM n WHERE vec_id < 20),
+         p AS (SELECT query_id, vec_id neighbor_id,
+           ${dotSql("emb", "qemb")} / (nrm * qnrm) cos
+           FROM n JOIN q ON bucket = qbucket AND vec_id <> query_id
+           WHERE label % 3 = 0),
          r AS (SELECT query_id, neighbor_id, cos,
            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rnk
            FROM p)

@@ -575,6 +575,19 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("Aggregate"), p)
   }
 
+  test("q126 filtered ann: eligibility predicate sits BELOW the bucket join") {
+    // pre-filter semantics: the label predicate must restrict the
+    // candidate set before ranking — a Filter above the join (post-
+    // filtering) silently returns fewer than k and misses eligible
+    // neighbors just outside the unfiltered top-k
+    val p = plan("q126_filtered_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val filterIdx = p.indexOf("(label")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"label filter must print below (deeper than) the bucket join:\n$p")
+  }
+
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
     // the decile machinery (histogram, cume window, cut fold) runs over
     // the tiny distinct-length frame; the CORPUS side must see only a
