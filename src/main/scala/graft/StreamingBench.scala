@@ -141,13 +141,21 @@ object StreamingBench {
     val wwRate = run("dedup_ww",
       graft.streaming.StreamingOps.dedupDocsNearWithinWatermark(docs()).toDF())
 
+    // shape 3 (round 17): native session_window summaries — per-device
+    // merged-session state, the third state-store access pattern
+    // (window-merge) beside windowed-agg and per-key fMGWS
+    val sessRate = run("session_agg",
+      graft.streaming.StreamingOps.sessionAgg(readings, gapSeconds = 30,
+        lateness = "10 seconds"))
+
     def f(v: Double) = "%.0f".formatLocal(java.util.Locale.ROOT, v)
     val line = s"""{"offered_rps":$rps,"secs":$secs,"store":"$store",""" +
       s""""bucket_mean_rows_per_sec":${f(bucketRate)},""" +
       s""""dedup_proj_rows_per_sec":${f(projRate)},""" +
       s""""dedup_exact_rows_per_sec":${f(exactRate)},""" +
       s""""dedup_near_rows_per_sec":${f(dedupRate)},""" +
-      s""""dedup_near_ww_rows_per_sec":${f(wwRate)}}"""
+      s""""dedup_near_ww_rows_per_sec":${f(wwRate)},""" +
+      s""""session_agg_rows_per_sec":${f(sessRate)}}"""
     println(line)
     System.err.println(line)
     spark.stop()
