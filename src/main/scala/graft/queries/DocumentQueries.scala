@@ -285,6 +285,38 @@ object DocumentQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // ROC AUC as a distributed EVAL operator — "how well does this
+    // signal rank the positives" is the question every quality-filter
+    // signal gets asked before it gates a 100 TB corpus. Computed
+    // EXACTLY, never via a corpus-wide rank window: scores collapse to
+    // the (score, pos-count, neg-count) histogram (integer scores →
+    // bounded distinct → tiny frame), the ROC curve is an integer
+    // cumulative over that frame, and the trapezoid sum
+    // Σ(2·TP_i − p_i)·n_i stays integer until ONE final division — so
+    // the AUC ships unrounded and bit-exact (the q124/q125 fixed-point
+    // discipline). Here: the token-count signal as an English-doc
+    // detector (a weak signal — the point is the harness).
+    "q127_auc" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = documents(s, d)
+        .select(size(TextOps.words($"text")).cast("long").as("score"),
+          ($"lang" === "en").as("pos"))
+        .groupBy($"score")
+        .agg(sum(when($"pos", 1L).otherwise(0L)).as("p"),
+          sum(when($"pos", 0L).otherwise(1L)).as("n"))
+      // descending threshold sweep over the TINY histogram frame
+      val w = W.orderBy($"score".desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val roc = hist.select($"p", $"n",
+        sum($"p").over(w).as("tp"), sum($"n").over(w).as("fp"))
+      roc.agg(sum($"p").as("n_pos"), sum($"n").as("n_neg"),
+          sum((lit(2) * $"tp" - $"p") * $"n").as("__num2"))
+        .select($"n_pos", $"n_neg",
+          ($"__num2".cast("double") /
+            (lit(2) * $"n_pos" * $"n_neg").cast("double")).as("auc"))
+    }),
+
     // Per-language corpus stats (count / char / token distributions).
     "q29_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -990,6 +1022,26 @@ object DocumentQueries {
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            round(cos, 6) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // Same integer histogram sweep; ties handled identically by the
+    // trapezoid (the (2·TP−p)·n form IS the tie-averaged rank-sum).
+    "q127_auc" ->
+      """WITH sc AS (SELECT
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) score,
+             lang = 'en' AS pos
+           FROM documents),
+         h AS (SELECT score,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) p,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) n
+           FROM sc GROUP BY score),
+         roc AS (SELECT p, n,
+             CAST(sum(p) OVER (ORDER BY score DESC) AS BIGINT) tp,
+             CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) fp
+           FROM h)
+         SELECT CAST(sum(p) AS BIGINT) n_pos, CAST(sum(n) AS BIGINT) n_neg,
+           CAST(sum((2 * tp - p) * n) AS DOUBLE)
+             / CAST(2 * sum(p) * sum(n) AS DOUBLE) AS auc
+         FROM roc""",
 
     // q28's oracle with the eligibility predicate applied to the
     // CORPUS side before ranking (pre-filter semantics).
