@@ -2213,6 +2213,37 @@ object DocumentQueries {
         .orderBy($"doc_id")
     }),
 
+    // KWIC snippets (keyword-in-context) — the search-RESULT step
+    // after q112's phrase match: ±3 tokens of context around every
+    // occurrence, extracted map-side by slicing the token array at the
+    // hit position (one doc-keyed join of the hit list back to the
+    // docs; the snippet itself never re-scans or re-tokenizes other
+    // documents). Token-array slicing, not character offsets — no
+    // regex re-search to drift from the postings match.
+    "q128_kwic" -> ((s, d) => {
+      import s.implicits._
+      val phrase = Seq("slow", "hash", "batch")
+      val toks = documents(s, d).select($"doc_id",
+        posexplode(TextOps.words($"text")).as(Seq("pos", "w")))
+      val first = toks.filter($"w" === phrase.head)
+        .select($"doc_id", $"pos")
+      val matches = phrase.zipWithIndex.drop(1)
+        .foldLeft(first) { case (acc, (w, i)) =>
+          acc.join(toks.filter($"w" === w)
+              .select($"doc_id", ($"pos" - i).as("pos")),
+            Seq("doc_id", "pos"))
+        }
+      val withWords = matches.join(
+        documents(s, d).select($"doc_id",
+          TextOps.words($"text").as("ws")), "doc_id")
+      val start1 = greatest($"pos" - 3, lit(0)) + 1 // 1-based slice start
+      val end1 = least($"pos" + phrase.size + 3, size($"ws")) // inclusive
+      withWords.select($"doc_id", $"pos".cast("long").as("pos"),
+          concat_ws(" ", slice($"ws", start1, end1 - start1 + 1))
+            .as("snippet"))
+        .orderBy($"doc_id", $"pos")
+    }),
+
     // BPE pair statistics — the tokenizer-training bootstrap: symbol-
     // pair frequencies over word TYPES weighted by word occurrence
     // count (exactly the statistic a BPE trainer maximizes each merge
@@ -3040,6 +3071,21 @@ object DocumentQueries {
          SELECT doc_id, CAST(len(hits) AS BIGINT) n_matches,
            CAST(hits[1] - 1 AS BIGINT) first_pos
          FROM m WHERE len(hits) > 0 ORDER BY doc_id""",
+
+    // Same hits via the independent array-scan route, same ±3-token
+    // slice arithmetic (i is 1-based here, pos 0-based in Spark).
+    "q128_kwic" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') w FROM documents),
+         m AS (SELECT doc_id, w, unnest(list_filter(
+             generate_series(1, len(w) - 2),
+             i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch'))
+             i
+           FROM t WHERE len(w) >= 3)
+         SELECT doc_id, CAST(i - 1 AS BIGINT) pos,
+           array_to_string(w[greatest(i - 3, 1) : least(i + 5, len(w))],
+             ' ') AS snippet
+         FROM m ORDER BY doc_id, pos""",
 
     // Same statistic from the same word histogram (string indexing
     // w[i] = i-th char in both engines' 1-based convention).
