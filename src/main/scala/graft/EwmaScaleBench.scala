@@ -16,7 +16,10 @@ import org.apache.spark.sql.expressions.Window
   * Both forms are cross-checked value-equal (1e-9, association order
   * differs) on a 1 k-row key before timing. The lag leg only runs for
   * span ≤ SPARK_GRAFT_EWMA_MAX_LAG (default 32; a 100-column lag
-  * projection stresses codegen for no production reason).
+  * projection stresses codegen for no production reason). Both forms
+  * are INLINED here rather than routed through Postprocess.ewma: the
+  * operator now dispatches span ≤ 16 to the lag branch this bench
+  * motivated, so calling it would time lag-vs-lag at small spans.
   *
   * Prints one JSON line per (n, span):
   *   {"n":…,"span":…,"fold_sec":…,"lag_sec":…}
@@ -60,6 +63,24 @@ object EwmaScaleBench {
       df.withColumn("ewma", num / den)
     }
 
+    /** collect_list fold form, INLINED (not via Postprocess.ewma): the
+      * operator now dispatches span ≤ 16 to the lag branch this bench
+      * motivated, so calling it would time lag-vs-lag at span 10 and
+      * silently invalidate the A/B. */
+    def foldEwma(df: org.apache.spark.sql.DataFrame, span: Int) = {
+      val w = Window.partitionBy($"key").orderBy($"ts")
+        .rowsBetween(-(span - 1), 0)
+      val vals = collect_list($"value").over(w)
+      val n = size(vals)
+      def fold(weighted: org.apache.spark.sql.Column) =
+        aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+      val num = fold(zip_with(vals, sequence(lit(1), n),
+        (x, i) => x * pow(lit(1 - alpha), (n - i).cast("double"))))
+      val den = fold(transform(sequence(lit(1), n),
+        i => pow(lit(1 - alpha), (n - i).cast("double"))))
+      df.withColumn("ewma", num / den)
+    }
+
     sizes.foreach { n =>
       val keys = math.max(1L, n / 100000L)
       val df = spark.range(n).select(
@@ -70,8 +91,7 @@ object EwmaScaleBench {
 
       spans.foreach { span =>
         val sample = df.filter($"key" === 0).limit(1000)
-        val a = graft.operators.Postprocess
-          .ewma(sample, $"key", Seq($"ts"), $"value", alpha, span)
+        val a = foldEwma(sample, span)
           .orderBy("ts").select("ewma").as[Double].collect().toSeq
         val b = lagEwma(sample, span)
           .orderBy("ts").select("ewma").as[Double].collect().toSeq
@@ -80,8 +100,7 @@ object EwmaScaleBench {
           s"forms disagree at span=$span")
 
         val foldSec = time {
-          graft.operators.Postprocess
-            .ewma(df, $"key", Seq($"ts"), $"value", alpha, span)
+          foldEwma(df, span)
             .write.mode("overwrite").format("noop").save()
         }
         val lagSec =

@@ -1392,6 +1392,25 @@ object DocumentQueries {
   // sequence packing, native char entropy.
   // ---------------------------------------------------------------------
 
+  /** (doc_id, pos) rows where `phrase` starts (0-based pos) — the
+    * positional-postings match shared by q112 (hit counting) and q128
+    * (KWIC snippets), so the two can never drift apart: each phrase
+    * word's postings are a filtered projection of one posexplode,
+    * aligned by (doc_id, pos − offset) equality joins. */
+  private val searchPhrase = Seq("slow", "hash", "batch")
+  private def phraseMatches(s: SparkSession, d: String,
+                            phrase: Seq[String]): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d).select($"doc_id",
+      posexplode(TextOps.words($"text")).as(Seq("pos", "w")))
+    val first = toks.filter($"w" === phrase.head).select($"doc_id", $"pos")
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(toks.filter($"w" === w)
+          .select($"doc_id", ($"pos" - i).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+  }
+
   private val defsC: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TF-IDF top-3 terms per document (keyword extraction /
@@ -2196,18 +2215,7 @@ object DocumentQueries {
     // algorithms agreeing.
     "q112_phrase_search" -> ((s, d) => {
       import s.implicits._
-      val phrase = Seq("slow", "hash", "batch")
-      val toks = documents(s, d).select($"doc_id",
-        posexplode(TextOps.words($"text")).as(Seq("pos", "w")))
-      val first = toks.filter($"w" === phrase.head)
-        .select($"doc_id", $"pos")
-      val matches = phrase.zipWithIndex.drop(1)
-        .foldLeft(first) { case (acc, (w, i)) =>
-          acc.join(toks.filter($"w" === w)
-              .select($"doc_id", ($"pos" - i).as("pos")),
-            Seq("doc_id", "pos"))
-        }
-      matches.groupBy($"doc_id")
+      phraseMatches(s, d, searchPhrase).groupBy($"doc_id")
         .agg(count(lit(1)).as("n_matches"),
           min($"pos").cast("long").as("first_pos"))
         .orderBy($"doc_id")
@@ -2222,22 +2230,11 @@ object DocumentQueries {
     // regex re-search to drift from the postings match.
     "q128_kwic" -> ((s, d) => {
       import s.implicits._
-      val phrase = Seq("slow", "hash", "batch")
-      val toks = documents(s, d).select($"doc_id",
-        posexplode(TextOps.words($"text")).as(Seq("pos", "w")))
-      val first = toks.filter($"w" === phrase.head)
-        .select($"doc_id", $"pos")
-      val matches = phrase.zipWithIndex.drop(1)
-        .foldLeft(first) { case (acc, (w, i)) =>
-          acc.join(toks.filter($"w" === w)
-              .select($"doc_id", ($"pos" - i).as("pos")),
-            Seq("doc_id", "pos"))
-        }
-      val withWords = matches.join(
+      val withWords = phraseMatches(s, d, searchPhrase).join(
         documents(s, d).select($"doc_id",
           TextOps.words($"text").as("ws")), "doc_id")
       val start1 = greatest($"pos" - 3, lit(0)) + 1 // 1-based slice start
-      val end1 = least($"pos" + phrase.size + 3, size($"ws")) // inclusive
+      val end1 = least($"pos" + searchPhrase.size + 3, size($"ws")) // inclusive
       withWords.select($"doc_id", $"pos".cast("long").as("pos"),
           concat_ws(" ", slice($"ws", start1, end1 - start1 + 1))
             .as("snippet"))
@@ -3100,8 +3097,8 @@ object DocumentQueries {
          SELECT pair, CAST(sum(freq) AS BIGINT) pair_freq
          FROM p GROUP BY pair ORDER BY pair_freq DESC, pair LIMIT 50""",
 
-    // Model retrained from scratch on the even-doc_id half, same
-    // backoff arithmetic, same (sum / ln2) / n association.
+    // Model retrained from scratch on the src0 slice, same backoff
+    // arithmetic, same (sum / ln2) / n association.
     "q120_stupid_backoff" ->
       """WITH docs AS (
            SELECT doc_id, source, string_split_regex(text, '\s+') w

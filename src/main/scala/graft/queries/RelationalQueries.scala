@@ -230,7 +230,7 @@ object RelationalQueries {
           concat($"p_name".substr(lit(1), pos - 1),
             $"p_name".substr(pos + 1, length($"p_name") - pos)).as("s"))
       val rep = base.unionByName(mut)
-        .groupBy($"s").agg(min($"id").as("id"), count(lit(1)).as("n_copies"))
+        .groupBy($"s").agg(min($"id").as("id"))
       graft.ext.FuzzyJoin.ed1Pairs(rep, "id", "s")
         .select($"a_id", $"b_id", $"a_str", $"b_str", $"ed")
         .orderBy($"a_id", $"b_id")

@@ -399,7 +399,7 @@ object TimeSeriesQueries {
           $"value")
         .cube($"event_type", $"dow")
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          round(sum($"value"), 4).as("sum_value"))
+          round(sum($"value"), 2).as("sum_value"))
         .select($"gid", $"event_type", $"dow", $"n", $"sum_value")
         .orderBy($"gid", $"event_type", $"dow")
     }),
@@ -454,7 +454,9 @@ object TimeSeriesQueries {
     "q123_psi_drift" -> ((s, d) => {
       import s.implicits._
       val bins = 10
-      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      // session-TZ (UTC-pinned) literal — java.sql.Timestamp.valueOf would
+      // resolve in the JVM default timezone and shift vs the naive oracle
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
       val ev = events(s, d).select($"event_type", $"value",
         ($"ts" < cutoff).as("is_base"))
       val mm = ev.filter($"is_base").groupBy($"event_type")
@@ -530,7 +532,9 @@ object TimeSeriesQueries {
     "q125_ks_drift" -> ((s, d) => {
       import s.implicits._
       val bins = 100
-      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      // session-TZ (UTC-pinned) literal — java.sql.Timestamp.valueOf would
+      // resolve in the JVM default timezone and shift vs the naive oracle
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
       val ev = events(s, d).select($"event_type", $"value",
         ($"ts" < cutoff).as("is_base"))
       val mm = ev.groupBy($"event_type")
@@ -884,7 +888,7 @@ object TimeSeriesQueries {
          SELECT CAST(GROUPING(event_type, dow) AS BIGINT) gid,
            event_type, dow,
            CAST(count(*) AS BIGINT) n,
-           round(sum(value), 4) sum_value
+           round(sum(value), 2) sum_value
          FROM e GROUP BY CUBE (event_type, dow)
          ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""",
 
