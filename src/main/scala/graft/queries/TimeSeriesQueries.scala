@@ -519,6 +519,33 @@ object TimeSeriesQueries {
         .orderBy($"user_id")
     }),
 
+    // Rolling 7-day active users + stickiness (DAU/WAU) — the product
+    // metric that needs rolling DISTINCT, which no frame aggregate
+    // gives you: distinct (day, user) pairs (bounded: days × users,
+    // one corpus shuffle), each pair then CONTRIBUTES to the 7 windows
+    // ending on day..day+6 via a map-side 7-element explode of the
+    // deduped pair frame — never a 7× fan-out of raw events — and the
+    // per-window distinct-user count is one more hash agg. Windows are
+    // emitted only where the anchor day itself has activity (join back
+    // to the observed-day set).
+    "q129_rolling_wau" -> ((s, d) => {
+      import s.implicits._
+      val dayUser = events(s, d)
+        .select(date_trunc("day", $"ts").cast("date").as("day"), $"user_id")
+        .distinct()
+      val dau = dayUser.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = dayUser
+        .select(explode(sequence(lit(0), lit(6))).as("k"),
+          $"day", $"user_id")
+        .select(date_add($"day", $"k").as("day"), $"user_id")
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select($"day", $"dau", $"wau",
+          round($"dau" / $"wau", 6).as("stickiness"))
+        .orderBy($"day")
+    }),
+
     // Two-sample Kolmogorov–Smirnov drift statistic (binned form) —
     // the PSI sibling that asks "how far apart are the CDFs" instead
     // of "how surprised is each bin". 100 equi-width bins over the
@@ -903,6 +930,24 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // Same pair expansion (each distinct (day,user) feeds the 7
+    // windows it belongs to), independent DISTINCT route.
+    "q129_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT
+             CAST(date_trunc('day', ts) AS DATE) AS dy, user_id
+           FROM events),
+         dau AS (SELECT dy, CAST(count(*) AS BIGINT) dau
+           FROM du GROUP BY dy),
+         ks AS (SELECT unnest(generate_series(0, 6)) k),
+         w AS (SELECT DISTINCT du.dy + CAST(ks.k AS INTEGER) AS dy,
+             du.user_id
+           FROM du, ks),
+         wau AS (SELECT dy, CAST(count(*) AS BIGINT) wau
+           FROM w GROUP BY dy)
+         SELECT dau.dy AS "day", dau.dau, wau.wau,
+           round(dau.dau / wau.wau, 6) AS stickiness
+         FROM dau JOIN wau USING (dy) ORDER BY dau.dy""",
 
     // Identical exact-integer sums (same floor(y·10⁴+0.5) fixed point),
     // identical double expression tree — slope compared UNROUNDED.
