@@ -546,6 +546,58 @@ object TimeSeriesQueries {
         .orderBy($"day")
     }),
 
+    // CUPED-adjusted experiment readout (Deng et al., WSDM 2013) — the
+    // variance-reduction every experimentation platform applies: per
+    // user, pre-period spend x and post-period spend y (synthetic
+    // variant = user_id % 2), θ = cov(x,y)/var(x) POOLED, adjusted
+    // metric a = y − θ·(x − x̄). All moments derive from EXACT integer
+    // sums (values quantized at 1e-2 fixed point, matching the data's
+    // 2-dp precision — the q124 discipline), θ/means/variances are one
+    // identical double expression tree in both engines, and every
+    // output ships UNROUNDED and bit-exact. Shapes: one user-keyed
+    // agg, a broadcast one-row global frame, a 2-row variant agg.
+    "q130_cuped" -> ((s, d) => {
+      import s.implicits._
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val vq = floor($"value" * 100 + 0.5).cast("long")
+      val per = events(s, d)
+        .select($"user_id", ($"ts" < cutoff).as("pre"), vq.as("vq"))
+        .groupBy($"user_id")
+        .agg(sum(when($"pre", $"vq").otherwise(0L)).as("x"),
+          sum(when($"pre", 0L).otherwise($"vq")).as("y"),
+          sum(when($"pre", 1L).otherwise(0L)).as("npre"),
+          sum(when($"pre", 0L).otherwise(1L)).as("npost"))
+        .filter($"npre" > 0 && $"npost" > 0)
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val g = per.agg(count(lit(1)).as("gn"), sum($"x").as("gsx"),
+        sum($"y").as("gsy"), sum($"x" * $"y").as("gsxy"),
+        sum($"x" * $"x").as("gsxx"))
+      val theta = (d2($"gn") * d2($"gsxy") - d2($"gsx") * d2($"gsy")) /
+        (d2($"gn") * d2($"gsxx") - d2($"gsx") * d2($"gsx"))
+      val xbar = d2($"gsx") / d2($"gn")
+      val v = per.groupBy(pmod($"user_id", lit(2)).as("variant"))
+        .agg(count(lit(1)).as("nv"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"y" * $"y").as("syy"), sum($"x" * $"y").as("sxy"),
+          sum($"x" * $"x").as("sxx"))
+      val j = v.join(broadcast(g))
+        .withColumn("__t", theta).withColumn("__xb", xbar)
+      val sa = d2($"sy") - $"__t" * d2($"sx") + d2($"nv") * $"__t" * $"__xb"
+      val saa = d2($"syy") - lit(2.0) * $"__t" * d2($"sxy") +
+        $"__t" * $"__t" * d2($"sxx") +
+        lit(2.0) * $"__t" * $"__xb" * d2($"sy") -
+        lit(2.0) * $"__t" * $"__t" * $"__xb" * d2($"sx") +
+        d2($"nv") * $"__t" * $"__t" * $"__xb" * $"__xb"
+      j.select($"variant", $"nv".as("n_users"),
+          (d2($"sy") / d2($"nv") / 100).as("mean_post"),
+          (sa / d2($"nv") / 100).as("mean_cuped"),
+          ((d2($"syy") / d2($"nv") -
+            (d2($"sy") / d2($"nv")) * (d2($"sy") / d2($"nv"))) / 10000)
+            .as("var_post"),
+          ((saa / d2($"nv") - (sa / d2($"nv")) * (sa / d2($"nv"))) / 10000)
+            .as("var_cuped"))
+        .orderBy($"variant")
+    }),
+
     // Two-sample Kolmogorov–Smirnov drift statistic (binned form) —
     // the PSI sibling that asks "how far apart are the CDFs" instead
     // of "how surprised is each bin". 100 equi-width bins over the
@@ -930,6 +982,60 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // Same exact integer sums (same 1e-2 fixed point), same double
+    // expression tree for θ / x̄ / means / variances — every output
+    // compared UNROUNDED.
+    "q130_cuped" ->
+      """WITH per AS (SELECT user_id,
+             CAST(sum(CASE WHEN pre THEN vq ELSE 0 END) AS BIGINT) x,
+             CAST(sum(CASE WHEN pre THEN 0 ELSE vq END) AS BIGINT) y,
+             sum(CASE WHEN pre THEN 1 ELSE 0 END) npre,
+             sum(CASE WHEN pre THEN 0 ELSE 1 END) npost
+           FROM (SELECT user_id,
+               ts < TIMESTAMP '2024-01-15 00:00:00' AS pre,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) vq FROM events)
+           GROUP BY user_id
+           HAVING sum(CASE WHEN pre THEN 1 ELSE 0 END) > 0
+              AND sum(CASE WHEN pre THEN 0 ELSE 1 END) > 0),
+         g AS (SELECT CAST(count(*) AS BIGINT) gn,
+             CAST(sum(x) AS BIGINT) gsx, CAST(sum(y) AS BIGINT) gsy,
+             CAST(sum(x * y) AS BIGINT) gsxy,
+             CAST(sum(x * x) AS BIGINT) gsxx
+           FROM per),
+         th AS (SELECT gn, gsx,
+             (CAST(gn AS DOUBLE) * CAST(gsxy AS DOUBLE)
+               - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE))
+             / (CAST(gn AS DOUBLE) * CAST(gsxx AS DOUBLE)
+               - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)) t,
+             CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE) xb
+           FROM g),
+         v AS (SELECT user_id % 2 variant, CAST(count(*) AS BIGINT) nv,
+             CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+             CAST(sum(y * y) AS BIGINT) syy,
+             CAST(sum(x * y) AS BIGINT) sxy,
+             CAST(sum(x * x) AS BIGINT) sxx
+           FROM per GROUP BY 1),
+         e AS (SELECT variant, nv, sy, syy,
+             CAST(sy AS DOUBLE) - t * CAST(sx AS DOUBLE)
+               + CAST(nv AS DOUBLE) * t * xb sa,
+             CAST(syy AS DOUBLE) - 2.0 * t * CAST(sxy AS DOUBLE)
+               + t * t * CAST(sxx AS DOUBLE)
+               + 2.0 * t * xb * CAST(sy AS DOUBLE)
+               - 2.0 * t * t * xb * CAST(sx AS DOUBLE)
+               + CAST(nv AS DOUBLE) * t * t * xb * xb saa
+           FROM v, th)
+         SELECT variant, nv AS n_users,
+           CAST(sy AS DOUBLE) / CAST(nv AS DOUBLE) / 100 AS mean_post,
+           sa / CAST(nv AS DOUBLE) / 100 AS mean_cuped,
+           (CAST(syy AS DOUBLE) / CAST(nv AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(nv AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(nv AS DOUBLE))) / 10000
+             AS var_post,
+           (saa / CAST(nv AS DOUBLE)
+             - (sa / CAST(nv AS DOUBLE)) * (sa / CAST(nv AS DOUBLE)))
+             / 10000 AS var_cuped
+         FROM e ORDER BY variant""",
 
     // Same pair expansion (each distinct (day,user) feeds the 7
     // windows it belongs to), independent DISTINCT route.
