@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Third-route checks for the analytics pack: the DuckDB oracle proves
+  * Spark and DuckDB agree; these tests recompute the same statistic in
+  * PLAIN SCALA from the raw rows, so the math is independent of both
+  * engines' SQL semantics (three routes agreeing). All run at sf0.001
+  * (driver-collectable sizes). */
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val rawEvents: Seq[(Long, Long, String, Double)] =
+    Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type", $"value")
+      .as[(Long, Long, String, Double)].collect().toSeq
+
+  private val cutoffUs = 1705276800000000L // 2024-01-15 00:00:00 UTC in µs
+
+  test("q124 slope equals a driver-side exact-integer OLS") {
+    val got = q("q124_trend_slope")
+      .select($"user_id", $"slope_per_day")
+      .as[(Long, Double)].collect().toMap
+    val epoch2024 = 1704067200L
+    rawEvents.groupBy(_._1).foreach { case (uid, rows) =>
+      val pts = rows.map { case (_, us, _, v) =>
+        (us / 1000000L - epoch2024, math.floor(v * 10000 + 0.5).toLong)
+      }
+      val n = pts.size.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val want = slope * 86400 / 10000
+      assert(java.lang.Double.compare(got(uid), want) == 0,
+        s"user $uid: ${got(uid)} vs $want") // bit-exact by design
+    }
+  }
+
+  test("q125 KS equals a driver-side binned sup-CDF distance") {
+    val got = q("q125_ks_drift")
+      .select($"event_type", $"ks").as[(String, Double)].collect().toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val vals = rows.map(r => (r._4, r._2 < cutoffUs))
+      val mn = vals.map(_._1).min; val mx = vals.map(_._1).max
+      def bin(v: Double) =
+        if (mx == mn) 0
+        else math.min(math.floor((v - mn) / ((mx - mn) / 100)).toInt, 99)
+      val byBin = vals.groupBy(v => bin(v._1)).toSeq.sortBy(_._1)
+      val nb = vals.count(_._2).toLong; val nc = vals.size - nb
+      var cb = 0L; var cc = 0L; var num = 0L
+      byBin.foreach { case (_, vs) =>
+        cb += vs.count(_._2); cc += vs.count(!_._2)
+        num = math.max(num, math.abs(cb * nc - cc * nb))
+      }
+      val want = num.toDouble / (nb * nc).toDouble
+      assert(java.lang.Double.compare(got(et), want) == 0,
+        s"$et: ${got(et)} vs $want")
+    }
+  }
+
+  test("q123 PSI equals a driver-side recomputation (1e-12)") {
+    val got = q("q123_psi_drift")
+      .select($"event_type", $"psi").as[(String, Double)].collect().toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val base = rows.filter(_._2 < cutoffUs).map(_._4)
+      val cur = rows.filterNot(_._2 < cutoffUs).map(_._4)
+      val mn = base.min; val mx = base.max
+      def bin(v: Double) =
+        if (mx == mn) 0
+        else math.max(math.min(
+          math.floor((v - mn) / ((mx - mn) / 10)).toInt, 9), 0)
+      val bins = (base.map(v => (bin(v), true)) ++
+        cur.map(v => (bin(v), false))).groupBy(_._1)
+      val nb = base.size.toLong; val nc = cur.size.toLong
+      val psi = bins.values.map { vs =>
+        val cb = vs.count(_._2); val cc = vs.size - cb
+        val p = (cb + 1).toDouble / (nb + 10)
+        val qq = (cc + 1).toDouble / (nc + 10)
+        (qq - p) * math.log(qq / p)
+      }.sum
+      // rounded to 6 on the engine side; sum order differs here
+      assert(math.abs(got(et) - psi) < 1e-6 + 1e-12,
+        s"$et: ${got(et)} vs $psi")
+    }
+  }
+
+  test("q130 CUPED equals a driver-side recomputation") {
+    val got = q("q130_cuped")
+      .select($"variant", $"mean_cuped", $"var_cuped")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val per = rawEvents.groupBy(_._1).flatMap { case (uid, rows) =>
+      val x = rows.filter(_._2 < cutoffUs)
+        .map(r => math.floor(r._4 * 100 + 0.5).toLong).sum
+      val y = rows.filterNot(_._2 < cutoffUs)
+        .map(r => math.floor(r._4 * 100 + 0.5).toLong).sum
+      val npre = rows.count(_._2 < cutoffUs)
+      if (npre > 0 && npre < rows.size) Some((uid, x, y)) else None
+    }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val t = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val xb = sx.toDouble / n.toDouble
+    per.groupBy(_._1 % 2).foreach { case (variant, vs) =>
+      val adj = vs.map(v => v._3.toDouble - t * (v._2.toDouble - xb))
+      val mean = adj.sum / adj.size / 100
+      val varA = adj.map(a => a * a).sum / adj.size -
+        (adj.sum / adj.size) * (adj.sum / adj.size)
+      val (gm, gv) = got(variant)
+      assert(math.abs(gm - mean) < 1e-9, s"mean v$variant: $gm vs $mean")
+      assert(math.abs(gv - varA / 10000) < 1e-6,
+        s"var v$variant: $gv vs ${varA / 10000}")
+    }
+  }
+
+  test("q107 retention equals a driver-side cohort recomputation") {
+    val got = q("q107_cohort_retention")
+      .select(unix_date($"cohort_week").as("cw"), $"week_offset", $"n_users")
+      .as[(Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // Monday-truncated week in days since epoch: day 0 was a Thursday,
+    // so Monday-alignment is (d + 3) - (d + 3) % 7 - 3
+    def week(us: Long): Long = {
+      val d = us / 86400000000L
+      (d + 3) - (d + 3) % 7 - 3
+    }
+    val byUser = rawEvents.groupBy(_._1).view
+      .mapValues(_.map(r => week(r._2)).distinct).toMap
+    val want = byUser.toSeq.flatMap { case (_, wks) =>
+      val cohort = wks.min
+      wks.map(w => (cohort.toInt, (w - cohort) / 7))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want.toSet -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- want.toSet).take(3)}")
+  }
+}
