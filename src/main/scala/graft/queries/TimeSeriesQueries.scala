@@ -598,6 +598,38 @@ object TimeSeriesQueries {
         .orderBy($"variant")
     }),
 
+    // Association rules over per-user event-type baskets (market-
+    // basket support/confidence/lift — "users who do X also do Y").
+    // The basket is the per-user DISTINCT type set (bounded by the
+    // type vocabulary), so pair generation is a map-side combination
+    // explode of the per-user array — never an all-pairs or user-keyed
+    // self-join — and marginals/user-count ride back as broadcast
+    // frames. All three metrics are single divisions of exact integer
+    // counts: bit-exact unrounded.
+    "q131_assoc_rules" -> ((s, d) => {
+      import s.implicits._
+      val ut = events(s, d).select($"user_id", $"event_type").distinct()
+      val sets = ut.groupBy($"user_id")
+        .agg(sort_array(collect_set($"event_type")).as("ts"))
+      val pairs = sets.select(explode(flatten(
+          transform($"ts", (x, i) => transform(
+            slice($"ts", i + 2, size($"ts")),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy($"p.a", $"p.b").agg(count(lit(1)).as("cab"))
+      val marg = ut.groupBy($"event_type").agg(count(lit(1)).as("c"))
+      val nu = sets.agg(count(lit(1)).as("__nu"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      pairs
+        .join(broadcast(marg.select($"event_type".as("a"), $"c".as("ca"))), "a")
+        .join(broadcast(marg.select($"event_type".as("b"), $"c".as("cb"))), "b")
+        .join(broadcast(nu))
+        .select($"a", $"b", $"cab",
+          (d2($"cab") / d2($"__nu")).as("support"),
+          (d2($"cab") / d2($"ca")).as("confidence_a_b"),
+          (d2($"cab") * d2($"__nu") / (d2($"ca") * d2($"cb"))).as("lift"))
+        .orderBy($"a", $"b")
+    }),
+
     // Two-sample Kolmogorov–Smirnov drift statistic (binned form) —
     // the PSI sibling that asks "how far apart are the CDFs" instead
     // of "how surprised is each bin". 100 equi-width bins over the
@@ -982,6 +1014,28 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // Independent route: user-keyed SELF-JOIN pair derivation (not the
+    // basket-array explode Spark runs); identical single divisions of
+    // exact counts, compared unrounded.
+    "q131_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) nu FROM ut),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) c
+           FROM ut GROUP BY 1),
+         p AS (SELECT a.event_type a, b.event_type b,
+             CAST(count(*) AS BIGINT) cab
+           FROM ut a JOIN ut b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT p.a, p.b, cab,
+           CAST(cab AS DOUBLE) / CAST(nu.nu AS DOUBLE) AS support,
+           CAST(cab AS DOUBLE) / CAST(ma.c AS DOUBLE) AS confidence_a_b,
+           CAST(cab AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+             / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE)) AS lift
+         FROM p JOIN m ma ON p.a = ma.event_type
+           JOIN m mb ON p.b = mb.event_type, nu
+         ORDER BY p.a, p.b""",
 
     // Same exact integer sums (same 1e-2 fixed point), same double
     // expression tree for θ / x̄ / means / variances — every output
