@@ -630,6 +630,27 @@ object TimeSeriesQueries {
         .orderBy($"a", $"b")
     }),
 
+    // Conversion-latency distribution — the question that follows
+    // q102's funnel COUNTS: how long does view→click and view→purchase
+    // take for converters? Durations stay in exact integer µs (the q06
+    // discipline: medians of integer µs interpolate to .0/.5 doubles,
+    // no rounding needed), the funnel frame is user-keyed and the
+    // summary is one global agg.
+    "q132_conversion_latency" -> ((s, d) => {
+      import s.implicits._
+      val f = graft.operators.Funnel.funnel(events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), 7L * 86400L)
+      f.filter($"stage" >= 2)
+        .select(
+          (unix_micros($"ts_2") - unix_micros($"ts_1")).as("us_click"),
+          when($"stage" === 3,
+            unix_micros($"ts_3") - unix_micros($"ts_1")).as("us_purchase"))
+        .agg(count($"us_click").as("n_clicked"),
+          percentile($"us_click", lit(0.5)).as("median_us_to_click"),
+          count($"us_purchase").as("n_purchased"),
+          percentile($"us_purchase", lit(0.5)).as("median_us_to_purchase"))
+    }),
+
     // Two-sample Kolmogorov–Smirnov drift statistic (binned form) —
     // the PSI sibling that asks "how far apart are the CDFs" instead
     // of "how surprised is each bin". 100 equi-width bins over the
@@ -1014,6 +1035,35 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // q102's per-step CTE chain extended with integer-µs durations and
+    // null-skipping quantile_cont medians.
+    "q132_conversion_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) t3
+           FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         dur AS (SELECT
+             epoch_us(CAST(t2 AS TIMESTAMP))
+               - epoch_us(CAST(t1 AS TIMESTAMP)) us_click,
+             CASE WHEN t3 IS NOT NULL THEN
+               epoch_us(CAST(t3 AS TIMESTAMP))
+                 - epoch_us(CAST(t1 AS TIMESTAMP)) END us_purchase
+           FROM s1 JOIN s2 USING (user_id)
+             LEFT JOIN s3 USING (user_id))
+         SELECT CAST(count(us_click) AS BIGINT) n_clicked,
+           quantile_cont(us_click, 0.5) AS median_us_to_click,
+           CAST(count(us_purchase) AS BIGINT) n_purchased,
+           quantile_cont(us_purchase, 0.5) AS median_us_to_purchase
+         FROM dur""",
 
     // Independent route: user-keyed SELF-JOIN pair derivation (not the
     // basket-array explode Spark runs); identical single divisions of
