@@ -317,6 +317,33 @@ object DocumentQueries {
             (lit(2) * $"n_pos" * $"n_neg").cast("double")).as("auc"))
     }),
 
+    // Corpus percentile rank WITHOUT percent_rank's corpus-wide
+    // single-partition sort: the midrank definition
+    // (below + 0.5·ties)/n computed from the integer value histogram —
+    // cum runs over the tiny distinct-values frame, the per-doc rank
+    // is a broadcast join + ONE exact-integer division (2·below+ties
+    // over 2n), bit-exact unrounded. The score-calibration step that
+    // turns any quality signal into a uniform [0,1] scale.
+    "q133_percentile_rank" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val scored = documents(s, d).select($"doc_id",
+        size(TextOps.words($"text")).cast("long").as("n_tokens"))
+      val hist = scored.groupBy($"n_tokens".as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.select($"v", $"c",
+        (sum($"c").over(W.orderBy($"v")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)) - $"c")
+          .as("below"))
+      val n = scored.agg(count(lit(1)).as("__n"))
+      scored.join(broadcast(cum), $"n_tokens" === $"v")
+        .join(broadcast(n))
+        .select($"doc_id", $"n_tokens",
+          ((lit(2) * $"below" + $"c").cast("double") /
+            (lit(2) * $"__n").cast("double")).as("pct_rank"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-language corpus stats (count / char / token distributions).
     "q29_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -1022,6 +1049,23 @@ object DocumentQueries {
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            round(cos, 6) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // Same midrank arithmetic from the same integer histogram,
+    // compared unrounded.
+    "q133_percentile_rank" ->
+      """WITH sc AS (SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) n_tokens
+           FROM documents),
+         h AS (SELECT n_tokens v, CAST(count(*) AS BIGINT) c
+           FROM sc GROUP BY 1),
+         cum AS (SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) below FROM h),
+         n AS (SELECT CAST(count(*) AS BIGINT) n FROM sc)
+         SELECT sc.doc_id, sc.n_tokens,
+           CAST(2 * below + c AS DOUBLE) / CAST(2 * n.n AS DOUBLE)
+             AS pct_rank
+         FROM sc JOIN cum ON sc.n_tokens = cum.v, n
+         ORDER BY sc.doc_id""",
 
     // Same integer histogram sweep; ties handled identically by the
     // trapezoid (the (2·TP−p)·n form IS the tie-averaged rank-sum).
