@@ -344,6 +344,37 @@ object DocumentQueries {
         .orderBy($"doc_id")
     }),
 
+    // Cross-source shared-boilerplate matrix — the dedup PROVENANCE
+    // question ("which sources copy from each other") that q94 answers
+    // approximately from theta sketches, here answered EXACTLY at the
+    // 5-word-line level (q86's chunking — full-text dups never cross
+    // sources in this corpus, shared LINES do): distinct (line-hash,
+    // source) pairs, hash-keyed self-join (bucket-local — a hash
+    // shared by k sources contributes C(k,2) pairs, k bounded by the
+    // source count), one rollup. Jaccard denominator from the
+    // per-source distinct counts broadcast back; single exact-integer
+    // divisions, unrounded.
+    "q134_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val hs = documents(s, d)
+        .select($"source",
+          explode(graft.ext.LineDedup.lines($"text", 5)).as("line"))
+        .select(md5($"line").as("h"), $"source").distinct()
+      val sizes = hs.groupBy($"source").agg(count(lit(1)).as("c"))
+      val pairs = hs.select($"h", $"source".as("sa"))
+        .join(hs.select($"h", $"source".as("sb")), "h")
+        .filter($"sa" < $"sb")
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("n_shared"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      pairs
+        .join(broadcast(sizes.select($"source".as("sa"), $"c".as("ca"))), "sa")
+        .join(broadcast(sizes.select($"source".as("sb"), $"c".as("cb"))), "sb")
+        .select($"sa", $"sb", $"n_shared",
+          (d2($"n_shared") / (d2($"ca") + d2($"cb") - d2($"n_shared")))
+            .as("jaccard"))
+        .orderBy($"sa", $"sb")
+    }),
+
     // Per-language corpus stats (count / char / token distributions).
     "q29_text_stats" -> ((s, d) => {
       import s.implicits._
@@ -1049,6 +1080,30 @@ object DocumentQueries {
          SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
            round(cos, 6) AS cosine
          FROM r WHERE rnk <= 3 ORDER BY query_id, rank""",
+
+    // Same md5 identity, independent join route; identical single
+    // divisions, compared unrounded.
+    "q134_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') words
+           FROM documents),
+         c AS (SELECT source, words, unnest(generate_series(0,
+             CAST(ceil(len(words) / 5.0) AS BIGINT) - 1)) pos FROM w),
+         hs AS (SELECT DISTINCT
+             md5(array_to_string(words[pos*5+1 : pos*5+5], ' ')) h, source
+           FROM c),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) c
+           FROM hs GROUP BY source),
+         p AS (SELECT a.source sa, b.source sb,
+             CAST(count(*) AS BIGINT) n_shared
+           FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.sa, p.sb, n_shared,
+           CAST(n_shared AS DOUBLE)
+             / (CAST(za.c AS DOUBLE) + CAST(zb.c AS DOUBLE)
+               - CAST(n_shared AS DOUBLE)) AS jaccard
+         FROM p JOIN sz za ON p.sa = za.source
+           JOIN sz zb ON p.sb = zb.source
+         ORDER BY p.sa, p.sb""",
 
     // Same midrank arithmetic from the same integer histogram,
     // compared unrounded.
