@@ -651,6 +651,36 @@ object TimeSeriesQueries {
           percentile($"us_purchase", lit(0.5)).as("median_us_to_purchase"))
     }),
 
+    // Two-sided 10% trimmed mean per group — the robust location
+    // estimate between q114's mean and q98's median/MAD, computed with
+    // ZERO float rank arithmetic: values are exact 1e-2 fixed point
+    // (the data's precision), ranks come from the integer cumulative
+    // over the per-group VALUE HISTOGRAM (bounded distinct — never a
+    // per-group sort of raw rows), boundary ties keep exactly their
+    // partial multiplicity via integer clamps, and the final mean is
+    // one division of exact longs — bit-exact unrounded.
+    "q135_trimmed_mean" -> ((s, d) => {
+      import s.implicits._
+      val vq = floor($"value" * 100 + 0.5).cast("long")
+      val hist = events(s, d)
+        .select($"event_type", vq.as("v"))
+        .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"event_type").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum($"c").over(w))
+      val tot = hist.groupBy($"event_type").agg(sum($"c").as("__n"))
+      val k = ($"__n" / 10).cast("long") // floor(n/10) trimmed each side
+      val kept = greatest(
+        least($"cum", $"__n" - k) - greatest($"cum" - $"c", k), lit(0L))
+      cum.join(broadcast(tot), "event_type")
+        .select($"event_type", $"v", kept.as("kept"))
+        .groupBy($"event_type")
+        .agg(sum($"kept").as("n_kept"),
+          (sum($"v" * $"kept").cast("double") /
+            sum($"kept").cast("double") / 100).as("trimmed_mean"))
+        .orderBy($"event_type")
+    }),
+
     // Two-sample Kolmogorov–Smirnov drift statistic (binned form) —
     // the PSI sibling that asks "how far apart are the CDFs" instead
     // of "how surprised is each bin". 100 equi-width bins over the
@@ -1035,6 +1065,28 @@ object TimeSeriesQueries {
          SELECT event_type, wkd AS week, n, prev_n,
            round((n - prev_n) * 100.0 / prev_n, 6) AS wow_pct
          FROM l ORDER BY event_type, wkd""",
+
+    // Same fixed point, same integer rank clamps, same single exact
+    // division — compared unrounded.
+    "q135_trimmed_mean" ->
+      """WITH h AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) v,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         cum AS (SELECT event_type, v, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+               AS BIGINT) cum
+           FROM h),
+         t AS (SELECT event_type, CAST(sum(c) AS BIGINT) n
+           FROM h GROUP BY event_type),
+         kp AS (SELECT cum.event_type, v,
+             greatest(least(cum, t.n - t.n // 10)
+               - greatest(cum - c, t.n // 10), 0) kept
+           FROM cum JOIN t USING (event_type))
+         SELECT event_type, CAST(sum(kept) AS BIGINT) n_kept,
+           CAST(sum(v * kept) AS DOUBLE) / CAST(sum(kept) AS DOUBLE) / 100
+             AS trimmed_mean
+         FROM kp GROUP BY event_type ORDER BY event_type""",
 
     // q102's per-step CTE chain extended with integer-µs durations and
     // null-skipping quantile_cont medians.
