@@ -122,6 +122,47 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q135 trimmed mean equals the sort-based brute force") {
+    val got = q("q135_trimmed_mean")
+      .select($"event_type", $"n_kept", $"trimmed_mean")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val vs = rows.map(r => math.floor(r._4 * 100 + 0.5).toLong).sorted
+      val k = vs.size / 10
+      val trimmed = vs.slice(k, vs.size - k)
+      val want = trimmed.sum.toDouble / trimmed.size.toDouble / 100
+      val (gn, gm) = got(et)
+      assert(gn == trimmed.size, s"$et n_kept: $gn vs ${trimmed.size}")
+      assert(java.lang.Double.compare(gm, want) == 0,
+        s"$et: $gm vs $want") // bit-exact by design
+    }
+  }
+
+  test("q131 association rules equal a driver-side basket recomputation") {
+    val got = q("q131_assoc_rules")
+      .select($"a", $"b", $"cab", $"lift")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val baskets = rawEvents.groupBy(_._1).view
+      .mapValues(_.map(_._3).distinct.toSet).toMap
+    val nu = baskets.size.toLong
+    val marg = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairs = baskets.values.toSeq.flatMap { ts =>
+      val s = ts.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(pairs.nonEmpty && got.keySet == pairs.keySet)
+    pairs.foreach { case (p, cab) =>
+      val (gcab, glift) = got(p)
+      assert(gcab == cab, s"$p: $gcab vs $cab")
+      val want = cab.toDouble * nu.toDouble /
+        (marg(p._1).toDouble * marg(p._2).toDouble)
+      assert(java.lang.Double.compare(glift, want) == 0, s"lift $p")
+    }
+  }
+
   test("q107 retention equals a driver-side cohort recomputation") {
     val got = q("q107_cohort_retention")
       .select(unix_date($"cohort_week").as("cw"), $"week_offset", $"n_users")
