@@ -63,9 +63,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a non-default value turns any gate run into a partitioning-
+    // determinism check (same rows at any shuffle fan-out) without the
+    // separate DeterminismCheck entry point — unset = driver contract
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

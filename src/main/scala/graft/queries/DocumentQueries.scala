@@ -3048,7 +3048,9 @@ object DocumentQueries {
 
     // Multinomial NB retrained from scratch in SQL: same add-one
     // smoothing, same ln arithmetic on identical integer class counts;
-    // pred_positive compares the UNROUNDED log-odds on both sides.
+    // pred_positive thresholds the 6dp-ROUNDED log-odds on both sides
+    // (the raw float is a summation-order-dependent double — rounding
+    // first pins the boundary decision to the compared value).
     "q104_nb_quality" ->
       """WITH tok AS (
            SELECT doc_id, lang = 'en' AS pos,
@@ -3074,7 +3076,7 @@ object DocumentQueries {
            FROM tf JOIN model USING (term), tot, pr
            GROUP BY doc_id)
          SELECT doc_id, n_tokens, round(lo, 6) AS log_odds,
-           lo > 0 AS pred_positive
+           round(lo, 6) > 0 AS pred_positive
          FROM sc ORDER BY doc_id""",
 
     // Vocab = q62's df ranking truncated at 200 (same total tie order);

@@ -720,8 +720,14 @@ object TimeSeriesQueries {
         .agg(first($"__nb").as("n_base"), first($"__nc").as("n_current"),
           max(abs($"cumb" * $"__nc" - $"cumc" * $"__nb")).as("__num"))
         .select($"event_type", $"n_base", $"n_current",
-          ($"__num".cast("double") /
-            ($"n_base" * $"n_current").cast("double")).as("ks"))
+          // one-sided data (all rows before or after the cutoff) has no
+          // two-sample statistic: emit NULL explicitly — Spark's 0/0
+          // double is NaN while DuckDB's is NULL, so the degenerate
+          // case must be decided before the division on both sides
+          when($"n_base" === 0L || $"n_current" === 0L,
+            lit(null).cast("double"))
+            .otherwise($"__num".cast("double") /
+              ($"n_base" * $"n_current").cast("double")).as("ks"))
         .orderBy($"event_type")
     })
   )
@@ -1236,7 +1242,10 @@ object TimeSeriesQueries {
          FROM sl ORDER BY user_id""",
 
     // Same combined-range bins, same integer cross-product sup, same
-    // single exact-integer division — compared unrounded.
+    // single exact-integer division — compared unrounded. The nb=0 /
+    // nc=0 degenerate case (all data one side of the cutoff) is decided
+    // BEFORE the division on both sides: Spark's 0/0 double is NaN,
+    // DuckDB's is NULL, so an explicit NULL is the only portable value.
     "q125_ks_drift" ->
       """WITH ev AS (SELECT event_type, value,
              ts < TIMESTAMP '2024-01-15 00:00:00' AS is_base FROM events),
@@ -1262,8 +1271,9 @@ object TimeSeriesQueries {
              CAST(sum(cc) AS BIGINT) nc
            FROM c GROUP BY event_type)
          SELECT cum.event_type, t.nb AS n_base, t.nc AS n_current,
-           CAST(max(abs(cumb * t.nc - cumc * t.nb)) AS DOUBLE)
-             / CAST(t.nb * t.nc AS DOUBLE) AS ks
+           CASE WHEN t.nb = 0 OR t.nc = 0 THEN NULL
+             ELSE CAST(max(abs(cumb * t.nc - cumc * t.nb)) AS DOUBLE)
+               / CAST(t.nb * t.nc AS DOUBLE) END AS ks
          FROM cum JOIN t USING (event_type)
          GROUP BY cum.event_type, t.nb, t.nc
          ORDER BY cum.event_type""",

@@ -64,6 +64,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q125 emits NULL ks when all of a type's data is one side of the cutoff") {
+    // Spark's 0/0 double is NaN while DuckDB's is NULL — the query must
+    // decide the degenerate case BEFORE the division (explicit NULL) or
+    // the oracle gate fails on any dataset with a one-sided event_type.
+    val dir = java.nio.file.Files.createTempDirectory("q125degen").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", "only_base", 1.0),
+      (2L, "2024-01-02 00:00:00", "only_base", 2.0),
+      (3L, "2024-01-20 00:00:00", "only_current", 3.0),
+      (4L, "2024-01-01 00:00:00", "both", 1.0),
+      (5L, "2024-01-20 00:00:00", "both", 2.0))
+      .toDF("event_id", "tss", "event_type", "value")
+      .withColumn("ts", to_timestamp_ntz($"tss"))
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q125_ks_drift")(spark, dir)
+      .select($"event_type", $"ks").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("only_base").isEmpty, "nb-only type must be NULL, not NaN")
+    assert(out("only_current").isEmpty, "nc-only type must be NULL, not NaN")
+    assert(out("both").exists(v => !v.isNaN), "two-sided type stays numeric")
+  }
+
   test("q123 PSI equals a driver-side recomputation (1e-12)") {
     val got = q("q123_psi_drift")
       .select($"event_type", $"psi").as[(String, Double)].collect().toMap
