@@ -116,6 +116,70 @@ object Bench {
       } else names.map(name => summarize(name, (1 to iters).map(_ => runOnce(name))))
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wallT0) / 1e9
+
+    // ---- mechanical 2x-bound adjudication (round-16 verdict #3), see
+    // emitBaselineRatios below (called after the chunk/spread block so
+    // the OVER_2X line lands near the tail but before the headline)
+    def emitBaselineRatios(f2: Double => String, short: String => String,
+                           emit: String => Unit): Unit = {
+    // BASELINE_BENCH.json (committed at the repo root) holds per-query
+    // reference medians per methodology ("block" / "interleaved").
+    // Every run emits the per-query ratio vs the SAME-mode baseline on
+    // stderr and a loud OVER_2X summary line on stdout, so a q19-style
+    // mark is a one-line artifact diff instead of SCALE.md archaeology.
+    // Ratios only mean something within a methodology and at the
+    // baseline's sf — mismatches are reported as skipped, not compared.
+    try {
+      val bp = java.nio.file.Paths.get("BASELINE_BENCH.json")
+      if (java.nio.file.Files.exists(bp) && only.isEmpty) {
+        import org.json4s._
+        val jv = org.json4s.jackson.JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(bp),
+            java.nio.charset.StandardCharsets.UTF_8))
+        val mode = if (interleave) "interleaved" else "block"
+        val baseSf = (jv \ "sf") match { case JString(x) => x; case _ => "" }
+        val baseRound = (jv \ "recorded_round") match {
+          case JString(x) => x; case _ => "?" }
+        if (baseSf != sfDir)
+          System.err.println(
+            s"[bench] baseline sf=$baseSf != run sf=$sfDir — ratios skipped")
+        else {
+          val base: Map[String, Double] = (jv \ "queries") match {
+            case JObject(fields) => fields.collect {
+              case (q, qv) => (qv \ mode) match {
+                case JDouble(d) => Some(q -> d)
+                case JInt(i)    => Some(q -> i.toDouble)
+                case _          => None
+              }
+            }.flatten.toMap
+            case _ => Map.empty
+          }
+          val ratios = results.collect {
+            case (k, (med, _, _)) if med >= 0 && base.get(k).exists(_ > 0) =>
+              (k, med, base(k), med / base(k))
+          }
+          ratios.foreach { case (k, med, b, r) =>
+            System.err.println(s"""[bench] {"metric":"ratio","q":"$k","median":${f(med)},"baseline":${f(b)},"ratio":${f2(r)}}""")
+          }
+          val newQs = results.map(_._1).filterNot(base.contains)
+          if (newQs.nonEmpty)
+            System.err.println(s"[bench] ${newQs.size} queries have no " +
+              s"baseline entry (new since $baseRound): ${newQs.mkString(",")}")
+          if (ratios.nonEmpty) {
+            val rs = ratios.map(_._4).sorted
+            val medianRatio = rs(rs.length / 2)
+            val over = ratios.filter(_._4 > 2.0).sortBy(-_._4)
+            val overStr = over.map { case (k, med, b, r) =>
+              "\"" + short(k) + ":" + f2(r) + "(" + f2(med) + "/" + f2(b) + ")\""
+            }.mkString("[", ",", "]")
+            val worst = ratios.maxBy(_._4)
+            emit(s"""{"metric":"baseline_ratio","mode":"$mode","baseline_round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"${short(worst._1)}:${f2(worst._4)}","OVER_2X":$overStr}""")
+          }
+        }
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] baseline comparison failed: $t")
+    } }
     val loadAfter = loadavg()
     val telemetry =
       s""""loadavg_before":[$loadBefore],"loadavg_after":[$loadAfter],"wall_sec":${f(wallSec)}"""
@@ -153,6 +217,7 @@ object Bench {
       }.mkString("{", ",", "}")
       emit(s"""{"metric":"spread","i":${i + 1},"of":${spreadChunks.length},"queries":$qs}""")
     }
+    emitBaselineRatios(f2, short, emit)
     // Per-query spreads folded INTO the headline (round-14 verdict #7:
     // the separate spread lines only survive the 2000-char tail window
     // for the trailing chunk). Flat [min,max] centisecond pairs in

@@ -602,4 +602,48 @@ class PlanInvariantsSpec extends SparkSpec {
     // grouped frame, i.e. downstream of a HashAggregate)
     assert(countOf(p, "Window") <= 2, p) // WindowExec (+ its sort node)
   }
+
+  test("pack-wide: every unpartitioned window runs over a collapsed frame") {
+    // The bounded-global-window pattern (round-16 verdict nit #1): an
+    // unpartitioned WindowExec IS a single-partition sort of its input,
+    // so it is only legal when that input has already collapsed to a
+    // bounded frame — an Aggregate (the value histograms of q108 / q127 /
+    // q133, bounded by distinct values, not corpus rows) or an explicit
+    // Limit. Nothing pinned that structurally until now: a refactor
+    // lifting the window ABOVE its aggregate would keep the answer and
+    // silently become a corpus-wide single-partition sort. Sweep EVERY
+    // query's physical plan so any such refactor — in these three or any
+    // future query — reds out by name.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    var sawBounded = List.empty[String]
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val exec = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      val root: SparkPlan = exec match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val globals = root.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      val bad = globals.filter(_.child.collect {
+        case a: BaseAggregateExec => a
+        case l: GlobalLimitExec   => l
+      }.isEmpty)
+      if (globals.nonEmpty && bad.isEmpty) sawBounded ::= name
+      Caching.release(); spark.catalog.clearCache()
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global window over an uncollapsed (corpus-sized) input in: $offenders")
+    // the pattern's known users must actually exercise the assertion —
+    // if a refactor removed their windows entirely this test would pass
+    // vacuously, so pin the census too
+    Seq("q108_curriculum_buckets", "q127_auc", "q133_percentile_rank")
+      .foreach(q => assert(sawBounded.contains(q),
+        s"$q no longer uses the bounded-global-window pattern; update this census"))
+  }
 }

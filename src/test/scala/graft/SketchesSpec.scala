@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   *   4. the estimate tracks EXACT distinct within the published HLL
   *      error (lgK=12 → RSE ≈ 1.6 %; we allow 3σ ≈ 5 %);
   *   5. sketch rows are small (the "bytes, not data" premise).
+  *
+  * Everything above checks the estimator against ITS OWN declared
+  * bands and this library's exact recomputation. The independent
+  * third route — the same shingle streams fed to DuckDB's OWN HLL and
+  * exact SQL, with the estimation regimes FORCED (HLL lgK=7, theta
+  * lgK=9, both well below the stream cardinality) — is
+  * `graft.tools.SketchDump` + `tools/sketch_check.py` (885 band checks
+  * green at sf0.01, recorded in SCALE.md round 17): a consistently
+  * mis-parameterized estimator that stayed inside a self-declared band
+  * here would be caught there by an implementation that doesn't share
+  * its code.
   */
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
