@@ -886,8 +886,14 @@ object DocumentQueries {
     * driver's sf0.01 gate, mirrored into the oracle as literals —
     * regenerate with `runMain graft.tools.PrintQ50Centroids` when the
     * embeddings testdata changes. Quantization makes the fit
-    * reproducible; %.6f round-trips the quantized doubles exactly. */
+    * reproducible; %.6f round-trips the quantized doubles exactly.
+    * For a gate run at ANOTHER scale factor, export the
+    * `SPARK_GRAFT_Q50_CENTROIDS` env var with PrintQ50Centroids'
+    * output for that dir — the env override exists so cross-SF gate
+    * runs need no source edit (the Spark side always fits on the dir
+    * it is given; only this oracle literal is sf-pinned). */
   private[graft] val q50CentroidValuesSql: String =
+    sys.env.get("SPARK_GRAFT_Q50_CENTROIDS").getOrElse(
     """(0, [0.026919, 0.023583, -0.026040, 0.013125, 0.007765, 0.034475, -0.005857, -0.018557, -0.042534, -0.005706, 0.034256, 0.041626, 0.067945, -0.031150, -0.016656, -0.016242, -0.011908, 0.018694, -0.000286, -0.028998, 0.012372, 0.004532, -0.056999, -0.032966, 0.041478, 0.087065, 0.000392, 0.010875, 0.009422, 0.047276, -0.019215, -0.021218, 0.038442, -0.010318, -0.056064, 0.017650, -0.042626, -0.030350, 0.043160, -0.073362, 0.013660, -0.050419, -0.033889, -0.037616, -0.017243, 0.016780, -0.036682, 0.011211, -0.020065, -0.060041, 0.004510, -0.015216, -0.021088, 0.020355, -0.003889, -0.035501, 0.031801, 0.007223, 0.032550, -0.014109, 0.034730, -0.002567, -0.050065, -0.019967]),
     (1, [-0.025604, 0.005025, -0.013347, 0.015232, -0.014827, 0.030279, 0.011607, 0.080509, -0.025552, -0.016733, -0.003788, -0.040640, -0.021650, -0.009147, -0.039131, 0.001731, -0.007932, -0.051291, -0.031217, 0.039427, -0.055768, -0.014658, -0.000194, -0.004928, -0.008315, 0.012377, -0.017533, 0.021085, 0.003617, -0.045410, 0.040595, 0.005432, 0.031513, 0.001650, 0.055692, 0.041113, -0.021179, 0.034325, -0.027497, 0.078730, -0.051124, -0.004037, -0.037109, -0.008472, -0.052587, -0.000169, -0.063428, 0.028107, -0.004889, 0.027530, 0.037661, -0.027301, 0.001001, 0.002582, 0.032189, -0.044547, 0.022031, 0.012181, 0.021243, -0.044855, -0.038902, -0.009967, 0.004143, -0.038053]),
     (2, [0.022299, -0.006990, 0.051517, 0.018759, 0.016202, 0.066299, -0.016818, -0.009962, 0.015207, 0.043527, 0.026688, 0.080539, -0.026821, -0.002237, 0.000327, 0.018355, 0.034634, 0.013053, -0.021696, -0.023199, -0.031499, -0.002973, 0.015173, -0.017820, 0.006999, -0.017220, 0.001190, 0.009984, 0.043987, -0.029695, 0.064680, -0.037368, -0.016024, -0.038717, -0.017451, 0.008069, -0.013409, -0.036273, 0.002370, -0.002476, 0.006651, -0.001137, 0.027636, 0.003932, -0.019155, -0.041476, -0.009720, 0.070245, -0.000464, 0.030485, -0.006478, 0.014812, 0.048208, -0.021678, 0.041138, 0.057123, -0.030683, 0.008291, -0.051620, -0.070153, -0.006588, -0.014453, -0.016813, -0.020120]),
@@ -895,7 +901,7 @@ object DocumentQueries {
     (4, [0.007450, 0.057999, -0.031065, -0.020740, 0.018291, 0.010354, -0.015175, -0.023269, 0.023395, -0.071814, -0.019777, -0.032852, -0.013799, 0.037761, -0.000129, 0.003183, 0.045872, 0.015474, 0.000530, -0.018801, 0.047028, -0.002025, 0.081625, -0.075615, 0.017126, -0.022238, 0.005963, -0.002787, -0.073972, -0.015967, -0.030488, -0.005421, -0.033897, -0.020744, -0.014318, -0.018681, 0.041629, 0.035638, 0.023202, -0.026575, 0.013711, 0.035783, -0.023941, -0.022022, 0.006436, 0.020534, 0.014146, -0.011656, -0.017994, -0.019530, -0.034018, -0.037744, -0.008424, 0.001993, 0.063565, -0.050406, -0.010484, -0.006739, -0.027659, 0.014742, -0.006328, -0.014537, 0.090187, -0.022297]),
     (5, [-0.051427, -0.090644, 0.014187, 0.000195, 0.049363, -0.001439, -0.065833, 0.011263, 0.015699, 0.015390, -0.032386, 0.001577, -0.005790, -0.054181, 0.020774, -0.001967, 0.001416, -0.018492, 0.018586, 0.004633, 0.034027, 0.003726, 0.024030, -0.049006, -0.040884, 0.072803, 0.034653, -0.021652, -0.001141, -0.042336, 0.014839, 0.041086, 0.032717, -0.004293, 0.056271, -0.083318, -0.013167, -0.012651, 0.035344, -0.011166, 0.003185, -0.014508, 0.004069, 0.006339, 0.013965, 0.028247, 0.014950, 0.005660, -0.008377, -0.019417, -0.039585, 0.056280, -0.003774, -0.004832, -0.055051, -0.019063, 0.034871, 0.010503, 0.039110, 0.029146, -0.052404, 0.077971, -0.017972, -0.071240]),
     (6, [0.008187, -0.033210, 0.019814, 0.000308, -0.003337, -0.054777, -0.023259, 0.058058, -0.008273, 0.025420, -0.031213, -0.018376, -0.006949, -0.001665, 0.026632, 0.025051, 0.005042, -0.024635, 0.021724, 0.017688, -0.038668, -0.027626, -0.021339, 0.022954, 0.007557, 0.002851, -0.034309, 0.049984, 0.026774, 0.021475, 0.032622, 0.033567, -0.008123, 0.015697, -0.000177, 0.037323, 0.005636, 0.007731, -0.076439, -0.022080, 0.034527, -0.001878, 0.026809, 0.061390, -0.043634, 0.011366, 0.036254, -0.041295, -0.044752, 0.016166, 0.010096, 0.008650, 0.041552, -0.007147, -0.012144, -0.018995, 0.029357, -0.044714, -0.062519, -0.005673, 0.002673, 0.020930, -0.022596, 0.021614]),
-    (7, [0.002790, -0.000167, 0.017315, -0.068486, -0.040222, -0.044908, -0.018069, -0.059967, 0.017028, -0.029652, 0.003751, -0.016405, 0.030683, 0.047327, -0.022553, -0.005837, -0.051789, 0.082447, -0.003234, 0.037802, 0.006805, 0.091702, 0.016298, 0.010488, -0.011484, -0.009065, -0.011988, -0.037151, -0.020361, 0.028150, -0.039192, -0.031581, 0.006674, -0.012525, 0.005149, 0.012917, 0.006609, -0.069411, -0.003606, -0.000174, 0.068392, -0.048126, 0.049663, -0.039734, 0.010036, 0.045453, -0.002619, -0.004164, 0.026886, 0.003222, 0.022516, -0.022324, 0.060816, -0.021907, -0.018508, 0.036145, -0.032336, -0.056049, 0.050067, -0.010587, -0.006597, 0.031928, 0.029629, -0.031302])"""
+    (7, [0.002790, -0.000167, 0.017315, -0.068486, -0.040222, -0.044908, -0.018069, -0.059967, 0.017028, -0.029652, 0.003751, -0.016405, 0.030683, 0.047327, -0.022553, -0.005837, -0.051789, 0.082447, -0.003234, 0.037802, 0.006805, 0.091702, 0.016298, 0.010488, -0.011484, -0.009065, -0.011988, -0.037151, -0.020361, 0.028150, -0.039192, -0.031581, 0.006674, -0.012525, 0.005149, 0.012917, 0.006609, -0.069411, -0.003606, -0.000174, 0.068392, -0.048126, 0.049663, -0.039734, 0.010036, 0.045453, -0.002619, -0.004164, 0.026886, 0.003222, 0.022516, -0.022324, 0.060816, -0.021907, -0.018508, 0.036145, -0.032336, -0.056049, 0.050067, -0.010587, -0.006597, 0.031928, 0.029629, -0.031302])""")
 
   /** The q53 duplicate-cluster assignment as a reusable CTE chain
     * (shingles → minhash bands → candidates → verified pairs →
