@@ -96,6 +96,19 @@ object LayoutInvarianceCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     buildLayout(spark, sfDir, out)
+    // the gate is only evidence if the rebuild actually perturbed the
+    // layout — a silently-flat copy would pass every diff vacuously
+    def files(p: String)(f: java.io.File => Boolean): Int =
+      Option(new java.io.File(p).listFiles()).map(_.count(f)).getOrElse(0)
+    val dateDirs = files(s"$out/events.parquet")(
+      d => d.isDirectory && d.getName.startsWith("event_date="))
+    require(dateDirs > 2, s"events fixture has $dateDirs date partitions")
+    val docFiles = files(s"$out/documents.parquet")(
+      f => f.isFile && f.getName.endsWith(".parquet"))
+    require(docFiles > 1, s"documents fixture has $docFiles bucket files")
+    val embFiles = files(s"$out/embeddings.parquet")(
+      f => f.isFile && f.getName.endsWith(".parquet"))
+    require(embFiles > 1, s"embeddings fixture has $embFiles files")
 
     val only = sys.env.get("SPARK_GRAFT_LAYOUT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
