@@ -29,7 +29,12 @@ object RelationalQueries {
         .groupBy($"r_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          round(sum($"c_acctbal"), 2).as("total_acctbal"))
+          // acctbal is exact cents: sum INTEGER cents, divide once —
+          // a double sum's order-dependent half-boundary flipped q04's
+          // last digit under the sf0.1 layout gate (SCALE.md r17), and
+          // every monetary sum in this file now uses the exact form
+          round(sum(round($"c_acctbal" * 100).cast("long"))
+            .cast("double") / 100, 2).as("total_acctbal"))
         .orderBy($"r_name")
     }),
 
@@ -38,14 +43,27 @@ object RelationalQueries {
     // (UnifiedNILM.py:438-490).
     "q04_group_agg" -> ((s, d) => {
       import s.implicits._
+      // Layout-gate catch (SCALE.md r17): at sf0.1 the double sum under
+      // sum_disc_price lands on a 2dp rounding half-boundary, so the
+      // summation ORDER — which input layout and partitioning change —
+      // flipped the rounded last digit (…231.62 vs …231.63). The
+      // q124/q125 fixed-point discipline applies: prices are exact
+      // CENTS and discounts exact HUNDREDTHS in this data, so sum
+      // integers (cents, cent·(100−disc) ten-thousandths) and divide
+      // exactly once at the end. l_quantity is integer-valued, so its
+      // double sum is already exact (< 2^53) and order-independent.
+      val cents = round($"l_extendedprice" * 100).cast("long")
+      val discH = round($"l_discount" * 100).cast("long")
       lineitem(s, d)
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
-          round(avg($"l_discount"), 6).as("avg_disc"),
+          round(sum(cents).cast("double") / 100, 2).as("sum_base_price"),
+          round(sum(cents * (lit(100L) - discH)).cast("double") / 10000, 2)
+            .as("sum_disc_price"),
+          round(sum(discH).cast("double") / (count(lit(1)) * 100), 6)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -127,7 +145,9 @@ object RelationalQueries {
         .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
         .rollup($"r_name", $"n_name")
-        .agg(round(sum($"c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n"))
+        .agg(round(sum(round($"c_acctbal" * 100).cast("long"))
+            .cast("double") / 100, 2).as("total_bal"),
+          count(lit(1)).as("n"))
         .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
     }),
 
@@ -162,7 +182,9 @@ object RelationalQueries {
         .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
         .filter($"r_name" === "AFRICA")
         .groupBy($"n_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .agg(round(sum(round($"l_extendedprice" * 100).cast("long") *
+              (lit(100L) - round($"l_discount" * 100).cast("long")))
+            .cast("double") / 10000, 2).as("revenue"))
         .orderBy($"n_name")
     }),
 
@@ -275,21 +297,31 @@ object RelationalQueries {
     "q03_dim_join" ->
       """SELECT r_name,
          CAST(count(*) AS BIGINT) AS n_customers,
-         round(sum(c_acctbal), 2) AS total_acctbal
+         round(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100, 2) AS total_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
 
+    // Same exact-integer (cents / hundredths) fixed-point forms as the
+    // Spark side — see the q04 engine comment (layout-gate catch)
     "q04_group_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH l AS (
+           SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_h
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+         SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS sum_base_price,
+         round(CAST(sum(cents * (100 - disc_h)) AS DOUBLE) / 10000, 2)
+           AS sum_disc_price,
+         round(CAST(sum(disc_h) AS DOUBLE) / (count(*) * 100), 6)
+           AS avg_disc,
          CAST(count(*) AS BIGINT) AS count_order
-         FROM lineitem
-         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         FROM l
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
 
@@ -332,7 +364,8 @@ object RelationalQueries {
 
     "q15_rollup" ->
       """SELECT r_name, n_name,
-         round(sum(c_acctbal), 2) AS total_bal,
+         round(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+           / 100, 2) AS total_bal,
          CAST(count(*) AS BIGINT) AS n
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
@@ -348,7 +381,9 @@ object RelationalQueries {
 
     "q17_join_chain" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+           / 10000, 2) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
