@@ -149,18 +149,27 @@ object NilmQueries {
         .agg((unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("span_us"))
         .select($"user_id",
           round(expr("span_us div 1000000") / lit(3600.0), 4).as("span_hours"))
+      // "hourly mean > 5.0" decided in INTEGER cents (sum_c > 500·n):
+      // the float avg is order-dependent and a bucket whose true mean
+      // is exactly 5.00 (possible on the hundredths grid) would let
+      // summation order pick the side — the q04 layout-gate class
       val hourly = ev
         .groupBy($"user_id", date_trunc("hour", $"ts").as("h"))
-        .agg(avg($"value").as("m"))
+        .agg(sum(round($"value" * 100).cast("long")).as("mc"),
+          count($"value").as("nc"))
         .groupBy($"user_id")
-        .agg(sum(when($"m" > 5.0, 1L).otherwise(0L)).as("active_hours"))
+        .agg(sum(when($"mc" > lit(500L) * $"nc", 1L).otherwise(0L))
+          .as("active_hours"))
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val deltas = ev
         .withColumn("d", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
         .filter($"d" > 0)
         .groupBy($"user_id")
         .agg(countDistinct($"d").as("distinct_intervals"),
-          round(avg($"d") / 1e6, 4).as("mean_interval_s"),
+          // exact long sum, one division (avg(long) sums in double —
+          // order-dependent at corpus scale)
+          round(sum($"d").cast("double") / (count($"d") * 1e6), 4)
+            .as("mean_interval_s"),
           // P13 interval cap (visualize_sampling_rate.ipynb): intervals
           // within 10 minutes only
           count(when($"d" <= 600e6, 1)).as("n_capped_intervals"))
@@ -174,12 +183,16 @@ object NilmQueries {
     // threshold since every event value is positive).
     "q47_active_devices" -> ((s, d) => {
       import s.implicits._
+      // daily sums and the 40000.0 threshold in INTEGER cents: a true
+      // daily total of exactly 40000.00 (reachable on the hundredths
+      // grid) would otherwise let float summation order decide the
+      // "active" count — the q04 layout-gate class
       events(s, d)
         .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
-        .agg(sum($"value").as("daily"))
+        .agg(sum(round($"value" * 100).cast("long")).as("daily_c"))
         .groupBy($"day")
-        .agg(count(when($"daily" > 40000.0, 1)).as("active_devices"),
-          round(sum($"daily"), 4).as("total_power"))
+        .agg(count(when($"daily_c" > 4000000L, 1)).as("active_devices"),
+          round(sum($"daily_c").cast("double") / 100, 4).as("total_power"))
         .orderBy($"day")
     }),
 
@@ -192,7 +205,10 @@ object NilmQueries {
         .filter($"value" > 100)
         .groupBy($"user_id")
         .pivot("event_type")
-        .agg(round(avg($"value"), 4))
+        // exact-integer mean per pivot cell (cents summed, one
+        // division) — same order-independence rewrite as q01
+        .agg(round(sum(round($"value" * 100).cast("long")).cast("double") /
+          (count($"value") * 100), 4))
         .na.fill(0.0)
         .orderBy($"user_id")
     }),
@@ -583,13 +599,17 @@ object NilmQueries {
            round(((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000) / 3600.0, 4)
              AS span_hours FROM events GROUP BY 1),
          hourly AS (SELECT user_id,
-           CAST(sum(CASE WHEN m > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN mc > 500 * nc THEN 1 ELSE 0 END) AS BIGINT)
              AS active_hours
-           FROM (SELECT user_id, date_trunc('hour', ts) h, avg(value) m
+           FROM (SELECT user_id, date_trunc('hour', ts) h,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                     AS BIGINT) mc,
+                   count(value) nc
                  FROM events GROUP BY 1, 2) GROUP BY 1),
          dl AS (SELECT user_id,
            CAST(count(DISTINCT d) AS BIGINT) AS distinct_intervals,
-           round(avg(d) / 1e6, 4) AS mean_interval_s,
+           round(CAST(sum(d) AS DOUBLE) / (count(d) * 1e6), 4)
+             AS mean_interval_s,
            CAST(count(*) FILTER (WHERE d <= 600000000) AS BIGINT)
              AS n_capped_intervals
            FROM (SELECT user_id, epoch_us(ts)
@@ -651,20 +671,26 @@ object NilmQueries {
 
     "q47_active_devices" ->
       """SELECT date_trunc('day', ts) AS day,
-         CAST(count(*) FILTER (WHERE daily > 40000.0) AS BIGINT)
+         CAST(count(*) FILTER (WHERE daily_c > 4000000) AS BIGINT)
            AS active_devices,
-         round(sum(daily), 4) AS total_power
+         round(CAST(sum(daily_c) AS DOUBLE) / 100, 4) AS total_power
          FROM (SELECT date_trunc('day', ts) ts, event_type,
-               sum(value) AS daily FROM events GROUP BY 1, 2)
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS daily_c FROM events GROUP BY 1, 2)
          GROUP BY 1 ORDER BY day""",
 
     "q40_pivot_fill" ->
       """SELECT user_id,
-         coalesce(round(avg(value) FILTER (WHERE event_type = 'click'), 4), 0) AS click,
-         coalesce(round(avg(value) FILTER (WHERE event_type = 'error'), 4), 0) AS error,
-         coalesce(round(avg(value) FILTER (WHERE event_type = 'purchase'), 4), 0) AS purchase,
-         coalesce(round(avg(value) FILTER (WHERE event_type = 'signup'), 4), 0) AS signup,
-         coalesce(round(avg(value) FILTER (WHERE event_type = 'view'), 4), 0) AS "view"
+         coalesce(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'click') AS DOUBLE)
+           / (count(value) FILTER (WHERE event_type = 'click') * 100), 4), 0) AS click,
+         coalesce(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'error') AS DOUBLE)
+           / (count(value) FILTER (WHERE event_type = 'error') * 100), 4), 0) AS error,
+         coalesce(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+           / (count(value) FILTER (WHERE event_type = 'purchase') * 100), 4), 0) AS purchase,
+         coalesce(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'signup') AS DOUBLE)
+           / (count(value) FILTER (WHERE event_type = 'signup') * 100), 4), 0) AS signup,
+         coalesce(round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) FILTER (WHERE event_type = 'view') AS DOUBLE)
+           / (count(value) FILTER (WHERE event_type = 'view') * 100), 4), 0) AS "view"
          FROM events WHERE value > 100 GROUP BY user_id ORDER BY user_id""",
 
     "q41_json_props" ->

@@ -20,8 +20,15 @@ object TimeSeriesQueries {
     // (UnifiedNILM.py:66-124) → epoch-aligned left-closed buckets.
     "q01_resample_avg" -> ((s, d) => {
       import s.implicits._
+      // value is exact hundredths in this data (q04's layout-gate
+      // lesson, applied to the whole rounded-avg class): a float avg is
+      // a summation-order-dependent double whose 6dp rounding can tie;
+      // summing integer cents and dividing ONCE is bit-exact at any
+      // partitioning/layout. Oracle mirrors the same arithmetic.
       Resample.bucketAgg(events(s, d), "ts", "1 hour",
-          Seq("user_id"), round(avg($"value"), 6).as("avg_value"))
+          Seq("user_id"),
+          round(sum(round($"value" * 100).cast("long")).cast("double") /
+            (count($"value") * 100), 6).as("avg_value"))
         .orderBy($"user_id", $"bucket_start")
     }),
 
@@ -267,7 +274,11 @@ object TimeSeriesQueries {
       val hourly = events(s, d)
         .filter($"event_type" === "click" && $"user_id" < 50)
         .groupBy($"user_id", date_trunc("hour", $"ts").as("ts"))
-        .agg(round(avg($"value"), 6).as("value"))
+        // exact-integer bucket mean (cents summed, ONE division): both
+        // order-independent and the same bits in both engines — the
+        // stronger form of the 6dp snap the comment above motivates
+        .agg(round(sum(round($"value" * 100).cast("long")).cast("double") /
+          (count($"value") * 100), 6).as("value"))
       graft.operators.GapFill.interpolate(hourly,
           Seq("user_id"), "ts", "value", 3600L)
         .orderBy($"user_id", $"ts")
@@ -735,7 +746,8 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "q01_resample_avg" ->
       """SELECT user_id, date_trunc('hour', ts) AS bucket_start,
-         round(avg(value), 6) AS avg_value
+         round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+           / (count(value) * 100), 6) AS avg_value
          FROM events GROUP BY user_id, bucket_start
          ORDER BY user_id, bucket_start""",
 
@@ -924,7 +936,8 @@ object TimeSeriesQueries {
     // last/first(ignoreNulls).
     "q101_gap_fill" ->
       """WITH obs AS (SELECT user_id, date_trunc('hour', ts) h,
-           round(avg(value), 6) v
+           round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(value) * 100), 6) v
            FROM events WHERE event_type = 'click' AND user_id < 50
            GROUP BY 1, 2),
          span AS (SELECT user_id, min(h) mn, max(h) mx FROM obs
