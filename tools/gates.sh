@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Full engine-side gate battery (round-17): oracle compare, shuffle-
+# partition determinism, input-layout invariance, and the independent
+# sketch cross-check, at one scale factor.
+#
+# Usage: tools/gates.sh [sfDir]          (default /root/testdata/sf0.01)
+# For non-sf0.01 dirs the q50 oracle centroids are refit automatically
+# via the SPARK_GRAFT_Q50_CENTROIDS override.
+# Exits nonzero on the first failing gate.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF="${1:-/root/testdata/sf0.01}"
+OUT="$(mktemp -d /tmp/graft_gates.XXXXXX)"
+
+if [ "$SF" != "/root/testdata/sf0.01" ]; then
+  echo "[gates] refitting q50 centroids for $SF"
+  SPARK_GRAFT_Q50_CENTROIDS="$(sbt -batch "runMain graft.tools.PrintQ50Centroids $SF" 2>/dev/null |
+    awk '/CENTROIDS_BEGIN/{flag=1;next}/CENTROIDS_END/{flag=0}flag')"
+  export SPARK_GRAFT_Q50_CENTROIDS
+fi
+
+echo "[gates] 1/4 oracle gate at $SF"
+sbt -batch "runMain graft.Verify $SF $OUT/verify" > "$OUT/verify.log" 2>&1 ||
+  { tail -20 "$OUT/verify.log"; exit 1; }
+python3 tools/compare.py "$SF" "$OUT/verify" | tail -1
+
+echo "[gates] 2/4 partitioning determinism"
+sbt -batch "runMain graft.DeterminismCheck $SF" > "$OUT/det.log" 2>&1 ||
+  { grep FAIL "$OUT/det.log" | head; exit 1; }
+grep '"metric":"determinism"' "$OUT/det.log"
+
+echo "[gates] 3/4 layout invariance"
+sbt -batch "runMain graft.LayoutInvarianceCheck $SF" > "$OUT/layout.log" 2>&1 ||
+  { grep FAIL "$OUT/layout.log" | head; exit 1; }
+grep '"metric":"layout_invariance"' "$OUT/layout.log"
+
+echo "[gates] 4/4 sketch cross-check"
+sbt -batch "runMain graft.tools.SketchDump $SF $OUT/sketch" > "$OUT/sketch.log" 2>&1
+python3 tools/sketch_check.py "$SF" "$OUT/sketch"
+
+echo "[gates] ALL GREEN at $SF"
