@@ -2456,6 +2456,43 @@ object DocumentQueries {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
             salt = "q122").as("split"))
         .orderBy($"doc_id")
+    }),
+
+    // Gini concentration of token mass per source — the corpus-balance
+    // diagnostic ("is this source a few giant documents or many even
+    // ones?") a mixture designer reads next to q72's interleave and
+    // q91's domain stats. Computed from the per-source token-LENGTH
+    // HISTOGRAM, never a per-source sort of raw docs: a run of m docs
+    // sharing length t contributes t·(m·prev + m(m+1)/2) to the
+    // rank-weighted sum (tie order provably cancels), so the window
+    // runs over ≤ distinct-lengths×sources rows. All rank/mass
+    // arithmetic is integer; the single final division of exact longs
+    // makes the 6dp value bit-exact at any partitioning/layout. At
+    // corpus sizes where t·n² nears 2⁶³ the numerator moves to
+    // decimal128.
+    "q137_gini_tokens" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = documents(s, d)
+        .select($"source", TextStats.bpeishTokenCount($"text").as("t"))
+        .groupBy($"source", $"t").agg(count(lit(1)).as("m"))
+      val w = W.partitionBy($"source").orderBy($"t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val contrib = $"t" * ($"m" * ($"cumm" - $"m") +
+        expr("m * (m + 1) DIV 2"))
+      hist.withColumn("cumm", sum($"m").over(w))
+        .groupBy($"source")
+        .agg(sum($"m").as("n_docs"),
+          sum($"t" * $"m").as("total_tokens"),
+          sum(contrib).as("__s1"))
+        .select($"source", $"n_docs", $"total_tokens",
+          when($"total_tokens" === 0L, lit(null).cast("double"))
+            .otherwise(round(
+              (lit(2) * $"__s1" - ($"n_docs" + 1) * $"total_tokens")
+                .cast("double") /
+                ($"n_docs" * $"total_tokens").cast("double"), 6))
+            .as("gini"))
+        .orderBy($"source")
     })
   )
 
@@ -3266,6 +3303,28 @@ object DocumentQueries {
                   CAST(cluster_rep AS VARCHAR)), 1, 4)) AS BIGINT) < 58982
                 THEN 'val'
                 ELSE 'test' END AS split
-         FROM clus ORDER BY doc_id"""
+         FROM clus ORDER BY doc_id""",
+
+    // independent formulation: explicit row_number ranks over raw docs
+    // (the engine side uses the collapsed length histogram; with equal
+    // values the rank-weighted sum is tie-order invariant, so the two
+    // agree exactly)
+    "q137_gini_tokens" ->
+      """WITH toks AS (SELECT source,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))
+               AS BIGINT) t
+           FROM documents),
+         r AS (SELECT source, t,
+             row_number() OVER (PARTITION BY source ORDER BY t) i
+           FROM toks),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+             CAST(sum(t) AS BIGINT) total_tokens,
+             CAST(sum(i * t) AS BIGINT) s1
+           FROM r GROUP BY source)
+         SELECT source, n_docs, total_tokens,
+           CASE WHEN total_tokens = 0 THEN NULL
+             ELSE round(CAST(2 * s1 - (n_docs + 1) * total_tokens AS DOUBLE)
+               / CAST(n_docs * total_tokens AS DOUBLE), 6) END AS gini
+         FROM g ORDER BY source"""
   )
 }

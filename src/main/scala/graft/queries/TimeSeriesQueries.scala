@@ -740,6 +740,77 @@ object TimeSeriesQueries {
             .otherwise($"__num".cast("double") /
               ($"n_base" * $"n_current").cast("double")).as("ks"))
         .orderBy($"event_type")
+    }),
+
+    // HITS-style hub centrality on the user↔event_type bipartite
+    // graph — the link-analysis op a web-crawl curation pipeline runs
+    // to score sources, done WITHOUT ever materializing the user×user
+    // co-occurrence graph (two power-iteration hops stay on the
+    // |users|·|types|-bounded edge list). All arithmetic is integer
+    // (counts × integer scores, one DIV-1000 rescale between hops to
+    // bound magnitudes), so the scores are bit-exact at any
+    // partitioning/layout — no float-summation order anywhere. Plan
+    // shape: raw events shuffle ONCE (repartition by user_id feeds the
+    // (u,t) rollup into the cache); everything after moves only the
+    // COLLAPSED edge list (≤ |users|·|types| rows — the per-user hub
+    // windows re-cluster the cached frame because AQE-cached plans
+    // report unknown partitioning at planning time) or the |types|-row
+    // authority frames, which join back broadcast.
+    // At 2⁶³-risk corpus sizes the same query runs on decimal128 or
+    // adds a DIV rescale per hop.
+    "q136_hits_centrality" -> ((s, d) => {
+      import s.implicits._
+      val w = graft.Caching.persisted(
+        events(s, d)
+          .select($"user_id", $"event_type")
+          .repartition($"user_id")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("c")))
+      val a0 = w.groupBy($"event_type").agg(sum($"c").as("s0"))
+      val wu = Window.partitionBy($"user_id")
+      val scored = w.join(broadcast(a0), "event_type")
+        .withColumn("hub1", sum($"c" * $"s0").over(wu))
+      val a1 = scored.groupBy($"event_type")
+        .agg(expr("sum(c * hub1) DIV 1000").as("s1"))
+      scored.join(broadcast(a1), "event_type")
+        .withColumn("hub2", sum($"c" * $"s1").over(wu))
+        .groupBy($"user_id")
+        .agg(max($"hub1").as("hub1"), max($"hub2").as("hub2"))
+        .orderBy($"hub2".desc, $"hub1".desc, $"user_id")
+        .limit(20)
+    }),
+
+    // Integer-exact CUSUM change-point per event_type: the day k that
+    // maximizes |n·P_k − k·S| over the daily-count series (P_k prefix
+    // count, S total, n days) — the scaled form of "where does the
+    // cumulative sum depart furthest from the uniform-rate line",
+    // detected entirely in integers (no mean, no float CUSUM), so the
+    // winner and its deviation are bit-exact and order-independent.
+    // Ties break to the earliest day. Both windows run over the
+    // daily-collapsed frame (≤ days×types rows), never raw events.
+    "q138_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type",
+          date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wd = Window.partitionBy($"event_type").orderBy($"day")
+      val cum = daily
+        .withColumn("k", row_number().over(wd))
+        .withColumn("p", sum($"c").over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("__n"), sum($"c").as("__s"))
+      val dev = abs($"__n" * $"p" - $"k" * $"__s")
+      val w1 = Window.partitionBy($"event_type")
+        .orderBy($"dev".desc, $"day")
+      cum.join(broadcast(tot), "event_type")
+        .select($"event_type", $"day", $"__n".as("n_days"), dev.as("dev"))
+        .withColumn("rn", row_number().over(w1))
+        .filter($"rn" === 1)
+        .select($"event_type", $"day".as("change_day"), $"n_days",
+          $"dev".as("max_scaled_dev"))
+        .orderBy($"event_type")
     })
   )
 
@@ -1331,6 +1402,44 @@ object TimeSeriesQueries {
          SELECT tr.prev_type, tr.event_type, tr.n,
            round(tr.n / tot.t, 6) AS p
          FROM tr JOIN tot USING (prev_type)
-         ORDER BY tr.prev_type, tr.event_type"""
+         ORDER BY tr.prev_type, tr.event_type""",
+
+    // independent formulation: explicit join-based power iteration
+    // (the engine side uses windows over a user-partitioned frame)
+    "q136_hits_centrality" ->
+      """WITH w AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         a0 AS (SELECT event_type, sum(c) s0 FROM w GROUP BY 1),
+         h1 AS (SELECT user_id, sum(w.c * a0.s0) hub1
+           FROM w JOIN a0 USING (event_type) GROUP BY 1),
+         a1 AS (SELECT w.event_type, sum(w.c * h1.hub1) // 1000 s1
+           FROM w JOIN h1 USING (user_id) GROUP BY 1),
+         h2 AS (SELECT w.user_id, sum(w.c * a1.s1) hub2
+           FROM w JOIN a1 USING (event_type) GROUP BY 1)
+         SELECT h1.user_id, CAST(h1.hub1 AS BIGINT) AS hub1,
+           CAST(h2.hub2 AS BIGINT) AS hub2
+         FROM h1 JOIN h2 USING (user_id)
+         ORDER BY hub2 DESC, hub1 DESC, user_id LIMIT 20""",
+
+    "q138_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) dy,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         cum AS (SELECT event_type, dy,
+             row_number() OVER (PARTITION BY event_type ORDER BY dy) k,
+             sum(c) OVER (PARTITION BY event_type ORDER BY dy) p
+           FROM daily),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             sum(c) s FROM daily GROUP BY 1),
+         dev AS (SELECT c.event_type, c.dy, t.n,
+             abs(t.n * c.p - c.k * t.s) dv
+           FROM cum c JOIN tot t USING (event_type))
+         SELECT event_type, dy AS change_day,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(dv AS BIGINT) AS max_scaled_dev
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY dv DESC, dy) rn FROM dev)
+         WHERE rn = 1 ORDER BY event_type"""
   )
 }

@@ -209,4 +209,64 @@ class AnalyticsSpec extends SparkSpec {
       s"missing=${(want.toSet -- got.toSet).take(3)} " +
         s"extra=${(got.toSet -- want.toSet).take(3)}")
   }
+
+  test("q136 HITS scores equal a driver-side integer power iteration") {
+    val got = q("q136_hits_centrality")
+      .select($"user_id", $"hub1", $"hub2")
+      .as[(Long, Long, Long)].collect().toSeq
+    val w = rawEvents.groupBy(r => (r._1, r._3)).view
+      .mapValues(_.size.toLong).toMap
+    val a0 = w.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val h1 = w.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, t), c) => c * a0(t) }.sum).toMap
+    val a1 = w.groupBy(_._1._2).view
+      .mapValues(_.map { case ((u, _), c) => c * h1(u) }.sum / 1000L).toMap
+    val h2 = w.groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, t), c) => c * a1(t) }.sum).toMap
+    val want = h1.keys.toSeq.map(u => (u, h1(u), h2(u)))
+      .sortBy { case (u, x1, x2) => (-x2, -x1, u) }.take(20)
+    assert(want.nonEmpty && got == want,
+      s"got=${got.take(3)} want=${want.take(3)}")
+  }
+
+  test("q137 Gini equals a sort-based rank recomputation") {
+    val got = q("q137_gini_tokens")
+      .select($"source", $"n_docs", $"total_tokens", $"gini")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val pat = graft.ext.TextStats.BpeishPattern.r
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ts = rows.map(r => pat.findAllIn(r._2).size.toLong).sorted
+      val n = ts.size.toLong
+      val s0 = ts.sum
+      val s1 = ts.zipWithIndex.map { case (t, i) => (i + 1) * t }.sum
+      val want = (2 * s1 - (n + 1) * s0).toDouble / (n * s0).toDouble
+      val (gn, gt, gg) = got(src)
+      assert(gn == n && gt == s0, s"$src counts: ($gn,$gt) vs ($n,$s0)")
+      assert(math.abs(gg - want) < 5e-7, s"$src gini: $gg vs $want")
+    }
+  }
+
+  test("q138 change point equals a brute-force integer CUSUM argmax") {
+    val got = q("q138_changepoint")
+      .select($"event_type", unix_date($"change_day").as("cd"),
+        $"n_days", $"max_scaled_dev")
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2.toLong, r._3, r._4)).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val daily = rows.groupBy(_._2 / 86400000000L).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val n = daily.size.toLong
+      val s = daily.map(_._2).sum
+      var p = 0L
+      val devs = daily.zipWithIndex.map { case ((day, c), i) =>
+        p += c; (day, math.abs(n * p - (i + 1) * s))
+      }
+      val best = devs.maxBy { case (day, dv) => (dv, -day) }
+      assert(got(et) == ((best._1, n, best._2)),
+        s"$et: ${got(et)} vs (${best._1}, $n, ${best._2})")
+    }
+  }
 }
