@@ -786,25 +786,29 @@ object TimeSeriesQueries {
     // cumulative sum depart furthest from the uniform-rate line",
     // detected entirely in integers (no mean, no float CUSUM), so the
     // winner and its deviation are bit-exact and order-independent.
-    // Ties break to the earliest day. Both windows run over the
-    // daily-collapsed frame (≤ days×types rows), never raw events.
+    // Ties break to the earliest day. Every window pass runs over the
+    // daily-collapsed frame (≤ days×types rows, built map-side from ONE
+    // events scan); the per-type totals n and S come from unbounded
+    // windows on the SAME event_type clustering — a join-based totals
+    // frame would pay a second full scan of events and two more
+    // exchanges for a value the partition already holds.
     "q138_changepoint" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
         .groupBy($"event_type",
           date_trunc("day", $"ts").cast("date").as("day"))
         .agg(count(lit(1)).as("c"))
-      val wd = Window.partitionBy($"event_type").orderBy($"day")
+      val wt = Window.partitionBy($"event_type")
+      val wd = wt.orderBy($"day")
       val cum = daily
         .withColumn("k", row_number().over(wd))
         .withColumn("p", sum($"c").over(
           wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = daily.groupBy($"event_type")
-        .agg(count(lit(1)).as("__n"), sum($"c").as("__s"))
+        .withColumn("__n", count(lit(1)).over(wt))
+        .withColumn("__s", sum($"c").over(wt))
       val dev = abs($"__n" * $"p" - $"k" * $"__s")
-      val w1 = Window.partitionBy($"event_type")
-        .orderBy($"dev".desc, $"day")
-      cum.join(broadcast(tot), "event_type")
+      val w1 = wt.orderBy($"dev".desc, $"day")
+      cum
         .select($"event_type", $"day", $"__n".as("n_days"), dev.as("dev"))
         .withColumn("rn", row_number().over(w1))
         .filter($"rn" === 1)

@@ -603,6 +603,66 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Window") <= 2, p) // WindowExec (+ its sort node)
   }
 
+  test("q136 hits: edge-list iteration — cached rollup, broadcast authority, no SMJ") {
+    // the user×user co-occurrence graph must never materialize: both
+    // power-iteration hops stay on the (u,t) edge list, the |types|-row
+    // authority frames join back BROADCAST, and the raw events scan is
+    // paid once into the cached rollup (every later stage reads the
+    // InMemoryRelation). A SortMergeJoin here means an authority frame
+    // grew a corpus-sized key; a CartesianProduct means co-occurrence.
+    val p = plan("q136_hits_centrality")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "BroadcastHashJoin") == 2, p) // a0 + a1 joins
+    assert(p.contains("InMemoryTableScan"), p)      // cached (u,t) rollup
+    assert(countOf(p, "Scan parquet") <= 1, p)      // events paid once
+    // terminal top-20 must be TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q137 gini: rank arithmetic runs over the length histogram, not raw docs") {
+    // the q135 histogram discipline applied to inequality measurement:
+    // the cumulative window must take the collapsed (source, length)
+    // frame — i.e. sit above a map-side-combined aggregate — and the
+    // whole query is join-free with a two-column pruned scan. A window
+    // whose input is the raw docs frame would be a per-source sort of
+    // the corpus.
+    val p = plan("q137_gini_tokens")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "+- Window ") == 1, p)
+    assert(p.contains("partial_count"), p) // histogram built map-side
+    // window input is the grouped histogram: its Window node must have a
+    // HashAggregate strictly below it in the printed tree
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"cumulative window must sit above the length-histogram aggregate:\n$p")
+    // one histogram exchange + one window re-cluster on source; the
+    // final per-source agg reuses the window's partitioning
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q138 cusum: one scan, windows over the daily-collapsed frame, no joins") {
+    // all four window passes (prefix sum + rank, partition totals,
+    // argmax rank) must take the ≤ days×types daily frame — built
+    // map-side from ONE events scan — and share one event_type
+    // clustering: a join-based totals frame would re-scan events, and a
+    // window over raw events would be a per-type sort of the corpus
+    val p = plan("q138_changepoint")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p) // daily collapse is map-side
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"windows must sit above the daily-collapse aggregate:\n$p")
+    // one histogram exchange + one re-cluster to event_type; every
+    // window pass reuses the second
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
