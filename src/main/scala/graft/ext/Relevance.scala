@@ -145,12 +145,14 @@ object Relevance {
     * `llr(t) = ln((c_pos+1)/(T_pos+V)) − ln((c_neg+1)/(T_neg+V))`;
     * per document, `log_odds = ln(N_pos/N_neg) + Σ_tokens llr(t)`
     * (multinomial NB with token multiplicity). Output: (id,
-    * `n_tokens`, `log_odds`, `pred_positive` = round(log_odds, 6) > 0).
-    * The decision thresholds the 6dp-ROUNDED log-odds, not the raw
-    * float: the raw value is a partition-order-dependent double sum, so
-    * a document landing within float-summation wobble of 0 could flip
-    * the boolean across engines or cluster partitionings; rounding
-    * first pins the decision to the same value both sides compare.
+    * `n_tokens`, `log_odds`, `pred_positive`), where the RETURNED
+    * `log_odds` is rounded to 6dp and `pred_positive = log_odds > 0`
+    * over that SAME rounded value — the raw sum is a partition-order-
+    * dependent double, so a document landing within float-summation
+    * wobble of 0 could flip the boolean across engines or cluster
+    * partitionings; rounding first pins the decision, and emitting the
+    * rounded value keeps the returned column consistent with the
+    * boolean (no observable pred_positive=false with log_odds > 0).
     * Only documents with ≥1 token appear (same contract as
     * [[unigramNll]]).
     *
@@ -185,7 +187,7 @@ object Relevance {
       .join(broadcast(prior))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
-        (first(col("__prior")) + sum(col("tf") * llr)).as("log_odds"))
-      .withColumn("pred_positive", round(col("log_odds"), 6) > 0)
+        round(first(col("__prior")) + sum(col("tf") * llr), 6).as("log_odds"))
+      .withColumn("pred_positive", col("log_odds") > 0)
   }
 }

@@ -893,7 +893,7 @@ object DocumentQueries {
     * runs need no source edit (the Spark side always fits on the dir
     * it is given; only this oracle literal is sf-pinned). */
   private[graft] val q50CentroidValuesSql: String =
-    sys.env.get("SPARK_GRAFT_Q50_CENTROIDS").getOrElse(
+    sys.env.get("SPARK_GRAFT_Q50_CENTROIDS").filter(_.trim.nonEmpty).getOrElse(
     """(0, [0.026919, 0.023583, -0.026040, 0.013125, 0.007765, 0.034475, -0.005857, -0.018557, -0.042534, -0.005706, 0.034256, 0.041626, 0.067945, -0.031150, -0.016656, -0.016242, -0.011908, 0.018694, -0.000286, -0.028998, 0.012372, 0.004532, -0.056999, -0.032966, 0.041478, 0.087065, 0.000392, 0.010875, 0.009422, 0.047276, -0.019215, -0.021218, 0.038442, -0.010318, -0.056064, 0.017650, -0.042626, -0.030350, 0.043160, -0.073362, 0.013660, -0.050419, -0.033889, -0.037616, -0.017243, 0.016780, -0.036682, 0.011211, -0.020065, -0.060041, 0.004510, -0.015216, -0.021088, 0.020355, -0.003889, -0.035501, 0.031801, 0.007223, 0.032550, -0.014109, 0.034730, -0.002567, -0.050065, -0.019967]),
     (1, [-0.025604, 0.005025, -0.013347, 0.015232, -0.014827, 0.030279, 0.011607, 0.080509, -0.025552, -0.016733, -0.003788, -0.040640, -0.021650, -0.009147, -0.039131, 0.001731, -0.007932, -0.051291, -0.031217, 0.039427, -0.055768, -0.014658, -0.000194, -0.004928, -0.008315, 0.012377, -0.017533, 0.021085, 0.003617, -0.045410, 0.040595, 0.005432, 0.031513, 0.001650, 0.055692, 0.041113, -0.021179, 0.034325, -0.027497, 0.078730, -0.051124, -0.004037, -0.037109, -0.008472, -0.052587, -0.000169, -0.063428, 0.028107, -0.004889, 0.027530, 0.037661, -0.027301, 0.001001, 0.002582, 0.032189, -0.044547, 0.022031, 0.012181, 0.021243, -0.044855, -0.038902, -0.009967, 0.004143, -0.038053]),
     (2, [0.022299, -0.006990, 0.051517, 0.018759, 0.016202, 0.066299, -0.016818, -0.009962, 0.015207, 0.043527, 0.026688, 0.080539, -0.026821, -0.002237, 0.000327, 0.018355, 0.034634, 0.013053, -0.021696, -0.023199, -0.031499, -0.002973, 0.015173, -0.017820, 0.006999, -0.017220, 0.001190, 0.009984, 0.043987, -0.029695, 0.064680, -0.037368, -0.016024, -0.038717, -0.017451, 0.008069, -0.013409, -0.036273, 0.002370, -0.002476, 0.006651, -0.001137, 0.027636, 0.003932, -0.019155, -0.041476, -0.009720, 0.070245, -0.000464, 0.030485, -0.006478, 0.014812, 0.048208, -0.021678, 0.041138, 0.057123, -0.030683, 0.008291, -0.051620, -0.070153, -0.006588, -0.014453, -0.016813, -0.020120]),

@@ -756,26 +756,14 @@ object TimeSeriesQueries {
     // windows re-cluster the cached frame because AQE-cached plans
     // report unknown partitioning at planning time) or the |types|-row
     // authority frames, which join back broadcast.
-    // At 2⁶³-risk corpus sizes the same query runs on decimal128 or
-    // adds a DIV rescale per hop.
+    // At 2⁶³-risk corpus sizes the same query runs on decimal128
+    // (Hits.hubScores use128=true — the ANSI overflow guard and the
+    // decimal fallback's safe-range bit-agreement are red-tested in
+    // HitsSpec). Core lives in ext/Hits so the iteration is reusable
+    // and the overflow contract testable with planted counts.
     "q136_hits_centrality" -> ((s, d) => {
       import s.implicits._
-      val w = graft.Caching.persisted(
-        events(s, d)
-          .select($"user_id", $"event_type")
-          .repartition($"user_id")
-          .groupBy($"user_id", $"event_type")
-          .agg(count(lit(1)).as("c")))
-      val a0 = w.groupBy($"event_type").agg(sum($"c").as("s0"))
-      val wu = Window.partitionBy($"user_id")
-      val scored = w.join(broadcast(a0), "event_type")
-        .withColumn("hub1", sum($"c" * $"s0").over(wu))
-      val a1 = scored.groupBy($"event_type")
-        .agg(expr("sum(c * hub1) DIV 1000").as("s1"))
-      scored.join(broadcast(a1), "event_type")
-        .withColumn("hub2", sum($"c" * $"s1").over(wu))
-        .groupBy($"user_id")
-        .agg(max($"hub1").as("hub1"), max($"hub2").as("hub2"))
+      graft.ext.Hits.hubScores(events(s, d), "user_id", "event_type")
         .orderBy($"hub2".desc, $"hub1".desc, $"user_id")
         .limit(20)
     }),

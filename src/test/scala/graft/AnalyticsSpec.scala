@@ -269,4 +269,103 @@ class AnalyticsSpec extends SparkSpec {
         s"$et: ${got(et)} vs (${best._1}, $n, ${best._2})")
     }
   }
+
+  // ---- randomized third routes (r18): property-style runs over shapes
+  // the fixed corpus doesn't produce — empty/zero groups, single-day
+  // types, all-equal counts (total ties), tie storms ----
+
+  test("q137 randomized: histogram-Gini equals sort-based ranks on adversarial shapes") {
+    val rnd = new scala.util.Random(137)
+    def doc(nWords: Int): String =
+      Seq.fill(nWords)("w" + rnd.nextInt(50)).mkString(" ")
+    // sources: three random length mixes, a single-doc source, an
+    // all-equal source (gini must be exactly 0), a tie-storm source
+    // (many docs over two lengths), and an all-empty source (gini null)
+    val rows: Seq[(Long, String, String)] =
+      (Seq.tabulate(3) { s =>
+        Seq.fill(40 + rnd.nextInt(40))(doc(rnd.nextInt(30)))
+          .map(t => (s"rand$s", t))
+      }.flatten ++
+        Seq("single" -> doc(7)) ++
+        Seq.fill(25)("equal" -> "a b c d e") ++
+        (Seq.fill(30)("ties" -> "x y") ++ Seq.fill(30)("ties" -> "x y z w")) ++
+        Seq.fill(6)("allempty" -> ""))
+        .zipWithIndex.map { case ((src, txt), i) => (i.toLong, src, txt) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_q137r").toString
+    rows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q137_gini_tokens")(spark, dir)
+      .select($"source", $"n_docs", $"total_tokens", $"gini")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    Caching.release()
+    val pat = graft.ext.TextStats.BpeishPattern.r
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val ts = docs.map(d => pat.findAllIn(d._3).size.toLong).sorted
+      val n = ts.size.toLong
+      val s0 = ts.sum
+      val s1 = ts.zipWithIndex.map { case (t, i) => (i + 1) * t }.sum
+      val (gn, gt, gg) = got(src)
+      assert(gn == n && gt == s0, s"$src counts: ($gn,$gt) vs ($n,$s0)")
+      if (s0 == 0L) assert(gg.isEmpty, s"$src: zero-mass gini must be null")
+      else {
+        val want = (2 * s1 - (n + 1) * s0).toDouble / (n * s0).toDouble
+        assert(math.abs(gg.get - want) < 5e-7, s"$src gini: $gg vs $want")
+      }
+    }
+    assert(got("equal")._3.contains(0.0), "all-equal source must have gini 0")
+  }
+
+  test("q138 randomized: CUSUM argmax equals brute force on adversarial day shapes") {
+    val rnd = new scala.util.Random(138)
+    def ts(day: Int, i: Int): String =
+      f"2024-01-${day + 1}%02d ${i % 24}%02d:${i % 60}%02d:00"
+    // types: random daily streams (sparse days), a single-day type
+    // (n=1, dev 0), an all-equal-counts type (every dev 0 — the tie
+    // must break to the EARLIEST day), and a two-sided tie storm
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    for (s <- 0 until 3; day <- 0 until 20; if rnd.nextInt(3) > 0;
+         i <- 0 until (1 + rnd.nextInt(5)))
+      rows += ((rows.size.toLong, ts(day, i), s"rand$s"))
+    for (i <- 0 until 4) rows += ((rows.size.toLong, ts(11, i), "oneday"))
+    for (day <- 0 until 10; i <- 0 until 3)
+      rows += ((rows.size.toLong, ts(day, i), "allequal"))
+    for ((day, c) <- Seq(0 -> 1, 1 -> 3, 2 -> 3, 3 -> 1); i <- 0 until c)
+      rows += ((rows.size.toLong, ts(day, i), "mirror")) // symmetric devs tie
+    val dir = java.nio.file.Files.createTempDirectory("graft_q138r").toString
+    rows.toSeq.toDF("event_id", "tss", "event_type")
+      .withColumn("ts", to_timestamp_ntz($"tss"))
+      .withColumn("user_id", $"event_id" % 5)
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q138_changepoint")(spark, dir)
+      .select($"event_type", unix_date($"change_day").as("cd"),
+        $"n_days", $"max_scaled_dev")
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2.toLong, r._3, r._4)).toMap
+    Caching.release()
+    val dayOf = rows.groupBy(_._3).view.mapValues(_.map { r =>
+      r._2.take(10) }.toSeq).toMap
+    dayOf.foreach { case (et, dayStrs) =>
+      val epochDay = dayStrs.map(s =>
+        java.time.LocalDate.parse(s).toEpochDay)
+      val daily = epochDay.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val n = daily.size.toLong
+      val s = daily.map(_._2).sum
+      var p = 0L
+      val devs = daily.zipWithIndex.map { case ((day, c), i) =>
+        p += c; (day, math.abs(n * p - (i + 1) * s))
+      }
+      val best = devs.maxBy { case (day, dv) => (dv, -day) }
+      assert(got(et) == ((best._1, n, best._2)),
+        s"$et: ${got(et)} vs (${best._1}, $n, ${best._2})")
+    }
+    // the all-equal type's devs are ALL zero: earliest day must win
+    assert(got("allequal")._1 == java.time.LocalDate.parse("2024-01-01").toEpochDay)
+    assert(got("allequal")._3 == 0L)
+  }
 }

@@ -81,4 +81,36 @@ class BoundarySpec extends SparkSpec {
     }
     assert(run(2) == run(7))
   }
+
+  test("driver testdata sits on the hundredths grid (fixed-point precondition)") {
+    // The integer-cents rewrites (q01/q03/q04/q15/q17/q39/q40/q47/q101)
+    // replace sum(value) with sum(round(value*100)::long)/100 on BOTH
+    // the engine and the oracle side — so the oracle gate no longer
+    // independently checks the raw float sum. That is only sound while
+    // every monetary input is EXACTLY the double representation of an
+    // integer number of cents. This guard reds out if a future testdata
+    // generation drifts off the grid (sub-cent values), instead of the
+    // pack silently redefining those metrics as cent-rounded aggregates.
+    val cols = Seq(
+      "events.parquet"   -> Seq("value"),
+      "customer.parquet" -> Seq("c_acctbal"),
+      "lineitem.parquet" -> Seq("l_extendedprice", "l_discount"),
+      "orders.parquet"   -> Seq("o_totalprice"))
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1");
+         (table, cs) <- cols; c <- cs) {
+      val df = spark.read.parquet(s"/root/testdata/$sf/$table")
+      val row = df.agg(
+        // value must round-trip through integer cents bit-exactly…
+        max(abs(col(c) -
+          round(col(c) * 100).cast("long").cast("double") / 100)).as("rt"),
+        // …and the pre-round product must sit within double-noise of
+        // the integer (an ambiguous 0.5-distance product would mean the
+        // chosen cent is arbitrary)
+        max(abs(col(c) * 100 - round(col(c) * 100))).as("noise")).collect().head
+      assert(row.getDouble(0) == 0.0,
+        s"$sf/$table.$c off the cents grid: round-trip err ${row.getDouble(0)}")
+      assert(row.getDouble(1) < 1e-6,
+        s"$sf/$table.$c ambiguous cents product: noise ${row.getDouble(1)}")
+    }
+  }
 }

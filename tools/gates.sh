@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
-# Full engine-side gate battery (round-17): oracle compare, shuffle-
-# partition determinism, input-layout invariance, and the independent
-# sketch cross-check, at one scale factor.
+# Full engine-side gate battery (round-18): ScalaTest suite, oracle
+# compare, shuffle-partition determinism, input-layout invariance, and
+# the independent sketch cross-check, at one scale factor.
 #
 # Usage: tools/gates.sh [sfDir]          (default /root/testdata/sf0.01)
 # For non-sf0.01 dirs the q50 oracle centroids are refit automatically
@@ -13,30 +13,40 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT="$(mktemp -d /tmp/graft_gates.XXXXXX)"
 
+echo "[gates] 0/5 scalatest suite"
+sbt -batch test > "$OUT/suite.log" 2>&1 ||
+  { grep -E "FAILED|\*\*\*" "$OUT/suite.log" | head -20; tail -5 "$OUT/suite.log"; exit 1; }
+grep -hE "Tests: succeeded" "$OUT/suite.log" | tail -1
+
 if [ "$SF" != "/root/testdata/sf0.01" ]; then
   echo "[gates] refitting q50 centroids for $SF"
   SPARK_GRAFT_Q50_CENTROIDS="$(sbt -batch "runMain graft.tools.PrintQ50Centroids $SF" 2>/dev/null |
     awk '/CENTROIDS_BEGIN/{flag=1;next}/CENTROIDS_END/{flag=0}flag')"
+  if [ -z "$SPARK_GRAFT_Q50_CENTROIDS" ]; then
+    echo "[gates] FAIL: centroid refit produced no output (PrintQ50Centroids failed?)"
+    exit 1
+  fi
   export SPARK_GRAFT_Q50_CENTROIDS
 fi
 
-echo "[gates] 1/4 oracle gate at $SF"
+echo "[gates] 1/5 oracle gate at $SF"
 sbt -batch "runMain graft.Verify $SF $OUT/verify" > "$OUT/verify.log" 2>&1 ||
   { tail -20 "$OUT/verify.log"; exit 1; }
 python3 tools/compare.py "$SF" "$OUT/verify" | tail -1
 
-echo "[gates] 2/4 partitioning determinism"
+echo "[gates] 2/5 partitioning determinism"
 sbt -batch "runMain graft.DeterminismCheck $SF" > "$OUT/det.log" 2>&1 ||
   { grep FAIL "$OUT/det.log" | head; exit 1; }
 grep '"metric":"determinism"' "$OUT/det.log"
 
-echo "[gates] 3/4 layout invariance"
+echo "[gates] 3/5 layout invariance"
 sbt -batch "runMain graft.LayoutInvarianceCheck $SF" > "$OUT/layout.log" 2>&1 ||
   { grep FAIL "$OUT/layout.log" | head; exit 1; }
 grep '"metric":"layout_invariance"' "$OUT/layout.log"
 
-echo "[gates] 4/4 sketch cross-check"
-sbt -batch "runMain graft.tools.SketchDump $SF $OUT/sketch" > "$OUT/sketch.log" 2>&1
+echo "[gates] 4/5 sketch cross-check"
+sbt -batch "runMain graft.tools.SketchDump $SF $OUT/sketch" > "$OUT/sketch.log" 2>&1 ||
+  { tail -20 "$OUT/sketch.log"; exit 1; }
 python3 tools/sketch_check.py "$SF" "$OUT/sketch"
 
 echo "[gates] ALL GREEN at $SF"
