@@ -803,8 +803,120 @@ object TimeSeriesQueries {
         .select($"event_type", $"day".as("change_day"), $"n_days",
           $"dev".as("max_scaled_dev"))
         .orderBy($"event_type")
+    }),
+
+    // Benford first-significant-digit deviation per event_type — the
+    // classic fabricated-data / instrumentation-bug screen over a
+    // monetary column. The digit histogram collapses map-side to
+    // ≤ 9×|types| rows (ONE exchange over the raw scan); the chi²
+    // against Benford's law is then computed on a 9-column pivot of
+    // that tiny frame in a FIXED association order (d1..d9 left to
+    // right) with shared full-precision digit-probability literals, so
+    // the double arithmetic is bit-identical on both engines and
+    // layout-independent. Digits come from the exact integer-cents
+    // form (values sit on the hundredths grid — BoundarySpec guard),
+    // never from float log10.
+    "q139_benford" -> ((s, d) => {
+      import s.implicits._
+      val digits = events(s, d)
+        .select($"event_type",
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        .filter($"cents" > 0)
+        .select($"event_type",
+          substring($"cents".cast("string"), 1, 1).cast("int").as("dg"))
+        .groupBy($"event_type", $"dg").agg(count(lit(1)).as("m"))
+      val cs = (1 to 9).map(i =>
+        sum(when($"dg" === i, $"m").otherwise(0L)).as(s"c$i"))
+      val piv = digits.groupBy($"event_type")
+        .agg(sum($"m").as("n"), cs: _*)
+      val chi2 = (1 to 9).map { i =>
+        val e = $"n".cast("double") * lit(benfordP(i))
+        val o = col(s"c$i").cast("double")
+        (o - e) * (o - e) / e
+      }.reduce(_ + _)
+      piv.select($"event_type", $"n".as("n_values"),
+          round(chi2, 6).as("benford_chi2"))
+        .orderBy($"event_type")
+    }),
+
+    // Event-type affinity: user-set Jaccard for every unordered type
+    // pair — the co-engagement matrix a mixture/taxonomy designer
+    // reads. Scale shape: ONE user-keyed exchange builds per-user
+    // distinct-type sets (collect_set combines map-side; set size is
+    // bounded by the type taxonomy, not the event count); pair
+    // generation is a map-side double-explode of those tiny arrays;
+    // everything downstream moves ≤ |types|² rows, and the per-type
+    // user counts join back BROADCAST. The sets frame feeds three
+    // branches, so it is persisted (the q136 lesson). Never a
+    // user×user or event×event self-join.
+    "q140_type_affinity" -> ((s, d) => {
+      import s.implicits._
+      val sets = graft.Caching.persisted(
+        events(s, d).select($"user_id", $"event_type")
+          .groupBy($"user_id").agg(collect_set($"event_type").as("ts")))
+      val pairs = sets
+        .select(explode($"ts").as("type_a"), $"ts")
+        .select($"type_a", explode($"ts").as("type_b"))
+        .filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b").agg(count(lit(1)).as("n_both"))
+      val perType = sets.select(explode($"ts").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(perType.select($"t".as("type_a"), $"n".as("n_a"))),
+          "type_a")
+        .join(broadcast(perType.select($"t".as("type_b"), $"n".as("n_b"))),
+          "type_b")
+        .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+          round($"n_both".cast("double") /
+            ($"n_a" + $"n_b" - $"n_both").cast("double"), 6).as("jaccard"))
+        .orderBy($"type_a", $"type_b")
+    }),
+
+    // Lag-1 autocorrelation of the daily count series per event_type —
+    // the burstiness/regularity diagnostic next to q138's change
+    // point. Numerator and denominator are computed in SCALED integers
+    // (n·c_k − S is exact; multiply pairs, sum longs — the common n²
+    // factor cancels in the ratio), so both sums are bit-exact and
+    // order-free; the single final division is the only float op.
+    // All window passes run over the daily-collapsed frame (≤
+    // days×types rows, ONE events exchange), totals via unbounded
+    // windows on the same event_type clustering (the q138 shape).
+    // n_days = 1 or an all-equal series yields a 0 denominator → null.
+    // At 2⁶³-risk daily volumes the same query runs on decimal128
+    // (the q136 note; products are (n·c)² ≈ (days × daily-count)²).
+    "q141_daily_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type",
+          date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wt = Window.partitionBy($"event_type")
+      val wd = wt.orderBy($"day")
+      val dev = $"n" * $"c" - $"s"
+      val devPrev = $"n" * $"prev" - $"s"
+      daily
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("s", sum($"c").over(wt))
+        .withColumn("prev", lag($"c", 1).over(wd))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_days"),
+          sum(when($"prev".isNotNull, dev * devPrev)).as("num"),
+          sum(dev * dev).as("den"))
+        .select($"event_type", $"n_days",
+          when($"den" === 0L, lit(null).cast("double"))
+            .otherwise(round($"num".cast("double") / $"den".cast("double"), 6))
+            .as("lag1_autocorr"))
+        .orderBy($"event_type")
     })
   )
+
+  /** Benford digit probabilities log10(1+1/d), index 1..9 — shortest
+    * round-trip decimal reprs, interpolated into BOTH the Spark plan
+    * and the DuckDB oracle so the two engines parse identical doubles. */
+  private val benfordP: Array[Double] = Array(0.0,
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 
   val oracles: Map[String, String] = Map(
     "q01_resample_avg" ->
@@ -1432,6 +1544,76 @@ object TimeSeriesQueries {
            CAST(dv AS BIGINT) AS max_scaled_dev
          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
              ORDER BY dv DESC, dy) rn FROM dev)
-         WHERE rn = 1 ORDER BY event_type"""
+         WHERE rn = 1 ORDER BY event_type""",
+
+    // identical integer-cents digit extraction, identical fixed
+    // left-to-right chi² association order and the SAME probability
+    // literals (benfordP interpolated) — both engines run the same
+    // IEEE operations
+    "q139_benford" -> {
+      val cCols = (1 to 9).map(i =>
+        s"CAST(sum(CASE WHEN dg = $i THEN m ELSE 0 END) AS BIGINT) c$i")
+        .mkString(",\n             ")
+      val terms = (1 to 9).map(i =>
+        s"(CAST(c$i AS DOUBLE) - CAST(n AS DOUBLE) * ${benfordP(i)}) * " +
+        s"(CAST(c$i AS DOUBLE) - CAST(n AS DOUBLE) * ${benfordP(i)}) / " +
+        s"(CAST(n AS DOUBLE) * ${benfordP(i)})")
+        .mkString("\n           + ")
+      s"""WITH digits AS (SELECT event_type,
+             CAST(substr(CAST(CAST(round(value * 100, 0) AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) dg
+           FROM events WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+         hist AS (SELECT event_type, dg, CAST(count(*) AS BIGINT) m
+           FROM digits GROUP BY 1, 2),
+         piv AS (SELECT event_type, CAST(sum(m) AS BIGINT) n,
+             $cCols
+           FROM hist GROUP BY 1)
+         SELECT event_type, n AS n_values,
+           round($terms, 6) AS benford_chi2
+         FROM piv ORDER BY event_type"""
+    },
+
+    // set-algebra route: DISTINCT + self-join pair counting (the
+    // engine side never self-joins — it explodes per-user type sets)
+    "q140_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         pt AS (SELECT event_type, CAST(count(*) AS BIGINT) n
+           FROM ut GROUP BY 1),
+         pr AS (SELECT a.event_type ta, b.event_type tb,
+             CAST(count(*) AS BIGINT) nb
+           FROM ut a JOIN ut b ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT pr.ta AS type_a, pr.tb AS type_b, pa.n AS n_a,
+           pb.n AS n_b, pr.nb AS n_both,
+           round(CAST(pr.nb AS DOUBLE) /
+             CAST(pa.n + pb.n - pr.nb AS DOUBLE), 6) AS jaccard
+         FROM pr JOIN pt pa ON pr.ta = pa.event_type
+           JOIN pt pb ON pr.tb = pb.event_type
+         ORDER BY type_a, type_b""",
+
+    // join-based totals instead of unbounded windows; the scaled
+    // integer sums are exact on both engines (DuckDB promotes to
+    // HUGEINT, Spark stays in checked int64), and the one division of
+    // identical integers is the only float op
+    "q141_daily_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) dy,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             sum(c) s FROM daily GROUP BY 1),
+         lagd AS (SELECT event_type, dy, c, lag(c) OVER (
+             PARTITION BY event_type ORDER BY dy) prev FROM daily),
+         agg AS (SELECT l.event_type, t.n,
+             sum(CASE WHEN l.prev IS NOT NULL THEN
+               (t.n * l.c - t.s) * (t.n * l.prev - t.s) END) num,
+             sum((t.n * l.c - t.s) * (t.n * l.c - t.s)) den
+           FROM lagd l JOIN tot t USING (event_type) GROUP BY 1, 2)
+         SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN den = 0 THEN NULL
+             ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           END AS lag1_autocorr
+         FROM agg ORDER BY event_type"""
   )
 }

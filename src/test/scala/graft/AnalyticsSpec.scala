@@ -270,6 +270,77 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q139 Benford chi2 equals a driver-side digit histogram") {
+    val got = q("q139_benford")
+      .select($"event_type", $"n_values", $"benford_chi2")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val p = Array(0.0,
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val digits = rows.map(r => math.rint(r._4 * 100).toLong)
+        .filter(_ > 0).map(_.toString.head.asDigit)
+      val n = digits.size.toLong
+      val hist = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var chi2 = 0.0
+      for (dg <- 1 to 9) {
+        val e = n.toDouble * p(dg)
+        val o = hist.getOrElse(dg, 0L).toDouble
+        chi2 += (o - e) * (o - e) / e
+      }
+      val (gn, gc) = got(et)
+      assert(gn == n, s"$et n: $gn vs $n")
+      assert(math.abs(gc - chi2) < 5e-7, s"$et chi2: $gc vs $chi2")
+    }
+  }
+
+  test("q140 type-affinity Jaccard equals driver-side set algebra") {
+    val got = q("q140_type_affinity")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    Caching.release()
+    val userTypes = rawEvents.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    val types = rawEvents.map(_._3).distinct.sorted
+    val users = types.map(t =>
+      t -> userTypes.filter(_._2.contains(t)).keySet).toMap
+    val want = (for (a <- types; b <- types; if a < b;
+                     inter = (users(a) & users(b)).size.toLong; if inter > 0)
+      yield (a, b) -> (users(a).size.toLong, users(b).size.toLong, inter)).toMap
+    assert(want.nonEmpty && got.keySet == want.keySet)
+    want.foreach { case (k, (na, nb, inter)) =>
+      val (gna, gnb, gboth, gj) = got(k)
+      assert((gna, gnb, gboth) == ((na, nb, inter)), s"$k counts")
+      assert(math.abs(gj - inter.toDouble / (na + nb - inter)) < 5e-7,
+        s"$k jaccard: $gj")
+    }
+  }
+
+  test("q141 lag-1 autocorrelation equals a driver-side scaled-integer form") {
+    val got = q("q141_daily_autocorr")
+      .select($"event_type", $"n_days", $"lag1_autocorr")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val daily = rows.groupBy(_._2 / 86400000000L).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1).map(_._2)
+      val n = daily.size.toLong
+      val s = daily.sum
+      val dev = daily.map(c => n * c - s)
+      val num = dev.zip(dev.drop(1)).map { case (a, b) => a * b }.sum
+      val den = dev.map(d => d * d).sum
+      val (gn, gr) = got(et)
+      assert(gn == n, s"$et n_days: $gn vs $n")
+      if (den == 0L) assert(gr.isEmpty, s"$et: zero-variance must be null")
+      else assert(math.abs(gr.get - num.toDouble / den.toDouble) < 5e-7,
+        s"$et r1: $gr vs ${num.toDouble / den.toDouble}")
+    }
+  }
+
   // ---- randomized third routes (r18): property-style runs over shapes
   // the fixed corpus doesn't produce — empty/zero groups, single-day
   // types, all-equal counts (total ties), tie storms ----

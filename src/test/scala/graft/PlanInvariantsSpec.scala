@@ -736,6 +736,54 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("q139 benford: digit histogram collapses map-side, no joins, pruned scan") {
+    // the chi² runs over the ≤ 9×|types| digit histogram: one
+    // histogram exchange + one re-cluster to event_type, no windows,
+    // no joins, and the scan reads ONLY (event_type, value)
+    val p = plan("q139_benford")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p) // digit histogram is map-side
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q140 type-affinity: one user exchange into the cached sets, broadcast counts") {
+    // the per-user type sets are built by ONE user-keyed exchange
+    // (collect_set combines map-side) and persisted; pair generation
+    // explodes the cached arrays map-side; the per-type user counts
+    // join back BROADCAST. A SortMergeJoin means a corpus-keyed join
+    // slipped in; a second parquet scan means a branch missed the cache.
+    val full = plan("q140_type_affinity")
+    assert(!full.contains("CartesianProduct"), full)
+    assert(!full.contains("SortMergeJoin"), full)
+    assert(full.split("\n").filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan"))).distinct.length == 1, full)
+    val p = stripCachedBodies(full)
+    assert(countOf(p, "BroadcastHashJoin") == 2, p) // n_a + n_b lookups
+    assert(countOf(p, "InMemoryTableScan") >= 3, p) // pairs + 2 count branches
+    assert(countOf(p, "Scan parquet") == 0, p)      // events paid in cache build
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q141 autocorr: one scan, windows over the daily-collapsed frame, no joins") {
+    // the q138 shape: lag + totals windows all take the ≤ days×types
+    // daily frame (map-side collapse from ONE events scan) and share
+    // one event_type clustering — a join-based totals frame would pay
+    // a second scan and two more exchanges
+    val p = plan("q141_daily_autocorr")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"windows must sit above the daily-collapse aggregate:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
