@@ -2469,29 +2469,16 @@ object DocumentQueries {
     // arithmetic is integer; the single final division of exact longs
     // makes the 6dp value bit-exact at any partitioning/layout. At
     // corpus sizes where t·n² nears 2⁶³ the numerator moves to
-    // decimal128.
+    // decimal128 (Gini.fromHistogram use128=true — ANSI overflow guard
+    // and safe-range bit-agreement red-tested in SeriesStatsSpec).
     "q137_gini_tokens" -> ((s, d) => {
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
       val hist = documents(s, d)
         .select($"source", TextStats.bpeishTokenCount($"text").as("t"))
         .groupBy($"source", $"t").agg(count(lit(1)).as("m"))
-      val w = W.partitionBy($"source").orderBy($"t")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val contrib = $"t" * ($"m" * ($"cumm" - $"m") +
-        expr("m * (m + 1) DIV 2"))
-      hist.withColumn("cumm", sum($"m").over(w))
-        .groupBy($"source")
-        .agg(sum($"m").as("n_docs"),
-          sum($"t" * $"m").as("total_tokens"),
-          sum(contrib).as("__s1"))
-        .select($"source", $"n_docs", $"total_tokens",
-          when($"total_tokens" === 0L, lit(null).cast("double"))
-            .otherwise(round(
-              (lit(2) * $"__s1" - ($"n_docs" + 1) * $"total_tokens")
-                .cast("double") /
-                ($"n_docs" * $"total_tokens").cast("double"), 6))
-            .as("gini"))
+      graft.ext.Gini.fromHistogram(hist, "source", "t", "m")
+        .select($"source", $"n_items".as("n_docs"),
+          $"total_mass".as("total_tokens"), $"gini")
         .orderBy($"source")
     })
   )

@@ -883,29 +883,17 @@ object TimeSeriesQueries {
     // windows on the same event_type clustering (the q138 shape).
     // n_days = 1 or an all-equal series yields a 0 denominator → null.
     // At 2⁶³-risk daily volumes the same query runs on decimal128
-    // (the q136 note; products are (n·c)² ≈ (days × daily-count)²).
+    // (SeriesStats.lag1Autocorr use128=true — ANSI overflow guard and
+    // safe-range bit-agreement red-tested in SeriesStatsSpec; the core
+    // is factored out so planted counts can reach the overflow).
     "q141_daily_autocorr" -> ((s, d) => {
       import s.implicits._
       val daily = events(s, d)
         .groupBy($"event_type",
           date_trunc("day", $"ts").cast("date").as("day"))
         .agg(count(lit(1)).as("c"))
-      val wt = Window.partitionBy($"event_type")
-      val wd = wt.orderBy($"day")
-      val dev = $"n" * $"c" - $"s"
-      val devPrev = $"n" * $"prev" - $"s"
-      daily
-        .withColumn("n", count(lit(1)).over(wt))
-        .withColumn("s", sum($"c").over(wt))
-        .withColumn("prev", lag($"c", 1).over(wd))
-        .groupBy($"event_type")
-        .agg(max($"n").as("n_days"),
-          sum(when($"prev".isNotNull, dev * devPrev)).as("num"),
-          sum(dev * dev).as("den"))
-        .select($"event_type", $"n_days",
-          when($"den" === 0L, lit(null).cast("double"))
-            .otherwise(round($"num".cast("double") / $"den".cast("double"), 6))
-            .as("lag1_autocorr"))
+      graft.ext.SeriesStats.lag1Autocorr(daily, "event_type", "day", "c")
+        .select($"event_type", $"n_points".as("n_days"), $"lag1_autocorr")
         .orderBy($"event_type")
     })
   )
