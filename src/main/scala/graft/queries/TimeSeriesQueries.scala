@@ -895,6 +895,182 @@ object TimeSeriesQueries {
       graft.ext.SeriesStats.lag1Autocorr(daily, "event_type", "day", "c")
         .select($"event_type", $"n_points".as("n_days"), $"lag1_autocorr")
         .orderBy($"event_type")
+    }),
+
+    // Mann-Kendall trend statistic per event_type — the nonparametric
+    // monotone-trend screen (S = Σ_{i<j} sign(c_j − c_i) over the daily
+    // count series) that, unlike q124's OLS slope, is outlier-immune
+    // and entirely INTEGER: S and n are exact at any partitioning, and
+    // tau_a = 2S/(n(n−1)) is one final division. Scale shape: the pair
+    // generation self-joins the DAILY-collapsed frame (persisted — both
+    // join branches and the totals read the cache, the q136/q140
+    // lesson) with the right side BROADCAST on event_type; pair count
+    // is days²-bounded per type — calendar-bounded (40 years ≈ 15k
+    // days → ~1e8 pairs), never corpus-bounded, and |S| ≤ n²/2 keeps
+    // int64 headroom at ANY calendar span. Types with one day keep
+    // their row via the left join (S = 0, tau null).
+    "q142_mann_kendall" -> ((s, d) => {
+      import s.implicits._
+      val daily = graft.Caching.persisted(
+        events(s, d)
+          .groupBy($"event_type",
+            date_trunc("day", $"ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("c")))
+      val a = daily.select($"event_type", $"day".as("da"), $"c".as("ca"))
+      val b = daily.select($"event_type", $"day".as("db"), $"c".as("cb"))
+      val pairs = a.join(broadcast(b), "event_type")
+        .filter($"da" < $"db")
+        .groupBy($"event_type")
+        .agg(sum(when($"cb" > $"ca", 1L).when($"cb" < $"ca", -1L)
+          .otherwise(0L)).as("__s"))
+      val tot = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+      tot.join(broadcast(pairs), Seq("event_type"), "left")
+        .select($"event_type", $"n_days",
+          coalesce($"__s", lit(0L)).as("s_stat"),
+          when($"n_days" < 2, lit(null).cast("double"))
+            .otherwise(round(
+              (lit(2) * coalesce($"__s", lit(0L))).cast("double") /
+                ($"n_days" * ($"n_days" - 1)).cast("double"), 6))
+            .as("tau_a"))
+        .orderBy($"event_type")
+    }),
+
+    // Spearman rank correlation for every unordered event-type pair
+    // over their day-ALIGNED daily count series — the robust companion
+    // to q44's Pearson matrix (rank correlation ignores the heavy-tail
+    // magnitudes daily counts have). Tie handling is exact: the
+    // 2×average-rank 2·rank_min + ties − 1 is an INTEGER (the 2-scaling
+    // cancels in the ratio), so every sum is exact; products/sums run
+    // in decimal128 so the n⁴-growth of n·Σxx never hits int64 at any
+    // calendar span, and the one sqrt/division of exact values is the
+    // only float op (IEEE sqrt is correctly rounded — deterministic on
+    // both engines). Scale shape: day-keyed self-join of the persisted
+    // daily frame, right side BROADCAST; all four rank windows share
+    // ONE (type_a,type_b) exchange (tie counts use the RANGE peer
+    // frame, not a third partition key); rows ≤ days×|types|²/2.
+    // Constant series (zero rank variance) → null.
+    "q143_spearman_pairs" -> ((s, d) => {
+      import s.implicits._
+      val daily = graft.Caching.persisted(
+        events(s, d)
+          .groupBy($"event_type",
+            date_trunc("day", $"ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("c")))
+      val a = daily.select($"event_type".as("type_a"), $"day", $"c".as("ca"))
+      val b = daily.select($"event_type".as("type_b"), $"day", $"c".as("cb"))
+      val wp = Window.partitionBy($"type_a", $"type_b")
+      def rank2(c: org.apache.spark.sql.Column) =
+        rank().over(wp.orderBy(c)).cast("long") * 2 +
+          count(lit(1)).over(wp.orderBy(c).rangeBetween(0, 0)) - 1
+      val dec = "decimal(19,0)"
+      val ranked = a.join(broadcast(b), "day")
+        .filter($"type_a" < $"type_b")
+        .withColumn("rx", rank2($"ca").cast(dec))
+        .withColumn("ry", rank2($"cb").cast(dec))
+      val agg = ranked.groupBy($"type_a", $"type_b")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"rx").as("sx"), sum($"ry").as("sy"),
+          sum($"rx" * $"ry").as("sxy"),
+          sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"))
+      val n = $"n_days".cast(dec)
+      val num = n * $"sxy" - $"sx" * $"sy"
+      val dx = n * $"sxx" - $"sx" * $"sx"
+      val dy = n * $"syy" - $"sy" * $"sy"
+      agg.select($"type_a", $"type_b", $"n_days",
+          when(dx === 0 || dy === 0, lit(null).cast("double"))
+            .otherwise(round(num.cast("double") /
+              sqrt(dx.cast("double") * dy.cast("double")), 6))
+            .as("spearman_rho"))
+        .orderBy($"type_a", $"type_b")
+    }),
+
+    // Weekday seasonality profile per event_type — the instrumentation
+    // screen next to q139's Benford (a pipeline whose Tuesday column
+    // collapses has a scheduler bug, not a data shift). Day-of-week is
+    // pure epoch-day arithmetic ((days_since_epoch + 3) mod 7, Monday
+    // 0 — 1970-01-01 was a Thursday; no locale, no engine dayofweek
+    // disagreement), the histogram collapses map-side to ≤ 7×|types|
+    // rows in ONE exchange, and the uniformity chi² reduces to
+    // (7·Σc² − n²)/n — INTEGER except the single final division
+    // (algebra: Σ(c−n/7)²/(n/7) telescopes), carried in decimal128 so
+    // Σc² never hits int64 at petabyte per-type counts. No float
+    // probability literals at all (tighter than q139's shared-literal
+    // discipline — there is nothing to share).
+    "q144_weekday_profile" -> ((s, d) => {
+      import s.implicits._
+      val dow = pmod(datediff(date_trunc("day", $"ts").cast("date"),
+        lit("1970-01-01").cast("date")) + 3, lit(7))
+      val hist = events(s, d).select($"event_type", dow.as("dw"))
+        .groupBy($"event_type", $"dw").agg(count(lit(1)).as("m"))
+      val cs = (0 to 6).map(i =>
+        sum(when($"dw" === i, $"m").otherwise(0L)).as(s"c$i"))
+      val piv = hist.groupBy($"event_type").agg(sum($"m").as("n"), cs: _*)
+      val dec = "decimal(19,0)"
+      val sq = (0 to 6).map(i =>
+        col(s"c$i").cast(dec) * col(s"c$i").cast(dec)).reduce(_ + _)
+      val chi2 = (lit(7).cast(dec) * sq -
+        $"n".cast(dec) * $"n".cast(dec)).cast("double") / $"n".cast("double")
+      piv.select($"event_type", $"n".as("n_events"),
+          $"c0".as("mon"), $"c1".as("tue"), $"c2".as("wed"),
+          $"c3".as("thu"), $"c4".as("fri"), $"c5".as("sat"),
+          $"c6".as("sun"), round(chi2, 6).as("dow_chi2"))
+        .orderBy($"event_type")
+    }),
+
+    // Longest consecutive-active-day streak histogram — the engagement
+    // depth profile (how many users sustained k-day runs). Classic
+    // gaps-and-islands done entirely on COLLAPSED frames: the distinct
+    // (user, day) grid is one map-side-combined exchange; the island
+    // key day_number − row_number is integer; streak lengths and the
+    // final histogram are counts. The per-user window and both
+    // following aggregates share the user_id clustering (one window
+    // exchange; groupBy(user, g) and groupBy(user) reuse it — hash
+    // partitioning on a SUBSET of the grouping keys satisfies the
+    // clustering), and the ≤ max_streak-row histogram is the only
+    // further exchange. Never a window over raw events.
+    "q145_streak_hist" -> ((s, d) => {
+      import s.implicits._
+      val ud = events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .distinct()
+      val wu = Window.partitionBy($"user_id").orderBy($"day")
+      val island = datediff($"day", lit("1970-01-01").cast("date")) -
+        row_number().over(wu)
+      ud.withColumn("g", island)
+        .groupBy($"user_id", $"g").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id").agg(max($"len").as("streak_days"))
+        .groupBy($"streak_days").agg(count(lit(1)).as("n_users"))
+        .orderBy($"streak_days")
+    }),
+
+    // Goh–Barabási burstiness of the daily count series per event_type:
+    // B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the regularity scale q141's
+    // autocorrelation doesn't measure (B = −1 perfectly periodic,
+    // 0 Poisson, →1 bursty). Multiplying through by n gives
+    // B = (√D − S)/(√D + S) with D = n·Σc² − S² — EXACT integer sums
+    // (decimal128 for the squares, the q144 headroom argument), one
+    // deterministic IEEE sqrt, one division; denominator > 0 always
+    // (S ≥ n ≥ 1), n = 1 degenerates to exactly −1. Same one-exchange
+    // daily-collapse shape as q138/q141.
+    "q146_burstiness" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(19,0)"
+      val daily = events(s, d)
+        .groupBy($"event_type",
+          date_trunc("day", $"ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val agg = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), sum($"c").as("s"),
+          sum($"c".cast(dec) * $"c".cast(dec)).as("ss"))
+      val dRoot = sqrt(($"n_days".cast(dec) * $"ss" -
+        $"s".cast(dec) * $"s".cast(dec)).cast("double"))
+      agg.select($"event_type", $"n_days",
+          round($"s".cast("double") / $"n_days".cast("double"), 6)
+            .as("mean_daily"),
+          round((dRoot - $"s".cast("double")) /
+            (dRoot + $"s".cast("double")), 6).as("burstiness"))
+        .orderBy($"event_type")
     })
   )
 
@@ -1602,6 +1778,115 @@ object TimeSeriesQueries {
            CASE WHEN den = 0 THEN NULL
              ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
            END AS lag1_autocorr
-         FROM agg ORDER BY event_type"""
+         FROM agg ORDER BY event_type""",
+
+    // plain (non-broadcast, non-cached) pair self-join; identical
+    // integer sign arithmetic
+    "q142_mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) dy,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT a.event_type,
+             CAST(sum(CASE WHEN b.c > a.c THEN 1
+               WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) sv
+           FROM daily a JOIN daily b ON a.event_type = b.event_type
+             AND a.dy < b.dy
+           GROUP BY 1),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n
+           FROM daily GROUP BY 1)
+         SELECT t.event_type, t.n AS n_days,
+           COALESCE(s.sv, 0) AS s_stat,
+           CASE WHEN t.n < 2 THEN NULL
+             ELSE round(CAST(2 * COALESCE(s.sv, 0) AS DOUBLE) /
+               CAST(t.n * (t.n - 1) AS DOUBLE), 6)
+           END AS tau_a
+         FROM tot t LEFT JOIN s USING (event_type)
+         ORDER BY t.event_type""",
+
+    // tie counts via a plain (ta,tb,value) partition instead of the
+    // engine's RANGE peer frame; HUGEINT sums are exact, and the final
+    // cast/multiply/sqrt runs the same IEEE ops as the Spark side
+    "q143_spearman_pairs" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) dy,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         al AS (SELECT a.event_type ta, b.event_type tb, a.c ca, b.c cb
+           FROM daily a JOIN daily b ON a.dy = b.dy
+             AND a.event_type < b.event_type),
+         rk AS (SELECT ta, tb,
+             2 * rank() OVER (PARTITION BY ta, tb ORDER BY ca)
+               + count(*) OVER (PARTITION BY ta, tb, ca) - 1 rx,
+             2 * rank() OVER (PARTITION BY ta, tb ORDER BY cb)
+               + count(*) OVER (PARTITION BY ta, tb, cb) - 1 ry
+           FROM al),
+         ag AS (SELECT ta, tb, CAST(count(*) AS BIGINT) n,
+             sum(rx) sx, sum(ry) sy, sum(rx * ry) sxy,
+             sum(rx * rx) sxx, sum(ry * ry) syy
+           FROM rk GROUP BY 1, 2)
+         SELECT ta AS type_a, tb AS type_b, n AS n_days,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             THEN NULL
+             ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                 CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS spearman_rho
+         FROM ag ORDER BY type_a, type_b""",
+
+    // identical epoch-day weekday arithmetic (dates are post-1970 so
+    // DuckDB's % agrees with pmod); HUGEINT carries the squares
+    "q144_weekday_profile" -> {
+      val cCols = (0 to 6).map(i =>
+        s"CAST(sum(CASE WHEN dw = $i THEN m ELSE 0 END) AS BIGINT) c$i")
+        .mkString(",\n             ")
+      val sq = (0 to 6).map(i => s"c$i * c$i").mkString(" + ")
+      s"""WITH dws AS (SELECT event_type,
+             (CAST(CAST(date_trunc('day', ts) AS DATE)
+               - DATE '1970-01-01' AS BIGINT) + 3) % 7 dw
+           FROM events),
+         hist AS (SELECT event_type, dw, CAST(count(*) AS BIGINT) m
+           FROM dws GROUP BY 1, 2),
+         piv AS (SELECT event_type, CAST(sum(m) AS BIGINT) n,
+             $cCols
+           FROM hist GROUP BY 1)
+         SELECT event_type, n AS n_events,
+           c0 AS mon, c1 AS tue, c2 AS wed, c3 AS thu, c4 AS fri,
+           c5 AS sat, c6 AS sun,
+           round(CAST(7 * ($sq) - n * n AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS dow_chi2
+         FROM piv ORDER BY event_type"""
+    },
+
+    "q145_streak_hist" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) dy
+           FROM events),
+         isl AS (SELECT user_id,
+             CAST(dy - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY dy) g
+           FROM ud),
+         runs AS (SELECT user_id, g, CAST(count(*) AS BIGINT) len
+           FROM isl GROUP BY 1, 2),
+         best AS (SELECT user_id, max(len) streak_days
+           FROM runs GROUP BY 1)
+         SELECT CAST(streak_days AS BIGINT) AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM best GROUP BY 1 ORDER BY streak_days""",
+
+    "q146_burstiness" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) dy,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         ag AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             sum(c) s, sum(c * c) ss
+           FROM daily GROUP BY 1)
+         SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+           round((sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+             / (sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE)),
+             6) AS burstiness
+         FROM ag ORDER BY event_type"""
   )
 }

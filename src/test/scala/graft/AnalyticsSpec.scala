@@ -319,6 +319,124 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q142 Mann-Kendall S equals a driver-side pair brute force") {
+    val got = q("q142_mann_kendall")
+      .select($"event_type", $"n_days", $"s_stat", $"tau_a")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    Caching.release()
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val daily = rows.groupBy(_._2 / 86400000000L).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1).map(_._2)
+      val n = daily.size.toLong
+      var sStat = 0L
+      for (i <- daily.indices; j <- (i + 1) until daily.size)
+        sStat += java.lang.Long.signum(daily(j) - daily(i))
+      val (gn, gs, gt) = got(et)
+      assert((gn, gs) == ((n, sStat)), s"$et: ($gn,$gs) vs ($n,$sStat)")
+      if (n < 2) assert(gt.isEmpty, s"$et: n<2 tau must be null")
+      else assert(math.abs(gt.get - 2.0 * sStat / (n * (n - 1))) < 5e-7,
+        s"$et tau: $gt")
+    }
+  }
+
+  test("q143 Spearman rho equals driver-side average-rank Pearson") {
+    val got = q("q143_spearman_pairs")
+      .select($"type_a", $"type_b", $"n_days", $"spearman_rho")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    Caching.release()
+    def avgRanks(xs: Seq[Long]): Seq[Double] = {
+      val sorted = xs.sorted.zipWithIndex
+      val byVal = sorted.groupBy(_._1).view
+        .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+      xs.map(byVal)
+    }
+    val byType = rawEvents.groupBy(_._3).view.mapValues(rows =>
+      rows.groupBy(_._2 / 86400000000L).view
+        .mapValues(_.size.toLong).toMap).toMap
+    val types = byType.keys.toSeq.sorted
+    var checked = 0
+    for (a <- types; b <- types; if a < b) {
+      val days = (byType(a).keySet & byType(b).keySet).toSeq.sorted
+      if (days.nonEmpty) {
+        checked += 1
+        val rx = avgRanks(days.map(byType(a)))
+        val ry = avgRanks(days.map(byType(b)))
+        val n = days.size.toDouble
+        val sx = rx.sum; val sy = ry.sum
+        val num = n * rx.zip(ry).map(p => p._1 * p._2).sum - sx * sy
+        val dx = n * rx.map(x => x * x).sum - sx * sx
+        val dy = n * ry.map(y => y * y).sum - sy * sy
+        val (gn, gr) = got((a, b))
+        assert(gn == days.size.toLong, s"($a,$b) n: $gn vs ${days.size}")
+        if (dx == 0.0 || dy == 0.0)
+          assert(gr.isEmpty, s"($a,$b): constant series must be null")
+        else assert(math.abs(gr.get - num / math.sqrt(dx * dy)) < 5e-7,
+          s"($a,$b) rho: $gr vs ${num / math.sqrt(dx * dy)}")
+      }
+    }
+    assert(checked > 0 && got.size == checked)
+  }
+
+  test("q144 weekday chi2 equals a driver-side dow histogram") {
+    val got = q("q144_weekday_profile")
+      .select($"event_type", $"n_events", $"mon", $"tue", $"wed", $"thu",
+        $"fri", $"sat", $"sun", $"dow_chi2")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val dows = rows.map(r => ((r._2 / 86400000000L + 3) % 7).toInt)
+      val h = (0 to 6).map(i => dows.count(_ == i).toLong)
+      val n = dows.size.toLong
+      val chi2 = (7.0 * h.map(c => BigInt(c) * c).sum.toDouble -
+        (BigInt(n) * n).toDouble) / n.toDouble
+      val g = got(et)
+      assert((g._2, g._3, g._4, g._5, g._6, g._7, g._8, g._9) ==
+        ((n, h(0), h(1), h(2), h(3), h(4), h(5), h(6))), s"$et counts: $g")
+      assert(math.abs(g._10 - chi2) < 5e-7, s"$et chi2: ${g._10} vs $chi2")
+    }
+  }
+
+  test("q145 streak histogram equals driver-side gaps-and-islands") {
+    val got = q("q145_streak_hist")
+      .select($"streak_days", $"n_users")
+      .as[(Long, Long)].collect().toMap
+    val want = rawEvents.groupBy(_._1).view.mapValues { rows =>
+      val days = rows.map(_._2 / 86400000000L).distinct.sorted
+      var best = 1L; var cur = 1L
+      days.zip(days.drop(1)).foreach { case (a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1L
+        best = math.max(best, cur)
+      }
+      best
+    }.toMap.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q146 burstiness equals a driver-side exact-sum form") {
+    val got = q("q146_burstiness")
+      .select($"event_type", $"n_days", $"mean_daily", $"burstiness")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val daily = rows.groupBy(_._2 / 86400000000L).view
+        .mapValues(_.size.toLong).toSeq.map(_._2)
+      val n = daily.size.toLong
+      val s = daily.sum
+      val ss = daily.map(c => BigInt(c) * c).sum
+      val root = math.sqrt((BigInt(n) * ss - BigInt(s) * s).toDouble)
+      val b = (root - s.toDouble) / (root + s.toDouble)
+      val (gn, gm, gb) = got(et)
+      assert(gn == n, s"$et n: $gn vs $n")
+      assert(math.abs(gm - s.toDouble / n) < 5e-7, s"$et mean: $gm")
+      assert(math.abs(gb - b) < 5e-7, s"$et b: $gb vs $b")
+    }
+  }
+
   test("q141 lag-1 autocorrelation equals a driver-side scaled-integer form") {
     val got = q("q141_daily_autocorr")
       .select($"event_type", $"n_days", $"lag1_autocorr")

@@ -784,6 +784,85 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("q142 mann-kendall: pair join broadcasts the cached daily frame, no SMJ") {
+    // the days²-bounded pair generation must be a BroadcastHashJoin on
+    // event_type over the PERSISTED daily frame (one parquet scan paid
+    // in the cache build); the totals→S stitch is the second broadcast.
+    // A SortMergeJoin or a second FileScan means the collapse or the
+    // cache was lost.
+    val full = plan("q142_mann_kendall")
+    assert(!full.contains("SortMergeJoin"), full)
+    assert(!full.contains("CartesianProduct"), full)
+    assert(full.split("\n").filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan"))).distinct.length == 1, full)
+    val p = stripCachedBodies(full)
+    assert(countOf(p, "BroadcastHashJoin") == 2, p)
+    assert(countOf(p, "InMemoryTableScan") >= 3, p) // a, b, totals branches
+    assert(countOf(p, "Scan parquet") == 0, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q143 spearman: one day-keyed broadcast join, rank windows share one exchange") {
+    // the aligned-pair frame comes from ONE BroadcastHashJoin on day
+    // over the persisted daily frame; all four rank/tie windows share
+    // the (type_a,type_b) clustering (tie counts use the RANGE peer
+    // frame, so no window introduces a finer partition key), and the
+    // final aggregate reuses it — exactly ONE exchange outside the
+    // cache build.
+    val full = plan("q143_spearman_pairs")
+    assert(!full.contains("SortMergeJoin"), full)
+    assert(full.split("\n").filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan"))).distinct.length == 1, full)
+    val p = stripCachedBodies(full)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(countOf(p, "Window") == 2, p) // one per sort order (ca, cb)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOf(p, "Scan parquet") == 0, p)
+  }
+
+  test("q144 weekday profile: map-side dow histogram, no joins, pruned scan") {
+    // the q139 shape: histogram collapses map-side to ≤ 7×|types| rows,
+    // chi² runs on the pivot of that tiny frame — one histogram
+    // exchange + one re-cluster, no windows, no joins, and the scan
+    // reads ONLY (ts, event_type)
+    val p = plan("q144_weekday_profile")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(countOf(p, "Exchange hashpartitioning") <= 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q145 streaks: window over the distinct-day grid, user clustering reused") {
+    // gaps-and-islands on COLLAPSED frames: distinct (user,day) grid
+    // exchange, ONE per-user window exchange that both downstream
+    // aggregates reuse (hash(user_id) satisfies the (user_id,g) and
+    // (user_id) clusterings), and the tiny histogram exchange — three
+    // total; the window must sit above the distinct aggregate, never
+    // over raw events
+    val p = plan("q145_streak_hist")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"window must sit above the distinct-day aggregate:\n$p")
+  }
+
+  test("q146 burstiness: one scan, daily collapse, no windows, no joins") {
+    // the q138/q141 daily-collapse shape minus the windows: histogram
+    // exchange + event_type re-cluster, everything else map-side
+    val p = plan("q146_burstiness")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
