@@ -2480,6 +2480,65 @@ object DocumentQueries {
         .select($"source", $"n_items".as("n_docs"),
           $"total_mass".as("total_tokens"), $"gini")
         .orderBy($"source")
+    }),
+
+    // Lexical diversity per source: type-token ratio + hapax share —
+    // the vocabulary-health screen next to q62's global top-k (a
+    // boilerplate-heavy source has low TTR; an OCR-noise source has a
+    // hapax explosion). ONE corpus scan explodes to the (source, term)
+    // vocabulary rollup (map-side combine bounds the exchange by the
+    // per-partition vocabulary, not token count); the per-source
+    // reduction moves vocabulary-cardinality rows. All counts integer,
+    // the two 6dp ratios are the only divisions.
+    "q147_ttr_hapax" -> ((s, d) => {
+      import s.implicits._
+      val tf = documents(s, d)
+        .select($"source", explode(TextOps.words($"text")).as("term"))
+        .groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      tf.groupBy($"source")
+        .agg(sum($"tf").as("total_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when($"tf" === 1L, 1L).otherwise(0L)).as("hapax_count"))
+        .select($"source", $"total_tokens", $"vocab_size", $"hapax_count",
+          round($"vocab_size".cast("double") /
+            $"total_tokens".cast("double"), 6).as("ttr"),
+          round($"hapax_count".cast("double") /
+            $"vocab_size".cast("double"), 6).as("hapax_share"))
+        .orderBy($"source")
+    }),
+
+    // Exact token-length percentile grid per source (p10/p50/p90,
+    // nearest-rank: smallest length whose cumulative count reaches
+    // ⌈q·n⌉ — percentile_disc semantics) — the sequence-length planner's
+    // input (packing efficiency, truncation loss, curriculum bands are
+    // all read off this grid). NEVER a per-source sort of raw docs:
+    // lengths collapse map-side to the ≤ distinct-lengths×sources
+    // HISTOGRAM, the cumulative window runs over that collapsed frame,
+    // and each percentile is a conditional min — all integer, no
+    // interpolation, so the grid is bit-exact at any layout. The
+    // oracle runs DuckDB's native quantile_disc over raw docs — a
+    // genuinely independent implementation of the same definition.
+    "q148_length_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val hist = documents(s, d)
+        .select($"source", TextStats.bpeishTokenCount($"text").as("t"))
+        .groupBy($"source", $"t").agg(count(lit(1)).as("m"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wt = W.partitionBy($"source")
+      val wcum = wt.orderBy($"t")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = hist
+        .withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(wt))
+      // cum ≥ ⌈p·n/100⌉ ⟺ 100·cum ≥ p·n for integer cum — the float
+      // form ceil(n·0.1) is WRONG (150·0.1 = 15.000000000000002 →
+      // ceil 16); the rank threshold must never touch a double
+      def pick(p: Int) =
+        min(when($"cum" * 100 >= lit(p) * $"n", $"t")).cast("long")
+      cum.groupBy($"source")
+        .agg(first($"n").as("n_docs"), pick(10).as("p10"),
+          pick(50).as("p50"), pick(90).as("p90"))
+        .orderBy($"source")
     })
   )
 
@@ -3312,6 +3371,40 @@ object DocumentQueries {
            CASE WHEN total_tokens = 0 THEN NULL
              ELSE round(CAST(2 * s1 - (n_docs + 1) * total_tokens AS DOUBLE)
                / CAST(n_docs * total_tokens AS DOUBLE), 6) END AS gini
-         FROM g ORDER BY source"""
+         FROM g ORDER BY source""",
+
+    // same q110 tokenization pair (TextOps.words ↔ \s+ split)
+    "q147_ttr_hapax" ->
+      """WITH tf AS (SELECT source,
+             unnest(string_split_regex(text, '\s+')) term
+           FROM documents),
+         c AS (SELECT source, term, CAST(count(*) AS BIGINT) tf
+           FROM tf GROUP BY 1, 2),
+         g AS (SELECT source, CAST(sum(tf) AS BIGINT) total_tokens,
+             CAST(count(*) AS BIGINT) vocab_size,
+             CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               hapax_count
+           FROM c GROUP BY 1)
+         SELECT source, total_tokens, vocab_size, hapax_count,
+           round(CAST(vocab_size AS DOUBLE)
+             / CAST(total_tokens AS DOUBLE), 6) AS ttr,
+           round(CAST(hapax_count AS DOUBLE)
+             / CAST(vocab_size AS DOUBLE), 6) AS hapax_share
+         FROM g ORDER BY source""",
+
+    // genuinely independent implementation: DuckDB's native
+    // quantile_disc over raw docs (percentile_disc nearest-rank
+    // semantics — verified ceil(q·n) on tie/boundary fixtures) vs the
+    // engine's histogram-cumulative integer route
+    "q148_length_percentiles" ->
+      """WITH toks AS (SELECT source,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))
+               AS BIGINT) t
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(quantile_disc(t, 0.10) AS BIGINT) AS p10,
+           CAST(quantile_disc(t, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(t, 0.90) AS BIGINT) AS p90
+         FROM toks GROUP BY source ORDER BY source"""
   )
 }

@@ -1071,6 +1071,60 @@ object TimeSeriesQueries {
           round((dRoot - $"s".cast("double")) /
             (dRoot + $"s".cast("double")), 6).as("burstiness"))
         .orderBy($"event_type")
+    }),
+
+    // Daily new-vs-returning split — growth accounting's first-touch
+    // attribution (is today's traffic acquisition or retention?).
+    // First-ever day per user is a min window over the distinct
+    // (user, day) GRID, never raw events; the q145 clustering story:
+    // grid exchange → one user_id window exchange → the tiny per-day
+    // histogram. n_returning = n_active − n_new is derived, not a
+    // second pass. All counts integer.
+    "q149_new_returning" -> ((s, d) => {
+      import s.implicits._
+      val ud = events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .distinct()
+      val first = min($"day").over(Window.partitionBy($"user_id"))
+      ud.withColumn("first_day", first)
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+        .select($"day", $"n_active", $"n_new",
+          ($"n_active" - $"n_new").as("n_returning"))
+        .orderBy($"day")
+    }),
+
+    // Top-decile value concentration per event_type — the whale-share
+    // number (what fraction of total monetary mass the top 10% of
+    // users carry) read next to q137's Gini. Integer-cents discipline
+    // throughout (the q04 class): per-user sums, the decile rank
+    // threshold rn ≤ ⌈n/10⌉ rewritten as 10·rn ≤ n+9 — NEVER a float
+    // rank cutoff (0.1·n has the ceil(15.000000000000002) failure
+    // mode) — and one final division. Windows run over the per-
+    // (type,user) collapsed frame; the final aggregate reuses the
+    // event_type clustering: two exchanges total.
+    "q150_value_concentration" -> ((s, d) => {
+      import s.implicits._
+      val per = events(s, d)
+        .groupBy($"event_type", $"user_id")
+        .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val wt = Window.partitionBy($"event_type")
+      val wr = wt.orderBy($"cents".desc, $"user_id")
+      per.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("tot", sum($"cents").over(wt))
+        .groupBy($"event_type")
+        .agg(first($"n").as("n_users"), first($"tot").as("__tot"),
+          sum(when($"rn" * 10 <= $"n" + 9, $"cents").otherwise(0L))
+            .as("__top"))
+        .select($"event_type", $"n_users",
+          expr("(n_users + 9) DIV 10").as("top_users"),
+          when($"__tot" === 0L, lit(null).cast("double"))
+            .otherwise(round($"__top".cast("double") /
+              $"__tot".cast("double"), 6)).as("top10_share"))
+        .orderBy($"event_type")
     })
   )
 
@@ -1887,6 +1941,41 @@ object TimeSeriesQueries {
            round((sqrt(CAST(n * ss - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
              / (sqrt(CAST(n * ss - s * s AS DOUBLE)) + CAST(s AS DOUBLE)),
              6) AS burstiness
-         FROM ag ORDER BY event_type"""
+         FROM ag ORDER BY event_type""",
+
+    // join-based first-touch route (the engine side uses a min window
+    // over the user-clustered grid)
+    "q149_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS DATE) dy
+           FROM events),
+         fd AS (SELECT user_id, min(dy) f FROM ud GROUP BY 1)
+         SELECT ud.dy AS day, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN ud.dy = fd.f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(count(*) - sum(CASE WHEN ud.dy = fd.f THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning
+         FROM ud JOIN fd USING (user_id)
+         GROUP BY 1 ORDER BY day""",
+
+    // join-based totals instead of the engine's windows; identical
+    // integer decile threshold 10·rn ≤ n+9
+    "q150_value_concentration" ->
+      """WITH per AS (SELECT event_type, user_id,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) cents
+           FROM events GROUP BY 1, 2),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) n,
+             sum(cents) t FROM per GROUP BY 1),
+         r AS (SELECT p.event_type, p.cents, t.n, t.t,
+             row_number() OVER (PARTITION BY p.event_type
+               ORDER BY p.cents DESC, p.user_id) rn
+           FROM per p JOIN tot t USING (event_type))
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_users,
+           CAST((max(n) + 9) // 10 AS BIGINT) AS top_users,
+           CASE WHEN max(t) = 0 THEN NULL
+             ELSE round(CAST(sum(CASE WHEN rn * 10 <= n + 9
+                 THEN cents ELSE 0 END) AS DOUBLE)
+               / CAST(max(t) AS DOUBLE), 6) END AS top10_share
+         FROM r GROUP BY 1 ORDER BY event_type"""
   )
 }

@@ -249,6 +249,84 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q147 TTR/hapax equals a driver-side term-frequency map") {
+    val got = q("q147_ttr_hapax")
+      .select($"source", $"total_tokens", $"vocab_size", $"hapax_count",
+        $"ttr", $"hapax_share")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      // split(limit = -1): Spark's split keeps trailing empty strings
+      // (Java's default split drops them) — the tokenizations must match
+      val tf = rows.flatMap(_._2.split("\\s+", -1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val total = tf.values.sum
+      val vocab = tf.size.toLong
+      val hapax = tf.values.count(_ == 1L).toLong
+      val g = got(src)
+      assert((g._2, g._3, g._4) == ((total, vocab, hapax)), s"$src: $g")
+      assert(math.abs(g._5 - vocab.toDouble / total) < 5e-7, s"$src ttr")
+      assert(math.abs(g._6 - hapax.toDouble / vocab) < 5e-7, s"$src hapax")
+    }
+  }
+
+  test("q148 percentile grid equals driver-side nearest-rank on sorted lengths") {
+    val got = q("q148_length_percentiles")
+      .select($"source", $"n_docs", $"p10", $"p50", $"p90")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val pat = graft.ext.TextStats.BpeishPattern.r
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val lens = rows.map(r => pat.findAllIn(r._2).size.toLong).sorted
+      val n = lens.size
+      def pick(p: Int) = lens((p * n + 99) / 100 - 1)
+      val want = (n.toLong, pick(10), pick(50), pick(90))
+      assert(got(src) == want, s"$src: ${got(src)} vs $want")
+    }
+  }
+
+  test("q149 new/returning split equals driver-side first-touch attribution") {
+    val got = q("q149_new_returning")
+      .select(unix_date($"day").as("d"), $"n_active", $"n_new",
+        $"n_returning")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1.toLong -> (r._2, r._3, r._4)).toMap
+    val grid = rawEvents.map(r => (r._1, r._2 / 86400000000L)).distinct
+    val firstDay = grid.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = grid.groupBy(_._2).map { case (day, us) =>
+      val active = us.size.toLong
+      val nw = us.count(u => firstDay(u._1) == day).toLong
+      day -> (active, nw, active - nw)
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q150 top-decile share equals a driver-side integer-cents sort") {
+    val got = q("q150_value_concentration")
+      .select($"event_type", $"n_users", $"top_users", $"top10_share")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val per = rows.groupBy(_._1).view.mapValues(
+        _.map(r => math.rint(r._4 * 100).toLong).sum).toSeq
+        .sortBy { case (u, c) => (-c, u) }
+      val n = per.size
+      val k = (n + 9) / 10
+      val tot = per.map(_._2).sum
+      val top = per.take(k).map(_._2).sum
+      val (gn, gk, gs) = got(et)
+      assert((gn, gk) == ((n.toLong, k.toLong)), s"$et: ($gn,$gk)")
+      if (tot == 0L) assert(gs.isEmpty, s"$et: zero total must be null")
+      else assert(math.abs(gs.get - top.toDouble / tot) < 5e-7,
+        s"$et share: $gs vs ${top.toDouble / tot}")
+    }
+  }
+
   test("q138 change point equals a brute-force integer CUSUM argmax") {
     val got = q("q138_changepoint")
       .select($"event_type", unix_date($"change_day").as("cd"),

@@ -863,6 +863,60 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("q147 ttr/hapax: vocab rollup then source reduction, no joins, pruned scan") {
+    // ONE corpus scan explodes into the (source,term) rollup (map-side
+    // combine bounds the exchange by per-partition vocabulary); the
+    // per-source reduction is the only other exchange; scan reads
+    // exactly (source, text)
+    val p = plan("q147_ttr_hapax")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q148 percentile grid: cumulative window over the length histogram only") {
+    // the q137 shape: lengths collapse map-side to the histogram, the
+    // cumulative/total windows and the final aggregate all run on that
+    // ≤ distinct-lengths×sources frame and share the source exchange —
+    // a per-source sort of raw docs would show as a Window before the
+    // collapse
+    val p = plan("q148_length_percentiles")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"windows must sit above the histogram aggregate:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("q149 new/returning: first-touch window on the grid, q145's 3 exchanges") {
+    val p = plan("q149_new_returning")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"window must sit above the distinct-day aggregate:\n$p")
+  }
+
+  test("q150 concentration: rank window over per-user sums, clustering reused") {
+    // per-(type,user) rollup exchange, ONE event_type window exchange
+    // that the final aggregate reuses — two total; the rank runs over
+    // the collapsed per-user frame, never raw events
+    val p = plan("q150_value_concentration")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"rank window must sit above the per-user aggregate:\n$p")
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
