@@ -2539,6 +2539,44 @@ object DocumentQueries {
         .agg(first($"n").as("n_docs"), pick(10).as("p10"),
           pick(50).as("p50"), pick(90).as("p90"))
         .orderBy($"source")
+    }),
+
+    // Heaps'-law vocabulary growth curve: vocabulary size over
+    // geometric corpus prefixes (dedup/tokenizer sizing reads the
+    // vocab-vs-corpus slope off this grid). Checkpoint k = the prefix
+    // of docs with id-offset < 2^(k+1); a term enters the vocabulary
+    // at its FIRST doc (min offset), so the curve needs only the
+    // (term → min_off) rollup — never a re-scan per checkpoint. The
+    // bucket index is the q154 integer trick (length(bin(off)) − 1 =
+    // ⌊log2 off⌋ — the float log2 route cliffs on exact powers), both
+    // sides collapse to ≤ 64-row bucket histograms, and the cumulative
+    // windows run over THAT frame (the unpartitioned window sits above
+    // collapsing aggregates per the pack-wide rule). The 1-row min
+    // frame joins in-plan (the F8 crossJoin pattern, no collect); its
+    // subtree appears twice but scans only the doc_id column.
+    "q153_vocab_growth" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val mn = docs.agg(min($"doc_id").as("__mn"))
+      val dHist = docs.select($"doc_id").crossJoin(mn)
+        .select((length(bin($"doc_id" - $"__mn" + 1L)) - 1)
+          .cast("long").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("__nd"))
+      val tHist = docs.select($"doc_id", $"text").crossJoin(mn)
+        .select(($"doc_id" - $"__mn" + 1L).as("off"),
+          explode(TextOps.words($"text")).as("term"))
+        .groupBy($"term").agg(min($"off").as("fd"))
+        .select((length(bin($"fd")) - 1).cast("long").as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("new_terms"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wcum = W.orderBy($"k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      dHist.join(broadcast(tHist), Seq("k"), "left")
+        .na.fill(0L, Seq("new_terms"))
+        .withColumn("prefix_docs", sum($"__nd").over(wcum))
+        .withColumn("vocab_size", sum($"new_terms").over(wcum))
+        .select($"k", $"prefix_docs", $"vocab_size", $"new_terms")
+        .orderBy($"k")
     })
   )
 
@@ -3405,6 +3443,30 @@ object DocumentQueries {
            CAST(quantile_disc(t, 0.10) AS BIGINT) AS p10,
            CAST(quantile_disc(t, 0.50) AS BIGINT) AS p50,
            CAST(quantile_disc(t, 0.90) AS BIGINT) AS p90
-         FROM toks GROUP BY source ORDER BY source"""
+         FROM toks GROUP BY source ORDER BY source""",
+
+    // independent route: direct threshold counts per checkpoint
+    // (off < 2^(k+1) via bit shift) instead of the engine's bucket-
+    // histogram cumulative; same q110/q147 tokenization pair
+    "q153_vocab_growth" ->
+      """WITH p AS (SELECT min(doc_id) m FROM documents),
+         d AS (SELECT doc_id - (SELECT m FROM p) + 1 ofs, text
+           FROM documents),
+         bk AS (SELECT DISTINCT CAST(length(bin(ofs)) - 1 AS BIGINT) k
+           FROM d),
+         tf AS (SELECT term, min(ofs) fd FROM (
+             SELECT ofs, unnest(string_split_regex(text, '\s+')) term
+             FROM d) GROUP BY 1)
+         SELECT bk.k,
+           (SELECT CAST(count(*) AS BIGINT) FROM d
+             WHERE d.ofs < (CAST(1 AS BIGINT) << (bk.k + 1)))
+             AS prefix_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM tf
+             WHERE tf.fd < (CAST(1 AS BIGINT) << (bk.k + 1)))
+             AS vocab_size,
+           (SELECT CAST(count(*) AS BIGINT) FROM tf
+             WHERE CAST(length(bin(tf.fd)) - 1 AS BIGINT) = bk.k)
+             AS new_terms
+         FROM bk ORDER BY k"""
   )
 }

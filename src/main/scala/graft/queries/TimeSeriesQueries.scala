@@ -1125,6 +1125,94 @@ object TimeSeriesQueries {
             .otherwise(round($"__top".cast("double") /
               $"__tot".cast("double"), 6)).as("top10_share"))
         .orderBy($"event_type")
+    }),
+
+    // Weekly churn rate — the retention complement of q149's
+    // acquisition split: of the users active in week w, how many do
+    // NOT come back in week w+1. "Next active week" is a lead window
+    // over the distinct (user, week) GRID (q145/q149's clustering
+    // story: grid exchange → one user_id window exchange → the tiny
+    // per-week histogram); churn for the last observed week is
+    // undefined (no w+1 horizon) and emits NULL, with the global max
+    // week read off the collapsed weekly frame by an unpartitioned
+    // window (≤ weeks rows). All counts integer, one 6dp division.
+    "q151_weekly_churn" -> ((s, d) => {
+      import s.implicits._
+      val uw = events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+        .distinct()
+      val nxt = lead($"week", 1).over(
+        Window.partitionBy($"user_id").orderBy($"week"))
+      val hist = uw
+        .withColumn("retained",
+          when(nxt === date_add($"week", 7), 1L).otherwise(0L))
+        .groupBy($"week")
+        .agg(count(lit(1)).as("n_active"), sum($"retained").as("__ret"))
+      hist.withColumn("__mx", max($"week").over(Window.partitionBy()))
+        .select($"week", $"n_active",
+          when($"week" === $"__mx", lit(null).cast("long"))
+            .otherwise($"n_active" - $"__ret").as("n_churned"),
+          when($"week" === $"__mx", lit(null).cast("double"))
+            .otherwise(round(($"n_active" - $"__ret").cast("double") /
+              $"n_active".cast("double"), 6)).as("churn_rate"))
+        .orderBy($"week")
+    }),
+
+    // Inter-event gap percentiles per event_type (p50/p90/max seconds
+    // between a user's consecutive events of that type) — the arrival-
+    // cadence grid read next to q146's burstiness scalar. The lag runs
+    // per (user, type); tie order at equal timestamps cannot change
+    // the GAP MULTISET (consecutive differences of a sorted multiset),
+    // so the result is deterministic without an id tiebreak — event_id
+    // is still in the sort for a stable executed order. Gaps collapse
+    // to the integer-seconds HISTOGRAM (q148's shape: cumulative
+    // window + conditional min with the integer rank test 100·cum ≥
+    // p·n over the ≤ distinct-gaps×types frame, never a per-type sort
+    // of raw gaps); the final aggregate reuses the event_type
+    // clustering. All integer: micros difference, floor DIV to
+    // seconds, nearest-rank picks.
+    "q152_gap_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val wlag = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val gaps = events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("__prev", lag($"ts", 1).over(wlag))
+        .where($"__prev".isNotNull)
+        .select($"event_type",
+          expr("(unix_micros(ts) - unix_micros(__prev)) DIV 1000000")
+            .as("gap_s"))
+      val hist = gaps.groupBy($"event_type", $"gap_s")
+        .agg(count(lit(1)).as("m"))
+      val wt = Window.partitionBy($"event_type")
+      val wcum = wt.orderBy($"gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(wt))
+      def pick(p: Int) =
+        min(when($"cum" * 100 >= lit(p) * $"n", $"gap_s")).cast("long")
+      cum.groupBy($"event_type")
+        .agg(first($"n").as("n_gaps"), pick(50).as("p50_gap_s"),
+          pick(90).as("p90_gap_s"), max($"gap_s").as("max_gap_s"))
+        .orderBy($"event_type")
+    }),
+
+    // Power-user curve: log2-bucketed histogram of events-per-user —
+    // the activity-concentration profile (each bucket k holds users
+    // with 2^k ≤ n < 2^(k+1)). The bucket index is pure INTEGER/string
+    // arithmetic — length(bin(n)) − 1 = ⌊log2 n⌋ — because the float
+    // route has the classic cliff: log(8)/log(2) = 2.9999999999999996
+    // floors to 2 on exact powers of two. Two exchanges: the per-user
+    // rollup and the ≤ 64-row bucket rollup.
+    "q154_activity_histogram" -> ((s, d) => {
+      import s.implicits._
+      val per = events(s, d).groupBy($"user_id")
+        .agg(count(lit(1)).as("n"))
+      per.select((length(bin($"n")) - 1).cast("long").as("bucket"), $"n")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_users"), min($"n").as("min_events"),
+          max($"n").as("max_events"), sum($"n").as("total_events"))
+        .orderBy($"bucket")
     })
   )
 
@@ -1976,6 +2064,56 @@ object TimeSeriesQueries {
              ELSE round(CAST(sum(CASE WHEN rn * 10 <= n + 9
                  THEN cents ELSE 0 END) AS DOUBLE)
                / CAST(max(t) AS DOUBLE), 6) END AS top10_share
-         FROM r GROUP BY 1 ORDER BY event_type"""
+         FROM r GROUP BY 1 ORDER BY event_type""",
+
+    // independent route: LEFT JOIN to the (user, week+7) row instead
+    // of the engine's lead window over the user-clustered grid
+    "q151_weekly_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) wk FROM events),
+         mx AS (SELECT max(wk) m FROM uw),
+         j AS (SELECT a.wk, CAST(count(*) AS BIGINT) n_active,
+             CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) churned
+           FROM uw a LEFT JOIN uw b
+             ON b.user_id = a.user_id AND b.wk = a.wk + 7
+           GROUP BY 1)
+         SELECT wk AS week, n_active,
+           CASE WHEN wk = (SELECT m FROM mx) THEN NULL
+             ELSE churned END AS n_churned,
+           CASE WHEN wk = (SELECT m FROM mx) THEN NULL
+             ELSE round(CAST(churned AS DOUBLE)
+               / CAST(n_active AS DOUBLE), 6) END AS churn_rate
+         FROM j ORDER BY week""",
+
+    // independent implementation: DuckDB's native quantile_disc over
+    // the raw gap list vs the engine's histogram-cumulative route
+    // (nearest-rank parity proven on the q148 fixtures)
+    "q152_gap_percentiles" ->
+      """WITH g AS (SELECT event_type,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id))) // 1000000 gap_s
+           FROM events),
+         f AS (SELECT event_type, CAST(gap_s AS BIGINT) gap_s
+           FROM g WHERE gap_s IS NOT NULL)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap_s, 0.50) AS BIGINT) AS p50_gap_s,
+           CAST(quantile_disc(gap_s, 0.90) AS BIGINT) AS p90_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+         FROM f GROUP BY 1 ORDER BY event_type""",
+
+    // same integer bit-length bucket (DuckDB bin() is also minimal-
+    // width); the genuinely independent route is the driver-side
+    // numberOfLeadingZeros form in AnalyticsSpec
+    "q154_activity_histogram" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) n
+           FROM events GROUP BY 1)
+         SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(n) AS BIGINT) AS min_events,
+           CAST(max(n) AS BIGINT) AS max_events,
+           CAST(sum(n) AS BIGINT) AS total_events
+         FROM per GROUP BY 1 ORDER BY bucket"""
   )
 }

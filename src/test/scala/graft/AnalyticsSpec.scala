@@ -327,6 +327,103 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q151 weekly churn equals driver-side grid attribution") {
+    val got = q("q151_weekly_churn")
+      .select(unix_date($"week").as("w"), $"n_active", $"n_churned",
+        $"churn_rate")
+      .collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // Monday-anchored week start in epoch days: day 0 = Thursday, so
+    // Monday ⟺ (d+3) mod 7 == 0 (the q144 convention)
+    val grid = rawEvents.map { r =>
+      val d = r._2 / 86400000000L
+      (r._1, d - ((d + 3) % 7))
+    }.distinct
+    val byUser = grid.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val maxW = grid.map(_._2).max
+    assert(got.keySet == grid.map(_._2).toSet)
+    grid.groupBy(_._2).foreach { case (w, us) =>
+      val active = us.size.toLong
+      val (ga, gc, gr) = got(w)
+      assert(ga == active, s"week $w active: $ga vs $active")
+      if (w == maxW) assert(gc.isEmpty && gr.isEmpty, s"week $w must be null")
+      else {
+        val churned = us.count(u => !byUser(u._1).contains(w + 7)).toLong
+        assert(gc.contains(churned), s"week $w churned: $gc vs $churned")
+        assert(math.abs(gr.get - churned.toDouble / active) < 5e-7,
+          s"week $w rate")
+      }
+    }
+  }
+
+  test("q152 gap percentiles equal driver-side sorted-gap nearest-rank") {
+    val got = q("q152_gap_percentiles")
+      .select($"event_type", $"n_gaps", $"p50_gap_s", $"p90_gap_s",
+        $"max_gap_s")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val seen = scala.collection.mutable.Set[String]()
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      // tie order at equal ts cannot change the gap multiset
+      // (consecutive diffs of a sorted multiset), so a plain ts sort
+      // is the full semantics
+      val gaps = rows.groupBy(_._1).values.flatMap { es =>
+        val ts = es.map(_._2).sorted
+        ts.zip(ts.tail).map { case (a, b) => Math.floorDiv(b - a, 1000000L) }
+      }.toSeq.sorted
+      if (gaps.nonEmpty) {
+        seen += et
+        val n = gaps.size
+        def pick(p: Int) = gaps((p * n + 99) / 100 - 1)
+        val want = (n.toLong, pick(50), pick(90), gaps.last)
+        assert(got(et) == want, s"$et: ${got(et)} vs $want")
+      }
+    }
+    assert(got.keySet == seen, s"${got.keySet} vs $seen")
+  }
+
+  test("q153 vocab growth equals a driver-side first-occurrence walk") {
+    val got = q("q153_vocab_growth")
+      .select($"k", $"prefix_docs", $"vocab_size", $"new_terms")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mn = docs.map(_._1).min
+    val offs = docs.map(d => d._1 - mn + 1)
+    def bucket(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val firstOf = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, text) =>
+      val off = id - mn + 1
+      text.split("\\s+", -1).foreach { t =>
+        if (off < firstOf.getOrElse(t, Long.MaxValue)) firstOf(t) = off
+      }
+    }
+    val want = offs.map(bucket).distinct.sorted.map { k =>
+      val lim = 1L << (k + 1)
+      (k, offs.count(_ < lim).toLong,
+        firstOf.values.count(_ < lim).toLong,
+        firstOf.values.count(v => bucket(v) == k).toLong)
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q154 activity histogram equals driver-side bit-length buckets") {
+    val got = q("q154_activity_histogram")
+      .select($"bucket", $"n_users", $"min_events", $"max_events",
+        $"total_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val per = rawEvents.groupBy(_._1).view.mapValues(_.size.toLong)
+      .values.toSeq
+    val want = per
+      .groupBy(n => (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong)
+      .toSeq.map { case (b, ns) =>
+        (b, ns.size.toLong, ns.min, ns.max, ns.sum)
+      }.sorted
+    assert(got == want, s"$got vs $want")
+  }
+
   test("q138 change point equals a brute-force integer CUSUM argmax") {
     val got = q("q138_changepoint")
       .select($"event_type", unix_date($"change_day").as("cd"),

@@ -917,6 +917,58 @@ class PlanInvariantsSpec extends SparkSpec {
       s"rank window must sit above the per-user aggregate:\n$p")
   }
 
+  test("q151 churn: lead window on the grid, q149's 3 exchanges, no joins") {
+    // distinct (user,week) grid exchange → one user_id window exchange
+    // → weekly histogram; the max-week window is unpartitioned but
+    // runs over the COLLAPSED ≤ weeks-row frame
+    val p = plan("q151_weekly_churn")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"lead window must sit above the distinct-week aggregate:\n$p")
+  }
+
+  test("q152 gaps: lag per (user,type), percentile windows on the histogram") {
+    // the lag window re-clusters raw events ONCE on (user_id,
+    // event_type); gaps then collapse to the integer-seconds histogram
+    // and the cumulative/total windows + final aggregate run over that
+    // frame sharing the event_type exchange — 3 total, no joins
+    val p = plan("q152_gap_percentiles")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q153 vocab growth: bucket histograms join broadcast, no raw-doc sort") {
+    // two ≤64-row bucket histograms (docs + term-first-occurrence)
+    // meet in a broadcast join; the 1-row min frame enters via two
+    // BroadcastNestedLoopJoins (the F8 crossJoin pattern — its subtree
+    // scans only doc_id); cumulative windows run on the joined tiny
+    // frame. No SortMergeJoin, no unpartitioned window below a
+    // collapse.
+    val p = plan("q153_vocab_growth")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 2, p)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(countOf(p, "Scan parquet") == 4, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+  }
+
+  test("q154 activity histogram: two rollups, map-side combine, no windows") {
+    val p = plan("q154_activity_histogram")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("partial_count"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 1, s"column pruning lost: $readSchema")
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
