@@ -2577,6 +2577,26 @@ object DocumentQueries {
         .withColumn("vocab_size", sum($"new_terms").over(wcum))
         .select($"k", $"prefix_docs", $"vocab_size", $"new_terms")
         .orderBy($"k")
+    }),
+
+    // Exact-duplicate family-size histogram: how much of the corpus
+    // sits in clusters of 1, 2, 3, … identical texts — the shape
+    // number behind q23's per-hash list (dedup ROI is read off this:
+    // docs − clusters = rows a keep-first pass deletes). Two rollups,
+    // both map-side combinable: per-hash size (exchange bounded by
+    // distinct texts), then the ≤ max-cluster-size histogram. All
+    // integer.
+    "q158_dup_size_hist" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .groupBy(md5($"text").as("h"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"),
+          (($"cluster_size" - 1) * $"n_clusters").as("n_redundant"))
+        .orderBy($"cluster_size")
     })
   )
 
@@ -3467,6 +3487,14 @@ object DocumentQueries {
            (SELECT CAST(count(*) AS BIGINT) FROM tf
              WHERE CAST(length(bin(tf.fd)) - 1 AS BIGINT) = bk.k)
              AS new_terms
-         FROM bk ORDER BY k"""
+         FROM bk ORDER BY k""",
+
+    "q158_dup_size_hist" ->
+      """WITH s AS (SELECT md5(text) h, CAST(count(*) AS BIGINT) sz
+           FROM documents GROUP BY 1)
+         SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_redundant
+         FROM s GROUP BY 1 ORDER BY cluster_size"""
   )
 }

@@ -1213,6 +1213,98 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("n_users"), min($"n").as("min_events"),
           max($"n").as("max_events"), sum($"n").as("total_events"))
         .orderBy($"bucket")
+    }),
+
+    // Day-over-day event-mix shift: L1 distance between consecutive
+    // days' event_type count vectors (the categorical-drift alarm next
+    // to q123's numeric PSI). The pair alignment is a SIGNED UNION of
+    // the daily-collapsed histogram — each (day,type,c) contributes
+    // (+c,mass c) to its own day and (−c,mass c) to day+1, so
+    // Σ|sum| = Σ_t |c_d − c_{d−1}| with NO join and NO per-type lag
+    // window; a zero-event gap day correctly scores a full-mass shift
+    // on both sides. The first day (no predecessor) and the synthetic
+    // max+1 day drop via min/max windows over the ≤ days-row frame.
+    // All integer except one final 6dp division.
+    "q155_mix_shift" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"),
+          $"event_type")
+        .agg(count(lit(1)).as("c"))
+      // explode, not a self-union: one pass over the collapsed frame
+      // (a union would plan the daily rollup subtree twice)
+      val signed = daily.select($"event_type", explode(array(
+          struct($"day".as("day"), $"c".as("diff"), $"c".as("mass")),
+          struct(date_add($"day", 1).as("day"), (-$"c").as("diff"),
+            $"c".as("mass")))).as("e"))
+        .select($"e.day".as("day"), $"event_type",
+          $"e.diff".as("diff"), $"e.mass".as("mass"))
+      val byDay = signed.groupBy($"day", $"event_type")
+        .agg(sum($"diff").as("dd"), sum($"mass").as("mm"))
+        .groupBy($"day")
+        .agg(sum(abs($"dd")).as("l1"), sum($"mm").as("pair_mass"))
+      val wAll = Window.partitionBy()
+      byDay
+        .withColumn("__mn", min($"day").over(wAll))
+        .withColumn("__mx", max($"day").over(wAll))
+        .where($"day" > $"__mn" && $"day" < $"__mx")
+        .select($"day", $"l1", $"pair_mass",
+          round($"l1".cast("double") / $"pair_mass".cast("double"), 6)
+            .as("l1_share"))
+        .orderBy($"day")
+    }),
+
+    // Daily median value per event_type in exact integer cents —
+    // the central-tendency band a drift monitor reads next to q155's
+    // mix shift (means are whale-hostage; this is the robust center).
+    // The q148/q152 histogram discipline per (day,type) cell: cents
+    // collapse map-side, the cumulative window runs over the collapsed
+    // frame, the median is a conditional min with the integer rank
+    // test, and median_value is ONE IEEE division of exact longs (no
+    // rounding — both engines emit the identical double).
+    "q156_daily_median_value" -> ((s, d) => {
+      import s.implicits._
+      val hist = events(s, d)
+        .groupBy(date_trunc("day", $"ts").cast("date").as("day"),
+          $"event_type",
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        .agg(count(lit(1)).as("m"))
+      val wt = Window.partitionBy($"day", $"event_type")
+      val wcum = wt.orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(wt))
+        .groupBy($"day", $"event_type")
+        .agg(first($"n").as("n_events"),
+          min(when($"cum" * 2 >= $"n", $"cents")).cast("long")
+            .as("median_cents"))
+        .select($"day", $"event_type", $"n_events", $"median_cents",
+          ($"median_cents".cast("double") / 100).as("median_value"))
+        .orderBy($"day", $"event_type")
+    }),
+
+    // Calendar coverage audit per event_type: recording span vs days
+    // actually active — the completeness check a pipeline runs before
+    // trusting any daily statistic (q141/q146 assume dense days; this
+    // measures how true that is). Distinct (type, day) grid → one
+    // per-type reduction; span = datediff + 1 is exact integer date
+    // arithmetic, coverage the single 6dp division.
+    "q157_calendar_coverage" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select($"event_type",
+          date_trunc("day", $"ts").cast("date").as("day"))
+        .distinct()
+        .groupBy($"event_type")
+        .agg(min($"day").as("first_day"), max($"day").as("last_day"),
+          count(lit(1)).as("n_active_days"))
+        .select($"event_type", $"first_day", $"last_day", $"n_active_days",
+          (datediff($"last_day", $"first_day") + 1).cast("long")
+            .as("span_days"),
+          round($"n_active_days".cast("double") /
+            (datediff($"last_day", $"first_day") + 1).cast("double"), 6)
+            .as("coverage"))
+        .orderBy($"event_type")
     })
   )
 
@@ -2114,6 +2206,55 @@ object TimeSeriesQueries {
            CAST(min(n) AS BIGINT) AS min_events,
            CAST(max(n) AS BIGINT) AS max_events,
            CAST(sum(n) AS BIGINT) AS total_events
-         FROM per GROUP BY 1 ORDER BY bucket"""
+         FROM per GROUP BY 1 ORDER BY bucket""",
+
+    // independent route: FULL JOIN day-adjacency alignment instead of
+    // the engine's signed union
+    "q155_mix_shift" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) dy,
+             event_type, CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT min(dy) mn, max(dy) mx FROM daily),
+         pairs AS (SELECT COALESCE(a.dy, b.dy + 1) dy,
+             COALESCE(a.c, 0) ca, COALESCE(b.c, 0) cb
+           FROM daily a FULL JOIN daily b
+             ON a.event_type = b.event_type AND a.dy = b.dy + 1),
+         g AS (SELECT dy, CAST(sum(abs(ca - cb)) AS BIGINT) l1,
+             CAST(sum(ca + cb) AS BIGINT) pair_mass
+           FROM pairs GROUP BY 1)
+         SELECT dy AS day, l1, pair_mass,
+           round(CAST(l1 AS DOUBLE) / CAST(pair_mass AS DOUBLE), 6)
+             AS l1_share
+         FROM g
+         WHERE dy > (SELECT mn FROM bounds)
+           AND dy <= (SELECT mx FROM bounds)
+         ORDER BY day""",
+
+    // independent implementation: DuckDB's native quantile_disc over
+    // raw cents per (day, type) vs the engine's histogram-cumulative
+    // route; median_value is the same single IEEE division
+    "q156_daily_median_value" ->
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) dy,
+             event_type,
+             CAST(round(value * 100, 0) AS BIGINT) cents
+           FROM events)
+         SELECT dy AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(quantile_disc(cents, 0.50) AS BIGINT) AS median_cents,
+           CAST(quantile_disc(cents, 0.50) AS BIGINT) / 100.0
+             AS median_value
+         FROM c GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "q157_calendar_coverage" ->
+      """WITH g AS (SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS DATE) dy FROM events),
+         a AS (SELECT event_type, min(dy) first_day, max(dy) last_day,
+             CAST(count(*) AS BIGINT) n_active_days
+           FROM g GROUP BY 1)
+         SELECT event_type, first_day, last_day, n_active_days,
+           CAST(last_day - first_day + 1 AS BIGINT) AS span_days,
+           round(CAST(n_active_days AS DOUBLE)
+             / CAST(last_day - first_day + 1 AS DOUBLE), 6) AS coverage
+         FROM a ORDER BY event_type"""
   )
 }

@@ -424,6 +424,77 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
   }
 
+  test("q155 mix shift equals a driver-side day-pair L1 walk") {
+    val got = q("q155_mix_shift")
+      .select(unix_date($"day").as("d"), $"l1", $"pair_mass", $"l1_share")
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1.toLong -> (r._2, r._3, r._4)).toMap
+    val counts = rawEvents.groupBy(r => (r._2 / 86400000000L, r._3))
+      .view.mapValues(_.size.toLong).toMap
+    val days = counts.keySet.map(_._1)
+    val keys = (days ++ days.map(_ + 1))
+      .filter(d => d > days.min && d <= days.max)
+    assert(got.keySet == keys, s"${got.keySet} vs $keys")
+    keys.foreach { d =>
+      val types = counts.keySet.map(_._2)
+      val l1 = types.toSeq.map(t => math.abs(
+        counts.getOrElse((d, t), 0L) - counts.getOrElse((d - 1, t), 0L))).sum
+      val mass = types.toSeq.map(t =>
+        counts.getOrElse((d, t), 0L) + counts.getOrElse((d - 1, t), 0L)).sum
+      val (gl, gm, gs) = got(d)
+      assert((gl, gm) == ((l1, mass)), s"day $d: ($gl,$gm) vs ($l1,$mass)")
+      assert(math.abs(gs - l1.toDouble / mass) < 5e-7, s"day $d share")
+    }
+  }
+
+  test("q156 daily median equals driver-side sorted-cents nearest rank") {
+    val got = q("q156_daily_median_value")
+      .select(unix_date($"day").as("d"), $"event_type", $"n_events",
+        $"median_cents", $"median_value")
+      .as[(Int, String, Long, Long, Double)].collect()
+      .map(r => (r._1.toLong, r._2) -> (r._3, r._4, r._5)).toMap
+    val cells = rawEvents.groupBy(r => (r._2 / 86400000000L, r._3))
+    assert(got.keySet == cells.keySet)
+    cells.foreach { case (k, rows) =>
+      val cents = rows.map(r => math.rint(r._4 * 100).toLong).sorted
+      val n = cents.size
+      val med = cents((n + 1) / 2 - 1)
+      val (gn, gc, gv) = got(k)
+      assert((gn, gc) == ((n.toLong, med)), s"$k: ($gn,$gc) vs ($n,$med)")
+      assert(java.lang.Double.compare(gv, med.toDouble / 100) == 0,
+        s"$k value must be the bit-exact single division")
+    }
+  }
+
+  test("q157 calendar coverage equals driver-side span arithmetic") {
+    val got = q("q157_calendar_coverage")
+      .select($"event_type", unix_date($"first_day"), unix_date($"last_day"),
+        $"n_active_days", $"span_days", $"coverage")
+      .as[(String, Int, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2.toLong, r._3.toLong, r._4, r._5, r._6)).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val days = rows.map(_._2 / 86400000000L).distinct
+      val span = days.max - days.min + 1
+      val (gf, gl, gn, gs, gc) = got(et)
+      assert((gf, gl, gn, gs) ==
+        ((days.min, days.max, days.size.toLong, span)), s"$et")
+      assert(math.abs(gc - days.size.toDouble / span) < 5e-7, s"$et coverage")
+    }
+  }
+
+  test("q158 dup-size histogram equals a driver-side text-group walk") {
+    val got = q("q158_dup_size_hist")
+      .select($"cluster_size", $"n_clusters", $"n_docs", $"n_redundant")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val sizes = Tables.documents(spark, sf)
+      .select($"text").as[String].collect().toSeq
+      .groupBy(identity).values.map(_.size.toLong).toSeq
+    val want = sizes.groupBy(identity).toSeq.map { case (sz, cs) =>
+      (sz, cs.size.toLong, sz * cs.size, (sz - 1) * cs.size)
+    }.sorted
+    assert(got == want, s"$got vs $want")
+  }
+
   test("q138 change point equals a brute-force integer CUSUM argmax") {
     val got = q("q138_changepoint")
       .select($"event_type", unix_date($"change_day").as("cd"),

@@ -969,6 +969,52 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(readSchema.split(",").length == 1, s"column pruning lost: $readSchema")
   }
 
+  test("q155 mix shift: one scan, signed explode of the daily collapse, no joins") {
+    // the day-pair alignment is a map-side explode of the collapsed
+    // daily histogram (a self-union or per-type lag join would plan
+    // the rollup twice / shuffle raw events twice); min/max windows
+    // run over the ≤ days-row frame
+    val p = plan("q155_mix_shift")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("Generate explode"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+  }
+
+  test("q156 daily median: percentile windows on the cents histogram, 2 exchanges") {
+    val p = plan("q156_daily_median_value")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"windows must sit above the histogram aggregate:\n$p")
+  }
+
+  test("q157 coverage: distinct grid then per-type reduction, pruned scan") {
+    val p = plan("q157_calendar_coverage")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q158 dup sizes: two map-side-combinable rollups, text-only scan") {
+    val p = plan("q158_dup_size_hist")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(p.contains("partial_count"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 1, s"column pruning lost: $readSchema")
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
