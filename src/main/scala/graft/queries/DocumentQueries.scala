@@ -2597,6 +2597,63 @@ object DocumentQueries {
           ($"cluster_size" * $"n_clusters").as("n_docs"),
           (($"cluster_size" - 1) * $"n_clusters").as("n_redundant"))
         .orderBy($"cluster_size")
+    }),
+
+    // Character-class composition per source (alpha / digit /
+    // whitespace / other counts and shares) — the encoding-health
+    // screen an OCR/scrape triage reads before q79's entropy: a
+    // binary-garbage source shows in "other", a table-dump source in
+    // digits. Per-doc class counts are length-difference arithmetic
+    // (length − length(class stripped)) — pure integer, map-side,
+    // ONE exchange; the three 6dp shares are the only divisions.
+    "q159_charclass_profile" -> ((s, d) => {
+      import s.implicits._
+      def cnt(pat: String) =
+        (length($"text") - length(regexp_replace($"text", pat, "")))
+          .cast("long")
+      documents(s, d)
+        .select($"source", length($"text").cast("long").as("tc"),
+          cnt("[a-z]").as("al"), cnt("[0-9]").as("dg"),
+          cnt("[ \\t\\n\\r]").as("ws"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tc").as("total_chars"),
+          sum($"al").as("n_alpha"), sum($"dg").as("n_digit"),
+          sum($"ws").as("n_space"),
+          sum($"tc" - $"al" - $"dg" - $"ws").as("n_other"))
+        .select($"source", $"n_docs", $"total_chars", $"n_alpha",
+          $"n_digit", $"n_space", $"n_other",
+          round($"n_alpha".cast("double") / $"total_chars".cast("double"),
+            6).as("alpha_share"),
+          round($"n_space".cast("double") / $"total_chars".cast("double"),
+            6).as("space_share"),
+          round($"n_other".cast("double") / $"total_chars".cast("double"),
+            6).as("other_share"))
+        .orderBy($"source")
+    }),
+
+    // Tokenizer fertility per source (chars per token) + an n_chars
+    // METADATA AUDIT: the stored n_chars column is recomputed from the
+    // text and mismatches are counted — the trust-but-verify pass a
+    // pipeline runs before using any precomputed stat (the q157
+    // completeness idea applied to a column instead of a calendar).
+    // Same q148 tokenization; integer sums, one 6dp division, one
+    // pruned scan, ONE exchange.
+    "q162_token_fertility" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select($"source", length($"text").cast("long").as("tc"),
+          TextStats.bpeishTokenCount($"text").as("tk"),
+          when(length($"text").cast("long") =!= $"n_chars", 1L)
+            .otherwise(0L).as("mm"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tc").as("total_chars"),
+          sum($"tk").as("total_tokens"),
+          sum($"mm").as("n_chars_mismatch"))
+        .select($"source", $"n_docs", $"total_chars", $"total_tokens",
+          $"n_chars_mismatch",
+          round($"total_chars".cast("double") /
+            $"total_tokens".cast("double"), 6).as("chars_per_token"))
+        .orderBy($"source")
     })
   )
 
@@ -3495,6 +3552,55 @@ object DocumentQueries {
          SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) n_clusters,
            CAST(sz * count(*) AS BIGINT) AS n_docs,
            CAST((sz - 1) * count(*) AS BIGINT) AS n_redundant
-         FROM s GROUP BY 1 ORDER BY cluster_size"""
+         FROM s GROUP BY 1 ORDER BY cluster_size""",
+
+    // 'g' flag: DuckDB regexp_replace is first-match-only by default
+    // (Spark's replaces all)
+    "q159_charclass_profile" ->
+      """WITH c AS (SELECT source,
+             CAST(length(text) AS BIGINT) tc,
+             CAST(length(text)
+               - length(regexp_replace(text, '[a-z]', '', 'g'))
+               AS BIGINT) al,
+             CAST(length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS BIGINT) dg,
+             CAST(length(text)
+               - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+               AS BIGINT) ws
+           FROM documents),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+             CAST(sum(tc) AS BIGINT) total_chars,
+             CAST(sum(al) AS BIGINT) n_alpha,
+             CAST(sum(dg) AS BIGINT) n_digit,
+             CAST(sum(ws) AS BIGINT) n_space,
+             CAST(sum(tc - al - dg - ws) AS BIGINT) n_other
+           FROM c GROUP BY 1)
+         SELECT source, n_docs, total_chars, n_alpha, n_digit, n_space,
+           n_other,
+           round(CAST(n_alpha AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+             AS alpha_share,
+           round(CAST(n_space AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+             AS space_share,
+           round(CAST(n_other AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+             AS other_share
+         FROM g ORDER BY source""",
+
+    // same q148 token regex; n_chars audited against length(text)
+    "q162_token_fertility" ->
+      """WITH c AS (SELECT source,
+             CAST(length(text) AS BIGINT) tc,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]'))
+               AS BIGINT) tk,
+             CASE WHEN CAST(length(text) AS BIGINT) <> n_chars
+               THEN 1 ELSE 0 END mm
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tc) AS BIGINT) AS total_chars,
+           CAST(sum(tk) AS BIGINT) AS total_tokens,
+           CAST(sum(mm) AS BIGINT) AS n_chars_mismatch,
+           round(CAST(sum(tc) AS DOUBLE) / CAST(sum(tk) AS DOUBLE), 6)
+             AS chars_per_token
+         FROM c GROUP BY 1 ORDER BY source"""
   )
 }

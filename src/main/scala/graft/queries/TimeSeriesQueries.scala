@@ -1305,6 +1305,47 @@ object TimeSeriesQueries {
             (datediff($"last_day", $"first_day") + 1).cast("double"), 6)
             .as("coverage"))
         .orderBy($"event_type")
+    }),
+
+    // Monetary magnitude histogram per event_type: the same integer
+    // ⌊log2⌋ bucket as q154 applied to cents (every value here is
+    // ≥ 1 cent, checked by the BoundarySpec grid gate) — the
+    // order-of-magnitude profile a pricing-drift monitor reads next
+    // to q139's Benford digits, with exact per-bucket mass. Two
+    // exchanges; all integer.
+    "q160_value_magnitude_hist" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select($"event_type",
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        .select($"event_type",
+          (length(bin($"cents")) - 1).cast("long").as("bucket"), $"cents")
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n_events"), min($"cents").as("min_cents"),
+          max($"cents").as("max_cents"), sum($"cents").as("total_cents"))
+        .orderBy($"event_type", $"bucket")
+    }),
+
+    // Hour-of-day activity profile per event_type (long format: one
+    // row per observed (type, hour)) — q144's weekday screen at
+    // diurnal resolution. The hour comes from pure epoch arithmetic
+    // ((us DIV 3600000000) mod 24 — no session-timezone dependence),
+    // the histogram collapses map-side to ≤ 24×|types| rows, and the
+    // share divides by a per-type total from a window over THAT
+    // collapsed frame (reusing no extra scan). One division, 6dp.
+    "q161_hourly_profile" -> ((s, d) => {
+      import s.implicits._
+      val hist = events(s, d)
+        .select($"event_type",
+          expr("(unix_micros(ts) DIV 3600000000) % 24").as("hour"))
+        .groupBy($"event_type", $"hour").agg(count(lit(1)).as("n_events"))
+      hist
+        .withColumn("__tot",
+          sum($"n_events").over(Window.partitionBy($"event_type")))
+        .select($"event_type", $"hour", $"n_events",
+          round($"n_events".cast("double") / $"__tot".cast("double"), 6)
+            .as("share"))
+        .orderBy($"event_type", $"hour")
     })
   )
 
@@ -2255,6 +2296,32 @@ object TimeSeriesQueries {
            CAST(last_day - first_day + 1 AS BIGINT) AS span_days,
            round(CAST(n_active_days AS DOUBLE)
              / CAST(last_day - first_day + 1 AS DOUBLE), 6) AS coverage
-         FROM a ORDER BY event_type"""
+         FROM a ORDER BY event_type""",
+
+    "q160_value_magnitude_hist" ->
+      """WITH c AS (SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) cents FROM events)
+         SELECT event_type,
+           CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM c GROUP BY 1, 2 ORDER BY event_type, bucket""",
+
+    // same pure epoch arithmetic for the hour (epoch_us is
+    // timezone-free on both engines)
+    "q161_hourly_profile" ->
+      """WITH h AS (SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 hr FROM events),
+         g AS (SELECT event_type, CAST(hr AS BIGINT) hr,
+             CAST(count(*) AS BIGINT) n_events
+           FROM h GROUP BY 1, 2),
+         t AS (SELECT event_type, sum(n_events) tot FROM g GROUP BY 1)
+         SELECT g.event_type, g.hr AS "hour", g.n_events,
+           round(CAST(g.n_events AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+             AS share
+         FROM g JOIN t USING (event_type)
+         ORDER BY event_type, g.hr"""
   )
 }

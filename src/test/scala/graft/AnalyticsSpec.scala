@@ -495,6 +495,82 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
   }
 
+  test("q159 char classes equal driver-side per-char range tests") {
+    // range tests on chars, not a regex — independent of both engines'
+    // regex semantics
+    val got = q("q159_charclass_profile")
+      .select($"source", $"n_docs", $"total_chars", $"n_alpha", $"n_digit",
+        $"n_space", $"n_other")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val cs = rows.flatMap(_._2.toSeq)
+      val al = cs.count(c => c >= 'a' && c <= 'z').toLong
+      val dg = cs.count(c => c >= '0' && c <= '9').toLong
+      val ws = cs.count(" \t\n\r".contains(_)).toLong
+      val want = (src, rows.size.toLong, cs.size.toLong, al, dg, ws,
+        cs.size - al - dg - ws)
+      assert(got(src) == want, s"$src: ${got(src)} vs $want")
+    }
+  }
+
+  test("q160 magnitude histogram equals driver-side bit-length buckets") {
+    val got = q("q160_value_magnitude_hist")
+      .select($"event_type", $"bucket", $"n_events", $"min_cents",
+        $"max_cents", $"total_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = rawEvents
+      .map(r => (r._3, math.rint(r._4 * 100).toLong))
+      .groupBy { case (et, c) =>
+        (et, (63 - java.lang.Long.numberOfLeadingZeros(c)).toLong)
+      }
+      .toSeq.map { case ((et, b), rs) =>
+        val cs = rs.map(_._2)
+        (et, b, cs.size.toLong, cs.min, cs.max, cs.sum)
+      }.sorted
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q161 hourly profile equals driver-side epoch arithmetic") {
+    val got = q("q161_hourly_profile")
+      .select($"event_type", $"hour", $"n_events", $"share")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val byType = rawEvents.groupBy(_._3)
+    val cells = rawEvents
+      .groupBy(r => (r._3, (r._2 / 3600000000L) % 24))
+      .view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == cells.keySet)
+    cells.foreach { case (k, n) =>
+      val tot = byType(k._1).size.toLong
+      assert(got(k)._1 == n, s"$k: ${got(k)._1} vs $n")
+      assert(math.abs(got(k)._2 - n.toDouble / tot) < 5e-7, s"$k share")
+    }
+  }
+
+  test("q162 fertility equals a driver-side token count and n_chars audit") {
+    val got = q("q162_token_fertility")
+      .select($"source", $"n_docs", $"total_chars", $"total_tokens",
+        $"n_chars_mismatch", $"chars_per_token")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val pat = graft.ext.TextStats.BpeishPattern.r
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text", $"n_chars")
+      .as[(String, String, Long)].collect().toSeq
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val tc = rows.map(_._2.length.toLong).sum
+      val tk = rows.map(r => pat.findAllIn(r._2).size.toLong).sum
+      val mm = rows.count(r => r._2.length.toLong != r._3).toLong
+      val g = got(src)
+      assert((g._2, g._3, g._4, g._5) ==
+        ((rows.size.toLong, tc, tk, mm)), s"$src: $g")
+      assert(math.abs(g._6 - tc.toDouble / tk) < 5e-7, s"$src fertility")
+    }
+  }
+
   test("q138 change point equals a brute-force integer CUSUM argmax") {
     val got = q("q138_changepoint")
       .select($"event_type", unix_date($"change_day").as("cd"),

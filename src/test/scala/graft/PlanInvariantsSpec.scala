@@ -1015,6 +1015,50 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(readSchema.split(",").length == 1, s"column pruning lost: $readSchema")
   }
 
+  test("q159 char classes: map-side length arithmetic, one exchange") {
+    val p = plan("q159_charclass_profile")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_count"), p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q160 magnitude histogram: one rollup exchange, ts never read") {
+    val p = plan("q160_value_magnitude_hist")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q161 hourly profile: share window over the collapsed 24xtypes frame") {
+    val p = plan("q161_hourly_profile")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"share window must sit above the histogram aggregate:\n$p")
+  }
+
+  test("q162 fertility: map-side audit arithmetic, one exchange") {
+    val p = plan("q162_token_fertility")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
