@@ -2654,6 +2654,47 @@ object DocumentQueries {
           round($"total_chars".cast("double") /
             $"total_tokens".cast("double"), 6).as("chars_per_token"))
         .orderBy($"source")
+    }),
+
+    // Zipf head coverage: what share of all tokens the top-10/100/1000
+    // terms carry — the head-heaviness scalar a stopword/compression
+    // policy reads next to q62's explicit top-k list. NEVER ranks the
+    // vocabulary: a rank-K cut lands inside a run of equal-count terms
+    // and any K terms of highest counts carry the SAME mass
+    // (interchangeable ties), so coverage is computed from the
+    // (tf → n_terms) COUNT HISTOGRAM — cumulative terms in tf-desc
+    // order, the straddling bucket contributing (K − prev)·tf. The
+    // unpartitioned window runs over the ≤ distinct-tf-row frame
+    // (Zipf-small) above two collapsing aggregates. All integer,
+    // three 6dp share divisions.
+    "q166_zipf_coverage" -> ((s, d) => {
+      import s.implicits._
+      val hist = documents(s, d)
+        .select(explode(TextOps.words($"text")).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("tf"))
+        .groupBy($"tf").agg(count(lit(1)).as("m"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .orderBy($"tf".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cumT", sum($"m").over(wcum))
+        .withColumn("prevT", $"cumT" - $"m")
+      def cov(k: Int) =
+        sum($"tf" * greatest(least($"m", lit(k.toLong) - $"prevT"),
+          lit(0L))).cast("long")
+      cum.agg(sum($"m").cast("long").as("n_terms"),
+          sum($"tf" * $"m").cast("long").as("total_tokens"),
+          cov(10).as("top10_tokens"), cov(100).as("top100_tokens"),
+          cov(1000).as("top1000_tokens"))
+        .select($"n_terms", $"total_tokens", $"top10_tokens",
+          $"top100_tokens", $"top1000_tokens",
+          round($"top10_tokens".cast("double") /
+            $"total_tokens".cast("double"), 6).as("share10"),
+          round($"top100_tokens".cast("double") /
+            $"total_tokens".cast("double"), 6).as("share100"),
+          round($"top1000_tokens".cast("double") /
+            $"total_tokens".cast("double"), 6).as("share1000"))
     })
   )
 
@@ -3601,6 +3642,30 @@ object DocumentQueries {
            CAST(sum(mm) AS BIGINT) AS n_chars_mismatch,
            round(CAST(sum(tc) AS DOUBLE) / CAST(sum(tk) AS DOUBLE), 6)
              AS chars_per_token
-         FROM c GROUP BY 1 ORDER BY source"""
+         FROM c GROUP BY 1 ORDER BY source""",
+
+    // independent route: explicit row_number ranking (any tie order
+    // carries the same mass) vs the engine's histogram-cut form
+    "q166_zipf_coverage" ->
+      """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) tf FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) term
+             FROM documents) GROUP BY 1),
+         r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) rn
+           FROM tf)
+         SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(tf) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN rn <= 10 THEN tf ELSE 0 END) AS BIGINT)
+             AS top10_tokens,
+           CAST(sum(CASE WHEN rn <= 100 THEN tf ELSE 0 END) AS BIGINT)
+             AS top100_tokens,
+           CAST(sum(CASE WHEN rn <= 1000 THEN tf ELSE 0 END) AS BIGINT)
+             AS top1000_tokens,
+           round(CAST(sum(CASE WHEN rn <= 10 THEN tf ELSE 0 END)
+               AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS share10,
+           round(CAST(sum(CASE WHEN rn <= 100 THEN tf ELSE 0 END)
+               AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS share100,
+           round(CAST(sum(CASE WHEN rn <= 1000 THEN tf ELSE 0 END)
+               AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS share1000
+         FROM r"""
   )
 }

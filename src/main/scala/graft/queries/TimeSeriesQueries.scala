@@ -1346,6 +1346,107 @@ object TimeSeriesQueries {
           round($"n_events".cast("double") / $"__tot".cast("double"), 6)
             .as("share"))
         .orderBy($"event_type", $"hour")
+    }),
+
+    // Global session-shape grid: p50/p90/max of session duration
+    // (integer seconds) AND session size, one row — what a capacity
+    // planner reads next to q19's per-user list. One pass: sessions
+    // from the q19 operator (the per-session rollup reuses the user
+    // window's clustering via the subset rule), then BOTH percentile
+    // grids ride ONE histogram pass — a q155-style explode tags each
+    // session with ("dur", s) and ("len", n) rows, the q148 cumulative
+    // discipline runs per kind, and conditional aggregation folds the
+    // grid into the single output row (no self-referencing subtree, no
+    // cache, no crossJoin). Tie order at equal timestamps cannot move
+    // a session boundary (gap 0 < threshold), so the grid is
+    // deterministic without the event_id tiebreak it still carries.
+    "q163_session_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val sess = Sessionize.assignSessions(
+          events(s, d).select($"user_id", $"ts", $"event_id"),
+          $"user_id", $"ts", Seq($"event_id"), 1800L)
+        .groupBy($"user_id", $"session_id")
+        .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 1000000")
+          .as("dur_s"), count(lit(1)).as("len"))
+      val vals = sess.select(explode(array(
+          struct(lit("dur").as("kind"), $"dur_s".as("v")),
+          struct(lit("len").as("kind"), $"len".as("v")))).as("e"))
+        .select($"e.kind".as("kind"), $"e.v".as("v"))
+      val hist = vals.groupBy($"kind", $"v").agg(count(lit(1)).as("m"))
+      val wk = Window.partitionBy($"kind")
+      val wcum = wk.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(wk))
+      def pick(kind: String, p: Int) =
+        min(when($"kind" === kind && $"cum" * 100 >= lit(p) * $"n", $"v"))
+          .cast("long")
+      cum.agg(
+        max(when($"kind" === "dur", $"n")).cast("long").as("n_sessions"),
+        pick("dur", 50).as("p50_duration_s"),
+        pick("dur", 90).as("p90_duration_s"),
+        max(when($"kind" === "dur", $"v")).cast("long")
+          .as("max_duration_s"),
+        pick("len", 50).as("p50_events"), pick("len", 90).as("p90_events"),
+        max(when($"kind" === "len", $"v")).cast("long").as("max_events"))
+    }),
+
+    // Lorenz decile curve per event_type — the full concentration
+    // curve behind q150's single top-decile point (and the exact
+    // geometry under q137's Gini scalar). Integer throughout: decile
+    // of rank rn among n users is ⌈10·rn/n⌉ = (10·rn + n − 1) DIV n
+    // (never a float rank cutoff); cumulative share is the one 6dp
+    // division. The rank window runs over the per-(type,user)
+    // collapsed frame; the decile rollup and both cumulative windows
+    // reuse the event_type clustering (subset rule) — two exchanges
+    // total. With n < 10 users some deciles are legitimately empty
+    // (a rank spans several deciles); rows exist only for non-empty
+    // ones and cum_share stays monotone.
+    "q164_lorenz_deciles" -> ((s, d) => {
+      import s.implicits._
+      val per = events(s, d).groupBy($"event_type", $"user_id")
+        .agg(sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))
+          .as("cents"))
+      val wt = Window.partitionBy($"event_type")
+      val wr = wt.orderBy($"cents".desc, $"user_id")
+      val dec = per.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wt))
+        .select($"event_type",
+          expr("(10 * rn + n - 1) DIV n").as("decile"), $"cents")
+        .groupBy($"event_type", $"decile")
+        .agg(count(lit(1)).as("n_users"), sum($"cents").as("dc"))
+      val wcum = wt.orderBy($"decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("cum", sum($"dc").over(wcum))
+        .withColumn("tot", sum($"dc").over(wt))
+        .select($"event_type", $"decile", $"n_users",
+          $"dc".as("decile_cents"),
+          when($"tot" === 0L, lit(null).cast("double"))
+            .otherwise(round($"cum".cast("double") / $"tot".cast("double"),
+              6)).as("cum_share"))
+        .orderBy($"event_type", $"decile")
+    }),
+
+    // Time-to-conversion histogram: days from a user's first event of
+    // ANY type to their first 'purchase' (the q102 funnel's step
+    // vocabulary), with never-converted users in the NULL row — the
+    // acquisition-lag distribution growth accounting reads next to
+    // q149. One user rollup (both firsts in the same pass), one
+    // ≤ span-days histogram; exact integer date arithmetic. Spark
+    // sorts NULLS FIRST by default and DuckDB NULLS LAST — the
+    // explicit asc_nulls_last aligns them.
+    "q165_conversion_lag" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select($"user_id",
+          date_trunc("day", $"ts").cast("date").as("day"), $"event_type")
+        .groupBy($"user_id")
+        .agg(min($"day").as("fd"),
+          min(when($"event_type" === "purchase", $"day")).as("fp"))
+        .select(datediff($"fp", $"fd").cast("long").as("lag_days"))
+        .groupBy($"lag_days")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"lag_days".asc_nulls_last)
     })
   )
 
@@ -2322,6 +2423,72 @@ object TimeSeriesQueries {
            round(CAST(g.n_events AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
              AS share
          FROM g JOIN t USING (event_type)
-         ORDER BY event_type, g.hr"""
+         ORDER BY event_type, g.hr""",
+
+    // independent implementation: DuckDB sessionizes with its own
+    // lag/running-sum windows and native quantile_disc over the raw
+    // per-session values (vs the engine's explode + histogram route)
+    "q163_session_percentiles" ->
+      """WITH s AS (SELECT user_id, ts, event_id, epoch_us(ts) us,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000 THEN 1 ELSE 0 END brk
+           FROM events),
+         g AS (SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) sid
+           FROM s),
+         p AS (SELECT user_id, sid,
+             (max(us) - min(us)) // 1000000 dur_s,
+             CAST(count(*) AS BIGINT) len
+           FROM g GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(dur_s, 0.50) AS BIGINT) AS p50_duration_s,
+           CAST(quantile_disc(dur_s, 0.90) AS BIGINT) AS p90_duration_s,
+           CAST(max(dur_s) AS BIGINT) AS max_duration_s,
+           CAST(quantile_disc(len, 0.50) AS BIGINT) AS p50_events,
+           CAST(quantile_disc(len, 0.90) AS BIGINT) AS p90_events,
+           CAST(max(len) AS BIGINT) AS max_events
+         FROM p""",
+
+    // same integer decile formula; the structurally different route is
+    // the driver-side sorted walk in AnalyticsSpec
+    "q164_lorenz_deciles" ->
+      """WITH per AS (SELECT event_type, user_id,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) cents
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cents DESC, user_id) rn,
+             count(*) OVER (PARTITION BY event_type) n
+           FROM per),
+         d AS (SELECT event_type,
+             CAST((10 * rn + n - 1) // n AS BIGINT) decile,
+             CAST(count(*) AS BIGINT) n_users,
+             CAST(sum(cents) AS BIGINT) dc
+           FROM r GROUP BY 1, 2),
+         c AS (SELECT event_type, decile, n_users, dc,
+             sum(dc) OVER (PARTITION BY event_type ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) cum,
+             sum(dc) OVER (PARTITION BY event_type) tot
+           FROM d)
+         SELECT event_type, decile, n_users,
+           CAST(dc AS BIGINT) AS decile_cents,
+           CASE WHEN tot = 0 THEN NULL
+             ELSE round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             END AS cum_share
+         FROM c ORDER BY event_type, decile""",
+
+    "q165_conversion_lag" ->
+      """WITH p AS (SELECT user_id,
+             min(CAST(date_trunc('day', ts) AS DATE)) fd,
+             min(CASE WHEN event_type = 'purchase'
+               THEN CAST(date_trunc('day', ts) AS DATE) END) fp
+           FROM events GROUP BY 1)
+         SELECT CAST(fp - fd AS BIGINT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM p GROUP BY 1 ORDER BY lag_days"""
   )
 }

@@ -571,6 +571,92 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q163 session grid equals a driver-side gap walk") {
+    val got = q("q163_session_percentiles")
+      .select($"n_sessions", $"p50_duration_s", $"p90_duration_s",
+        $"max_duration_s", $"p50_events", $"p90_events", $"max_events")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    // tie order at equal ts cannot move a session boundary (gap 0)
+    val sessions = rawEvents.groupBy(_._1).values.flatMap { es =>
+      val ts = es.map(_._2).sorted
+      val buf = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(ts.head))
+      ts.tail.foreach { t =>
+        if (t - buf.last.last > 1800000000L)
+          buf += scala.collection.mutable.ArrayBuffer(t)
+        else buf.last += t
+      }
+      buf.map(ss => (Math.floorDiv(ss.last - ss.head, 1000000L),
+        ss.size.toLong))
+    }.toSeq
+    def grid(vs: Seq[Long]) = {
+      val sv = vs.sorted; val n = sv.size
+      def pick(p: Int) = sv((p * n + 99) / 100 - 1)
+      (pick(50), pick(90), sv.last)
+    }
+    val (d50, d90, dmx) = grid(sessions.map(_._1))
+    val (l50, l90, lmx) = grid(sessions.map(_._2))
+    val want = (sessions.size.toLong, d50, d90, dmx, l50, l90, lmx)
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q164 Lorenz deciles equal a driver-side sorted-cents walk") {
+    val got = q("q164_lorenz_deciles")
+      .select($"event_type", $"decile", $"n_users", $"decile_cents",
+        $"cum_share")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val keys = scala.collection.mutable.Set[(String, Long)]()
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val per = rows.groupBy(_._1).view.mapValues(
+        _.map(r => math.rint(r._4 * 100).toLong).sum).toSeq
+        .sortBy { case (u, c) => (-c, u) }
+      val n = per.size.toLong
+      val tot = per.map(_._2).sum
+      val byDec = per.zipWithIndex
+        .map { case ((_, c), i) => ((10 * (i + 1) + n - 1) / n, c) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      var cum = 0L
+      byDec.foreach { case (dec, cs) =>
+        cum += cs.map(_._2).sum
+        keys += ((et, dec))
+        val (gn, gc, gs) = got((et, dec))
+        assert((gn, gc) == ((cs.size.toLong, cs.map(_._2).sum)),
+          s"$et d$dec: ($gn,$gc)")
+        assert(math.abs(gs - cum.toDouble / tot) < 5e-7, s"$et d$dec share")
+      }
+    }
+    assert(got.keySet == keys, s"${got.keySet} vs $keys")
+  }
+
+  test("q165 conversion lag equals driver-side first-touch diffs") {
+    val got = q("q165_conversion_lag")
+      .select($"lag_days", $"n_users").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getLong(1)).toMap
+    val want = rawEvents.groupBy(_._1).values.map { es =>
+      val fd = es.map(_._2 / 86400000000L).min
+      val fps = es.filter(_._3 == "purchase").map(_._2 / 86400000000L)
+      if (fps.isEmpty) None else Some(fps.min - fd)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q166 Zipf coverage equals a driver-side sorted-frequency walk") {
+    val got = q("q166_zipf_coverage")
+      .select($"n_terms", $"total_tokens", $"top10_tokens",
+        $"top100_tokens", $"top1000_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val tf = Tables.documents(spark, sf)
+      .select($"text").as[String].collect().toSeq
+      .flatMap(_.split("\\s+", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+      .sorted(Ordering[Long].reverse)
+    def top(k: Int) = tf.take(k).sum
+    val want = (tf.size.toLong, tf.sum, top(10), top(100), top(1000))
+    assert(got == want, s"$got vs $want")
+  }
+
   test("q138 change point equals a brute-force integer CUSUM argmax") {
     val got = q("q138_changepoint")
       .select($"event_type", unix_date($"change_day").as("cd"),

@@ -1059,6 +1059,53 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
   }
 
+  test("q163 session grid: one user window, dual histogram via explode, no joins") {
+    // sessionize window re-clusters raw events ONCE on user_id and the
+    // per-session rollup reuses it (subset rule); both percentile
+    // grids ride one exploded histogram — no self-referencing subtree,
+    // no cache, no crossJoin
+    val p = plan("q163_session_percentiles")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(p.contains("Generate explode"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+  }
+
+  test("q164 lorenz: rank window over per-user sums, type clustering reused") {
+    // per-(type,user) rollup exchange + ONE event_type window exchange
+    // that the decile rollup and both cumulative windows reuse
+    val p = plan("q164_lorenz_deciles")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"rank window must sit above the per-user aggregate:\n$p")
+  }
+
+  test("q165 conversion lag: both firsts in one user rollup, no joins") {
+    val p = plan("q165_conversion_lag")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  }
+
+  test("q166 zipf coverage: histogram-cut form, vocabulary never rank-sorted") {
+    // tf rollup + (tf -> n_terms) histogram are the only exchanges;
+    // the unpartitioned cumulative window runs over the <= distinct-tf
+    // frame — a row_number over the vocabulary would be a
+    // single-partition sort of vocabulary-cardinality rows
+    val p = plan("q166_zipf_coverage")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
