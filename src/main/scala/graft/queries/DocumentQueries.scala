@@ -2695,6 +2695,31 @@ object DocumentQueries {
             $"total_tokens".cast("double"), 6).as("share100"),
           round($"top1000_tokens".cast("double") /
             $"total_tokens".cast("double"), 6).as("share1000"))
+    }),
+
+    // Cross-source duplication matrix: the q24 verified near-dup pairs
+    // rolled up by canonical source pair — "which sources copy from
+    // each other", the provenance question a crawl-curation pass asks
+    // before deciding which copy to keep (and whether a source is a
+    // wholesale mirror). The pair set is banded-MinHash (never
+    // all-pairs); the source lookup streams a slim (doc_id, source)
+    // projection of the corpus past a BROADCAST of the exploded pair
+    // sides — near-dup pairs ≪ corpus by construction, so the
+    // broadcast is the scale shape (a shuffle join would re-exchange
+    // the whole corpus to annotate a tiny frame). min/max over each
+    // pair's two source rows is the canonical (src_a ≤ src_b) key.
+    "q169_dup_source_matrix" -> ((s, d) => {
+      import s.implicits._
+      val sides = minhashPairs(s, d)
+        .select($"a_id", $"b_id",
+          explode(array($"a_id", $"b_id")).as("doc_id"))
+      documents(s, d).select($"doc_id", $"source")
+        .join(broadcast(sides), Seq("doc_id"))
+        .groupBy($"a_id", $"b_id")
+        .agg(min($"source").as("src_a"), max($"source").as("src_b"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_a", $"src_b")
     })
   )
 
@@ -3666,6 +3691,36 @@ object DocumentQueries {
                AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS share100,
            round(CAST(sum(CASE WHEN rn <= 1000 THEN tf ELSE 0 END)
                AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS share1000
-         FROM r"""
+         FROM r""",
+
+    // re-derives the pair set from raw text via the shared q24 CTE
+    // chain, then annotates sources through a join instead of the
+    // engine's broadcast-sides shape
+    "q169_dup_source_matrix" ->
+      s"""WITH $shingleCte,
+         ids AS (SELECT doc_id, s,
+           list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 7)) AS BIGINT)) h
+           FROM sh),
+         sig AS (SELECT doc_id, s, $sigExprs m FROM ids),
+         bands AS (SELECT doc_id, bi,
+           concat_ws('-', m[bi*4 + 1], m[bi*4 + 2], m[bi*4 + 3], m[bi*4 + 4]) bk
+           FROM sig, range(0, 4) t(bi)),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+           FROM bands a JOIN bands b
+           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         pairs AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) jac
+           FROM cand JOIN sig sa ON a_id = sa.doc_id
+             JOIN sig sb ON b_id = sb.doc_id)
+           WHERE jac >= 0.5),
+         sides AS (SELECT a_id, b_id, unnest([a_id, b_id]) doc_id
+           FROM pairs),
+         ps AS (SELECT s.a_id, s.b_id,
+             min(d.source) src_a, max(d.source) src_b
+           FROM sides s JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b"""
   )
 }

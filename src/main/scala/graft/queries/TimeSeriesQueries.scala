@@ -1447,6 +1447,96 @@ object TimeSeriesQueries {
         .groupBy($"lag_days")
         .agg(count(lit(1)).as("n_users"))
         .orderBy($"lag_days".asc_nulls_last)
+    }),
+
+    // RFM segmentation grid — the classic recency/frequency/monetary
+    // user-base census, all three axes on the integer nearest-rank
+    // quintile q(rn) = (5·rn + n − 1) DIV n (the q164 decile formula;
+    // never ntile, whose tie placement is row-order-dependent and so
+    // layout-dependent). Rank order ties break on user_id, making
+    // every quintile assignment bit-exact at any partitioning. The
+    // three rank windows are unpartitioned BUT run over the per-user
+    // collapsed frame (≤ |users| rows — the pack-wide bounded-global-
+    // window rule), which a single user-keyed rollup exchange builds
+    // map-side from the raw scan; the ≤125-cell grid rollup is the
+    // only other exchange.
+    "q167_rfm_segments" -> ((s, d) => {
+      import s.implicits._
+      val per = events(s, d).groupBy($"user_id")
+        .agg(max(date_trunc("day", $"ts").cast("date")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
+      val wg = Window.partitionBy()
+      val quint = per
+        .withColumn("n", count(lit(1)).over(wg))
+        .withColumn("r_rn", row_number().over(
+          wg.orderBy($"last_day".desc, $"user_id")))
+        .withColumn("f_rn", row_number().over(
+          wg.orderBy($"freq".desc, $"user_id")))
+        .withColumn("m_rn", row_number().over(
+          wg.orderBy($"cents".desc, $"user_id")))
+        .select(expr("(5 * r_rn + n - 1) DIV n").as("r_q"),
+          expr("(5 * f_rn + n - 1) DIV n").as("f_q"),
+          expr("(5 * m_rn + n - 1) DIV n").as("m_q"),
+          $"freq", $"cents")
+      quint.groupBy($"r_q", $"f_q", $"m_q")
+        .agg(count(lit(1)).as("n_users"), sum($"freq").as("n_events"),
+          sum($"cents").as("total_cents"))
+        .orderBy($"r_q", $"f_q", $"m_q")
+    }),
+
+    // Conversion-path endpoints matrix: among users who ever purchase,
+    // first touch (first event type ever) × last touch (the event
+    // immediately BEFORE the first purchase; '(start)' when the
+    // purchase IS the user's first event) — the attribution table
+    // marketing reads next to q102's funnel and q165's lag histogram.
+    // ONE user-clustered window sort computes all three per-row
+    // signals (rank, lag, running purchase count — same partition +
+    // order, one WindowExec); the per-user rollup reuses that
+    // clustering (subset rule), so the matrix costs the window
+    // exchange plus the ≤ |types|²-cell rollup. Ties in ts break on
+    // event_id (ingest order) — deterministic on both engines.
+    "q168_touch_matrix" -> ((s, d) => {
+      import s.implicits._
+      val wu = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val rows = events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("prev", lag($"event_type", 1).over(wu))
+        .withColumn("cp", sum(when($"event_type" === "purchase", 1L)
+          .otherwise(0L)).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      rows.groupBy($"user_id")
+        .agg(max(when($"rn" === 1, $"event_type")).as("first_touch"),
+          max(when($"event_type" === "purchase" && $"cp" === 1L,
+            coalesce($"prev", lit("(start)")))).as("last_touch"))
+        .filter($"last_touch".isNotNull)
+        .groupBy($"first_touch", $"last_touch")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"first_touch", $"last_touch")
+    }),
+
+    // Per-user top-type dominance histogram — the bot/instrumentation
+    // screen: a user whose max per-type share sits in decile 10 is a
+    // single-behavior account, organic users spread. The share is
+    // never a float: decile = ⌈10·cmax/n⌉ = (10·cmax + n − 1) DIV n
+    // from the integer per-type counts. Three exchanges, each moving
+    // an already-collapsed frame: the (user,type) rollup (map-side
+    // partial over the raw scan), the per-user max/sum (≤ |users|·
+    // |types| partials), and the ≤10-row histogram — repartitioning
+    // raw events by user to share one exchange would move corpus
+    // rows without map-side collapse, strictly worse at scale.
+    "q170_dominance_hist" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(sum($"c").as("n"), max($"c").as("cmax"))
+        .select(expr("(10 * cmax + n - 1) DIV n").as("dominance_decile"),
+          $"n")
+        .groupBy($"dominance_decile")
+        .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"))
+        .orderBy($"dominance_decile")
     })
   )
 
@@ -2489,6 +2579,59 @@ object TimeSeriesQueries {
            FROM events GROUP BY 1)
          SELECT CAST(fp - fd AS BIGINT) AS lag_days,
            CAST(count(*) AS BIGINT) AS n_users
-         FROM p GROUP BY 1 ORDER BY lag_days"""
+         FROM p GROUP BY 1 ORDER BY lag_days""",
+
+    // same integer quintile formula; the structurally different route
+    // is the driver-side sorted-rank walk in AnalyticsSpec
+    "q167_rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+             max(CAST(date_trunc('day', ts) AS DATE)) last_day,
+             CAST(count(*) AS BIGINT) freq,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) cents
+           FROM events GROUP BY 1),
+         r AS (SELECT freq, cents,
+             count(*) OVER () n,
+             row_number() OVER (ORDER BY last_day DESC, user_id) r_rn,
+             row_number() OVER (ORDER BY freq DESC, user_id) f_rn,
+             row_number() OVER (ORDER BY cents DESC, user_id) m_rn
+           FROM per)
+         SELECT CAST((5 * r_rn + n - 1) // n AS BIGINT) AS r_q,
+           CAST((5 * f_rn + n - 1) // n AS BIGINT) AS f_q,
+           CAST((5 * m_rn + n - 1) // n AS BIGINT) AS m_q,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(freq) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM r GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""",
+
+    "q168_touch_matrix" ->
+      """WITH w AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) rn,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) prev,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) cp
+           FROM events),
+         p AS (SELECT user_id,
+             max(CASE WHEN rn = 1 THEN event_type END) first_touch,
+             max(CASE WHEN event_type = 'purchase' AND cp = 1
+               THEN coalesce(prev, '(start)') END) last_touch
+           FROM w GROUP BY 1)
+         SELECT first_touch, last_touch,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM p WHERE last_touch IS NOT NULL
+         GROUP BY 1, 2 ORDER BY first_touch, last_touch""",
+
+    "q170_dominance_hist" ->
+      """WITH c AS (SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         u AS (SELECT user_id, sum(c) n, max(c) cmax FROM c GROUP BY 1)
+         SELECT CAST((10 * cmax + n - 1) // n AS BIGINT)
+             AS dominance_decile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events
+         FROM u GROUP BY 1 ORDER BY dominance_decile"""
   )
 }

@@ -965,4 +965,117 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("allequal")._1 == java.time.LocalDate.parse("2024-01-01").toEpochDay)
     assert(got("allequal")._3 == 0L)
   }
+
+  test("q167 RFM grid equals a driver-side sorted-rank walk") {
+    val got = q("q167_rfm_segments")
+      .select($"r_q", $"f_q", $"m_q", $"n_users", $"n_events",
+        $"total_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6)).toMap
+    val per = rawEvents.groupBy(_._1).toSeq.map { case (u, rows) =>
+      (u, rows.map(_._2 / 86400000000L).max, rows.size.toLong,
+        rows.map(r => math.rint(r._4 * 100).toLong).sum)
+    }
+    val n = per.size
+    def quint(rank0: Int) = (5L * (rank0 + 1) + n - 1) / n
+    def ranks(key: ((Long, Long, Long, Long)) => (Long, Long)) =
+      per.sortBy(key).zipWithIndex
+        .map { case ((u, _, _, _), i) => u -> quint(i) }.toMap
+    val rQ = ranks { case (u, ld, _, _) => (-ld, u) }
+    val fQ = ranks { case (u, _, f, _) => (-f, u) }
+    val mQ = ranks { case (u, _, _, c) => (-c, u) }
+    val want = per.groupBy { case (u, _, _, _) => (rQ(u), fQ(u), mQ(u)) }
+      .view.mapValues(rs =>
+        (rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q168 touch matrix equals a driver-side per-user path walk") {
+    val got = q("q168_touch_matrix")
+      .select($"first_touch", $"last_touch", $"n_users")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val want = raw.groupBy(_._1).values.flatMap { es =>
+      val path = es.sortBy(e => (e._2, e._3)).map(_._4)
+      val fp = path.indexOf("purchase")
+      if (fp < 0) None
+      else Some((path.head, if (fp == 0) "(start)" else path(fp - 1)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q170 dominance histogram equals driver-side integer shares") {
+    val got = q("q170_dominance_hist")
+      .select($"dominance_decile", $"n_users", $"n_events")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = rawEvents.groupBy(_._1).values.map { es =>
+      val n = es.size.toLong
+      val cmax = es.groupBy(_._3).values.map(_.size.toLong).max
+      ((10L * cmax + n - 1) / n, n)
+    }.toSeq.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q169 source matrix equals a driver-side banded-MinHash recompute") {
+    // fully independent pair derivation: Scala tokenize → 3-shingles →
+    // md5-prefix ids → 16 affine minhashes → 4 bands → bucket
+    // candidates → exact-Jaccard >= 0.5 — no call into TextOps'
+    // Column forms or the native sig expression (constants shared by
+    // contract: ext.TextOps.hashA/hashB/MinhashPrime)
+    val got = q("q169_dup_source_matrix")
+      .select($"src_a", $"src_b", $"n_pairs")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect().toSeq
+    import graft.ext.TextOps
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(g: String): Long = {
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xFFL) << 16) | ((d(1) & 0xFFL) << 8) | (d(2) & 0xFFL)
+      (v << 4) | ((d(3) & 0xFF) >>> 4)
+    }
+    val sigs = docs.flatMap { case (id, text, _) =>
+      val w = text.split("\\s+", -1)
+      if (w.length < TextOps.ShingleK) None
+      else {
+        val sh = (0 to w.length - TextOps.ShingleK)
+          .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+        val ids = sh.map(h28)
+        val m = (0 until TextOps.NumHashes).map(j => ids.map(x =>
+          (TextOps.hashA(j) * x + TextOps.hashB(j)) %
+            TextOps.MinhashPrime).min)
+        Some((id, sh.toSet, m))
+      }
+    }
+    val cand = sigs.flatMap { case (id, _, m) =>
+        (0 until TextOps.Bands).map(bi =>
+          (bi, m.slice(bi * 4, bi * 4 + 4)) -> id)
+      }.groupBy(_._1).values.flatMap { g =>
+        val ids = g.map(_._2).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+    val shOf = sigs.map(s => s._1 -> s._2).toMap
+    val srcOf = docs.map(dd => dd._1 -> dd._3).toMap
+    val want = cand.toSeq
+      .filter { case (a, b) =>
+        val (sa, sb) = (shOf(a), shOf(b))
+        val inter = sa.intersect(sb).size.toDouble
+        inter / (sa.size + sb.size - inter) >= 0.5
+      }
+      .map { case (a, b) =>
+        val (x, y) = (srcOf(a), srcOf(b))
+        (if (x <= y) x else y, if (x <= y) y else x)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.nonEmpty, "fixture must produce near-dup pairs")
+  }
 }

@@ -1106,6 +1106,67 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
+  test("q167 rfm: quintile windows over the per-user collapsed frame") {
+    // ONE user rollup exchange builds the <= |users| frame; all the
+    // unpartitioned rank windows share ONE single-partition exchange
+    // (re-sorts, no re-shuffle); the <=125-cell grid rollup then rides
+    // the same single partition — no further exchange at all
+    val p = plan("q167_rfm_segments")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"rank windows must sit above the per-user aggregate:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  }
+
+  test("q168 touch matrix: one window sort, user clustering reused") {
+    // rank, lag and the running purchase count share one (user_id,
+    // (ts, event_id)) sort (the running sum's input projection splits
+    // a second Window node off, but it rides the SAME sorted
+    // partition — exactly one Sort, one exchange); the per-user
+    // rollup reuses both the clustering and the ordering
+    // (SortAggregate, no re-sort) — the only other exchange is the
+    // <=|types|^2 matrix rollup's
+    val p = plan("q168_touch_matrix")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "+- Sort [user_id") == 1, p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("q169 source matrix: broadcast pair sides onto the corpus scan") {
+    // the exploded near-dup pair sides (tiny by construction) must
+    // BROADCAST onto the slim (doc_id, source) projection — a shuffle
+    // join here would re-exchange the corpus to annotate a bounded
+    // frame; the upstream pair derivation keeps q24's banded shape
+    // (cached signature frame, never a cartesian)
+    val p = plan("q169_dup_source_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countOf(p, "InMemoryTableScan") >= 4, p)
+  }
+
+  test("q170 dominance: three collapsed exchanges, no window, no join") {
+    // (user,type) rollup collapses map-side from the raw scan; the
+    // per-user max/sum and the <=10-row histogram each move an
+    // already-collapsed frame — repartitioning raw events to share an
+    // exchange would move corpus rows without map-side combine
+    val p = plan("q170_dominance_hist")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
   test("pack-wide: every unpartitioned window runs over a collapsed frame") {
     // The bounded-global-window pattern (round-16 verdict nit #1): an
     // unpartitioned WindowExec IS a single-partition sort of its input,
