@@ -86,17 +86,14 @@ object MinHashSig {
     (v << 4) | ((d(3) & 0xFF) >>> 4)
   }
 
-  /** Byte-level form (round 10, same argument as [[SimHash60.compute]]):
-    * tokens are maximal non-whitespace BYTE runs of the UTF-8 buffer
-    * ([[SimHash60.tokenRanges]] — the shared single copy of the
-    * `split("\\s+", -1)` empty-token semantics); each shingle's bytes
-    * are materialized ONCE — token slices joined by ' ' — and shared
-    * by the md5 id, the distinct set (UTF8String hashes its bytes),
-    * and the output array, replacing the old decode → regex split →
-    * StringBuilder → String-set → re-encode → fromString chain that
-    * paid two codec passes per shingle. Input contract: well-formed
-    * UTF-8 (see [[SimHash60.tokenRanges]]). */
-  def compute(s: UTF8String): InternalRow = {
+  /** The distinct-shingle arm of [[compute]], shared with the
+    * shingle-set-only [[ShingleSet]] expression: distinct K-word
+    * shingles of the UTF-8 buffer in first-occurrence order, or null
+    * when the text has fewer than K tokens (callers map null to the
+    * same "no shingles" frame the declarative explode produces).
+    * Tokens are [[SimHash60.tokenRanges]] byte runs; each shingle's
+    * bytes are materialized once, slices joined by ' '. */
+  def shingleSet(s: UTF8String): java.util.LinkedHashSet[UTF8String] = {
     val bytes = s.getBytes
     val (starts, ends, ntok) = SimHash60.tokenRanges(bytes)
     if (ntok < K) return null
@@ -119,6 +116,22 @@ object MinHashSig {
       seen.add(UTF8String.fromBytes(g))
       t += 1
     }
+    seen
+  }
+
+  /** Byte-level form (round 10, same argument as [[SimHash60.compute]]):
+    * tokens are maximal non-whitespace BYTE runs of the UTF-8 buffer
+    * ([[SimHash60.tokenRanges]] — the shared single copy of the
+    * `split("\\s+", -1)` empty-token semantics); each shingle's bytes
+    * are materialized ONCE — token slices joined by ' ' — and shared
+    * by the md5 id, the distinct set (UTF8String hashes its bytes),
+    * and the output array, replacing the old decode → regex split →
+    * StringBuilder → String-set → re-encode → fromString chain that
+    * paid two codec passes per shingle. Input contract: well-formed
+    * UTF-8 (see [[SimHash60.tokenRanges]]). */
+  def compute(s: UTF8String): InternalRow = {
+    val seen = shingleSet(s)
+    if (seen == null) return null
     val md = md5.get()
     val mins = new Array[Long](NumHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)

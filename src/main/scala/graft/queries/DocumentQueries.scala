@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.ext.{TextOps, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over `documents` / `embeddings`
@@ -2720,6 +2721,67 @@ object DocumentQueries {
         .groupBy($"src_a", $"src_b")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy($"src_a", $"src_b")
+    }),
+
+    // Per-source shingle novelty: how much of each source's distinct
+    // 3-shingle content appears in NO other source — the "is this
+    // source original or a mirror" provenance read behind q169's pair
+    // matrix, computed on exact content (not signatures). Shingle
+    // sets come from the native map-only extractor
+    // (graft_shingle_set — the MinHashSig shingle arm without the
+    // wasted md5+minhash work), so the first exchange already carries
+    // the COLLAPSED distinct (shingle, source) frame, which is
+    // persisted because it feeds both the per-shingle source count
+    // and the per-source totals (the checkpoint a production overlap
+    // audit would materialize). A shingle unique to one source
+    // carries that source in min(source), so the unique rollup needs
+    // no join back.
+    "q172_shingle_novelty" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val a = graft.Caching.persisted(
+        documents(s, d)
+          .select($"source", explode(expr("graft_shingle_set(text)")).as("g"))
+          .groupBy($"g", $"source").agg(count(lit(1)).as("__dup")))
+      val b = a.groupBy($"g")
+        .agg(count(lit(1)).as("n_src"), min($"source").as("only_src"))
+      val tot = a.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+      val uq = b.filter($"n_src" === 1L)
+        .groupBy($"only_src".as("source"))
+        .agg(count(lit(1)).as("n_unique"))
+      tot.join(broadcast(uq), Seq("source"), "left")
+        .select($"source", $"n_shingles",
+          coalesce($"n_unique", lit(0L)).as("n_unique"),
+          round(coalesce($"n_unique", lit(0L)).cast("double") /
+            $"n_shingles".cast("double"), 6).as("unique_share"))
+        .orderBy($"source")
+    }),
+
+    // source × lang contingency lift — the scrape-misrouting screen: a
+    // cell whose observed count beats independence (lift > 1) marks a
+    // source specializing in a language. Per-cell arithmetic only —
+    // never a cross-cell float sum (a chi² scalar would be summation-
+    // order-dependent): excess_x_n = n·o − r·c is EXACT integer, and
+    // lift is the one IEEE division, so every row is bit-stable at any
+    // layout. Row/col/grand totals ride three windows over the
+    // ≤ |sources|·|langs| collapsed cell frame (the unpartitioned one
+    // sits above the collapsing aggregate, pack rule). Long products
+    // bound: o·n ≤ n² overflows past n ≈ 3.0e9 docs — at that corpus
+    // scale swap the two products to decimal(38,0) (the Hits.use128
+    // pattern; the grid is tiny, the cast costs nothing).
+    "q174_source_lang_lift" -> ((s, d) => {
+      import s.implicits._
+      val cell = documents(s, d).groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"))
+      cell
+        .withColumn("r", sum($"n_docs").over(Window.partitionBy($"source")))
+        .withColumn("c", sum($"n_docs").over(Window.partitionBy($"lang")))
+        .withColumn("t", sum($"n_docs").over(Window.partitionBy()))
+        .select($"source", $"lang", $"n_docs",
+          ($"n_docs" * $"t" - $"r" * $"c").as("excess_x_n"),
+          round(($"n_docs" * $"t").cast("double") /
+            ($"r" * $"c").cast("double"), 6).as("lift"))
+        .orderBy($"source", $"lang")
     })
   )
 
@@ -3721,6 +3783,44 @@ object DocumentQueries {
              min(d.source) src_a, max(d.source) src_b
            FROM sides s JOIN documents d USING (doc_id) GROUP BY 1, 2)
          SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
-         FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b"""
+         FROM ps GROUP BY 1, 2 ORDER BY src_a, src_b""",
+
+    // independent shingle derivation (list_transform over the regex
+    // split) vs the engine's native byte-level extractor
+    "q172_shingle_novelty" ->
+      """WITH tok AS (SELECT source, string_split_regex(text, '\s+') w
+           FROM documents),
+         shd AS (SELECT source, unnest(list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END)) g FROM tok),
+         a AS (SELECT DISTINCT source, g FROM shd),
+         b AS (SELECT g, count(*) n_src, min(source) only_src
+           FROM a GROUP BY 1),
+         tot AS (SELECT source, CAST(count(*) AS BIGINT) n_shingles
+           FROM a GROUP BY 1),
+         uq AS (SELECT only_src AS source, CAST(count(*) AS BIGINT)
+             n_unique
+           FROM b WHERE n_src = 1 GROUP BY 1)
+         SELECT t.source, n_shingles,
+           CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+           round(CAST(coalesce(n_unique, 0) AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE), 6) AS unique_share
+         FROM tot t LEFT JOIN uq USING (source) ORDER BY source""",
+
+    "q174_source_lang_lift" ->
+      """WITH cell AS (SELECT source, lang,
+             CAST(count(*) AS BIGINT) n_docs
+           FROM documents GROUP BY 1, 2),
+         w AS (SELECT source, lang, n_docs,
+             sum(n_docs) OVER (PARTITION BY source) r,
+             sum(n_docs) OVER (PARTITION BY lang) c,
+             sum(n_docs) OVER () t
+           FROM cell)
+         SELECT source, lang, n_docs,
+           CAST(n_docs * t - r * c AS BIGINT) AS excess_x_n,
+           round(CAST(n_docs * t AS DOUBLE) / CAST(r * c AS DOUBLE), 6)
+             AS lift
+         FROM w ORDER BY source, lang"""
   )
 }

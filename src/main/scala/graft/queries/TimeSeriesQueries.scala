@@ -1537,6 +1537,64 @@ object TimeSeriesQueries {
         .groupBy($"dominance_decile")
         .agg(count(lit(1)).as("n_users"), sum($"n").as("n_events"))
         .orderBy($"dominance_decile")
+    }),
+
+    // User-lifespan survival curve: S(k) = share of users whose
+    // observed lifespan (last day − first day) reaches k days — the
+    // Kaplan-Meier-flavored longevity read behind q107's cohort grid,
+    // without per-cohort splitting. Pure integers until the ONE share
+    // division: the lifespan histogram collapses to ≤ span-days rows,
+    // and "survivors at k" is a cumulative sum from the TOP of that
+    // collapsed frame (never a per-user window). Rows exist at
+    // observed lifespans only; survivors is right-continuous there.
+    "q171_survival_curve" -> ((s, d) => {
+      import s.implicits._
+      val hist = events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .groupBy($"user_id")
+        .agg(datediff(max($"day"), min($"day")).cast("long")
+          .as("lifespan_days"))
+        .groupBy($"lifespan_days").agg(count(lit(1)).as("n_ending"))
+      val wAll = Window.partitionBy()
+      val wTop = wAll.orderBy($"lifespan_days".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("survivors", sum($"n_ending").over(wTop))
+        .withColumn("__n", sum($"n_ending").over(wAll))
+        .select($"lifespan_days", $"n_ending", $"survivors",
+          round($"survivors".cast("double") / $"__n".cast("double"), 6)
+            .as("surviving_share"))
+        .orderBy($"lifespan_days")
+    }),
+
+    // DAU/MAU(28) stickiness per day — the engagement ratio product
+    // analytics tracks daily. Exact rolling 28-day distinct users
+    // WITHOUT a self-join or a per-day re-scan: each (user, active
+    // day) pair — already collapsed to ≤ |users|·|days| rows —
+    // fans out to the ≤28 window-end days it supports (a bounded,
+    // map-side explode of the COLLAPSED frame, never of raw events),
+    // then collapses to distinct (window-end, user). Days outside the
+    // observed range drop at the inner join with the DAU frame; both
+    // join sides are ≤ |days| rows, so the join broadcasts.
+    "q173_stickiness" -> ((s, d) => {
+      import s.implicits._
+      // the collapsed (day, user) frame feeds BOTH the DAU rollup and
+      // the 28-day fan-out — persist it rather than re-scanning raw
+      // events per branch (it is the natural engagement checkpoint)
+      val ud = graft.Caching.persisted(events(s, d)
+        .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+        .groupBy($"day", $"user_id").agg(count(lit(1)).as("__c")))
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select($"user_id",
+          explode(sequence($"day", date_add($"day", 27))).as("wday"))
+        .groupBy($"wday", $"user_id").agg(count(lit(1)).as("__c"))
+        .groupBy($"wday").agg(count(lit(1)).as("mau28"))
+      dau.join(broadcast(mau), $"day" === $"wday")
+        .select($"day", $"dau", $"mau28",
+          round($"dau".cast("double") / $"mau28".cast("double"), 6)
+            .as("stickiness"))
+        .orderBy($"day")
     })
   )
 
@@ -2632,6 +2690,39 @@ object TimeSeriesQueries {
              AS dominance_decile,
            CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(n) AS BIGINT) AS n_events
-         FROM u GROUP BY 1 ORDER BY dominance_decile"""
+         FROM u GROUP BY 1 ORDER BY dominance_decile""",
+
+    "q171_survival_curve" ->
+      """WITH per AS (SELECT user_id,
+             CAST(max(CAST(date_trunc('day', ts) AS DATE))
+                - min(CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               lifespan_days
+           FROM events GROUP BY 1),
+         h AS (SELECT lifespan_days, CAST(count(*) AS BIGINT) n_ending
+           FROM per GROUP BY 1)
+         SELECT lifespan_days, n_ending,
+           CAST(sum(n_ending) OVER (ORDER BY lifespan_days DESC
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS survivors,
+           round(CAST(sum(n_ending) OVER (ORDER BY lifespan_days DESC
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(sum(n_ending) OVER () AS DOUBLE), 6)
+             AS surviving_share
+         FROM h ORDER BY lifespan_days""",
+
+    "q173_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT
+             CAST(date_trunc('day', ts) AS DATE) dy, user_id
+           FROM events),
+         dau AS (SELECT dy, CAST(count(*) AS BIGINT) dau
+           FROM ud GROUP BY 1),
+         mau AS (SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT)
+             mau28
+           FROM (SELECT user_id, dy + CAST(i AS INTEGER) AS wday
+             FROM ud, unnest(generate_series(0, 27)) t(i))
+           GROUP BY 1)
+         SELECT a.dy AS day, dau, mau28,
+           round(CAST(dau AS DOUBLE) / CAST(mau28 AS DOUBLE), 6)
+             AS stickiness
+         FROM dau a JOIN mau m ON a.dy = m.wday ORDER BY day"""
   )
 }

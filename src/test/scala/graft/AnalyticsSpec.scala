@@ -1078,4 +1078,96 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want, s"$got vs $want")
     assert(got.nonEmpty, "fixture must produce near-dup pairs")
   }
+
+  test("q171 survival curve equals a driver-side lifespan walk") {
+    val got = q("q171_survival_curve")
+      .select($"lifespan_days", $"n_ending", $"survivors",
+        $"surviving_share")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val spans = rawEvents.groupBy(_._1).values.map { es =>
+      val ds = es.map(_._2 / 86400000000L)
+      ds.max - ds.min
+    }.toSeq
+    val n = spans.size.toLong
+    val hist = spans.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    var remaining = n
+    val want = hist.map { case (l, m) =>
+      val surv = remaining; remaining -= m
+      (l, m, surv, surv.toDouble / n)
+    }
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      want.map(r => (r._1, r._2, r._3)), s"$got vs $want")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 5e-7, s"share at ${g._1}")
+    }
+  }
+
+  test("q172 shingle novelty equals a driver-side set walk") {
+    val got = q("q172_shingle_novelty")
+      .select($"source", $"n_shingles", $"n_unique", $"unique_share")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect().toSeq
+    val bySrc: Map[String, Set[String]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, t) =>
+        val w = t.split("\\s+", -1)
+        if (w.length < 3) Seq.empty[String]
+        else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+      }.toSet).toMap
+    val srcCount = bySrc.toSeq
+      .flatMap { case (src, gs) => gs.map(_ -> src) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    bySrc.foreach { case (src, gs) =>
+      val uq = gs.count(g => srcCount(g) == 1).toLong
+      val (gn, gu, gs6) = got(src)
+      assert((gn, gu) == ((gs.size.toLong, uq)), s"$src: ($gn,$gu)")
+      assert(math.abs(gs6 - uq.toDouble / gs.size) < 5e-7, s"$src share")
+    }
+    assert(got.keySet == bySrc.keySet)
+  }
+
+  test("q173 stickiness equals a driver-side 28-day window walk") {
+    val got = q("q173_stickiness")
+      .select(datediff($"day", lit("1970-01-01")).cast("long"),
+        $"dau", $"mau28", $"stickiness")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ud = rawEvents.map(e => (e._1, e._2 / 86400000000L)).distinct
+    val days = ud.map(_._2).distinct.sorted
+    assert(got.keySet == days.toSet)
+    days.foreach { dy =>
+      val dau = ud.count(_._2 == dy).toLong
+      val mau = ud.filter(u => u._2 >= dy - 27 && u._2 <= dy)
+        .map(_._1).distinct.size.toLong
+      val (gd, gm, gst) = got(dy)
+      assert((gd, gm) == ((dau, mau)), s"day $dy: ($gd,$gm) vs ($dau,$mau)")
+      assert(math.abs(gst - dau.toDouble / mau) < 5e-7, s"day $dy ratio")
+    }
+  }
+
+  test("q174 lift equals driver-side contingency arithmetic") {
+    val got = q("q174_source_lang_lift")
+      .select($"source", $"lang", $"n_docs", $"excess_x_n", $"lift")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val cells = Tables.documents(spark, sf)
+      .select($"source", $"lang").as[(String, String)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = cells.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val c = cells.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toMap
+    val t = cells.values.sum
+    cells.foreach { case ((src, lg), o) =>
+      val excess = o * t - r(src) * c(lg)
+      val lift = BigDecimal((o * t).toDouble / (r(src) * c(lg)).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, ge, gl) = got((src, lg))
+      assert((gn, ge) == ((o, excess)), s"($src,$lg): ($gn,$ge)")
+      assert(math.abs(gl - lift) < 5e-7, s"($src,$lg) lift $gl vs $lift")
+    }
+    assert(got.keySet == cells.keySet)
+  }
 }

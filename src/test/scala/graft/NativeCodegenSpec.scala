@@ -60,13 +60,14 @@ class NativeCodegenSpec extends SparkSpec {
     (4L, "", "not json")
   ).toDF("id", "text", "j").repartition(2)
 
-  test("9 scalar natives compile in ONE whole-stage span (fallback off; " +
+  test("10 scalar natives compile in ONE whole-stage span (fallback off; " +
     "bloom_contains needs a foldable blob, spanned separately below)") {
     def q = docs.select(
       $"id",
       call_function("graft_fingerprint", $"text").as("fp"),
       call_function("graft_simhash", $"text").as("sh"),
       call_function("graft_minhash_sig", $"text").as("mh"),
+      call_function("graft_shingle_set", $"text").as("shs"),
       call_function("graft_char_entropy", $"text").as("ent"),
       call_function("graft_json_long", $"j", lit("k")).as("jl"),
       call_function("graft_dot",

@@ -1152,6 +1152,75 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "InMemoryTableScan") >= 4, p)
   }
 
+  test("q171 survival: cumulative windows over the lifespan histogram") {
+    // user rollup + lifespan histogram are the only hash exchanges;
+    // both cumulative windows ride ONE single-partition pass over the
+    // <= span-days collapsed frame (never a per-user window)
+    val p = plan("q171_survival_curve")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"cumulative windows must sit above the histogram aggregate:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
+  }
+
+  test("q172 shingle novelty: native extractor, cached (g,source) frame") {
+    // the shingle sets must come from the map-only native expression
+    // (no per-doc window, no interpreted transform in the hot path);
+    // the collapsed (shingle, source) frame is persisted and read by
+    // both the per-shingle count and the per-source totals; the final
+    // per-source join broadcasts
+    val p = plan("q172_shingle_novelty")
+    assert(p.contains("graft_shingle_set"), p)
+    assert(countOf(p, "InMemoryTableScan") >= 2, p)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q173 stickiness: bounded fan-out of the cached day-user frame") {
+    // ONE raw scan builds the cached (day, user) frame; DAU and the
+    // 28x explode both read the cache; the day-level join of the two
+    // <= |days| frames broadcasts
+    // (no raw-scan count pin: the printed plan repeats the cached
+    // body once per InMemoryTableScan, so FileScan appears twice even
+    // though the relation is built — and scanned — once)
+    val p = plan("q173_stickiness")
+    assert(countOf(p, "InMemoryTableScan") >= 2, p)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the explode runs over the collapsed frame, never raw events:
+    // it must appear above an InMemoryTableScan, not above a FileScan
+    val eIdx = p.indexOf("Generate explode")
+    assert(eIdx >= 0, p)
+    val nextIm = p.indexOf("InMemoryTableScan", eIdx)
+    val nextFs = p.indexOf("FileScan", eIdx)
+    assert(nextIm >= 0 && (nextFs < 0 || nextIm < nextFs),
+      s"explode must fan out the cached frame:\n$p")
+  }
+
+  test("q174 lift: three totals windows over the collapsed cell frame") {
+    val p = plan("q174_source_lang_lift")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    // cell rollup is the ONLY hash exchange: the planner runs the
+    // grand-total window first, and the source/lang totals windows
+    // then re-SORT within the same single partition (AllTuples
+    // satisfies their ClusteredDistribution) — no further exchange
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"totals windows must sit above the cell aggregate:\n$p")
+  }
+
   test("q170 dominance: three collapsed exchanges, no window, no join") {
     // (user,type) rollup collapses map-side from the raw scan; the
     // per-user max/sum and the <=10-row histogram each move an

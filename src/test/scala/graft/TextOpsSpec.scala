@@ -565,6 +565,46 @@ class TextOpsSpec extends SparkSpec {
     assert(nullSig)
   }
 
+  test("graft_shingle_set equals the declarative shingles column") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "ñü")
+    val seps = Seq(" ", "  ", "\t", "\n", " \r ")
+    val df = Seq.tabulate(40) { i =>
+      val words = Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      val s = (if (i % 5 == 0) "\t" else "") +
+        words.mkString(seps(rnd.nextInt(seps.size))) +
+        (if (i % 7 == 0) " " else "")
+      (i.toLong, s)
+    }.toDF("doc_id", "text")
+    // declarative: empty array for < 3 words; native: NULL — compare
+    // on the exploded frames, which agree exactly (explode drops both)
+    val decl = df
+      .select($"doc_id", explode(TextOps.shingles(TextOps.words($"text"))).as("g"))
+      .as[(Long, String)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val native = df
+      .select($"doc_id", explode(call_function("graft_shingle_set", $"text")).as("g"))
+      .as[(Long, String)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(native == decl)
+    // and the native arrays agree element-for-element with the sig's
+    // sh arm (same first-occurrence order, same distinctness)
+    val viaSig = df
+      .select($"doc_id", call_function("graft_minhash_sig", $"text").getField("sh").as("sh"))
+      .filter($"sh".isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    val direct = df
+      .select($"doc_id", call_function("graft_shingle_set", $"text").as("sh"))
+      .filter($"sh".isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(direct == viaSig)
+    // null text → null array, never a throw
+    val nullSh = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+      .select(call_function("graft_shingle_set", $"text").isNull)
+      .as[Boolean].head()
+    assert(nullSh)
+  }
+
   test("token counters: whitespace vs bpe-ish") {
     val (ws, bp) = Seq("hello world, this is 42!")
       .toDF("t")
