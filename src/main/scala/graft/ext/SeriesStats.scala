@@ -25,6 +25,45 @@ object SeriesStats {
     * overflow int64 fails LOUDLY; pass `use128 = true` to run the
     * identical arithmetic on decimal(38,0) — bit-identical ratios in
     * the int64-safe range (red-tested in SeriesStatsSpec). */
+  /** Calendar-aligned lag-k autocorrelation per key — the seasonality
+    * strength read (k=7: weekly). Unlike [[lag1Autocorr]]'s row lag,
+    * the k-back value comes from a RANGE frame over a NUMERIC order
+    * column (epoch day), so a gappy calendar pairs day d with day
+    * d−k exactly or not at all (a missing d−k contributes no
+    * numerator term; the denominator still spans the full series) —
+    * a row lag would silently pair across gaps and fake the phase.
+    * Same scaled-integer arithmetic and int64/decimal128 overflow
+    * contract as [[lag1Autocorr]] (red-tested in SeriesStatsSpec). */
+  def calendarLagAutocorr(counts: DataFrame, keyCol: String,
+                          ordCol: String, cCol: String, k: Int,
+                          use128: Boolean = false): DataFrame = {
+    val base =
+      if (use128)
+        counts.withColumn(cCol, col(cCol).cast("decimal(38,0)"))
+      else counts
+    val wt = Window.partitionBy(col(keyCol))
+    val wr = wt.orderBy(col(ordCol)).rangeBetween(-k, -k)
+    val dev = col("n") * col("c0") - col("s")
+    val devPrev = col("n") * col("prev") - col("s")
+    base
+      .withColumn("c0", col(cCol))
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum(col("c0")).over(wt))
+      .withColumn("prev", max(col("c0")).over(wr))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n_points"),
+        sum(when(col("prev").isNotNull, lit(1L)).otherwise(0L))
+          .as("n_pairs"),
+        sum(when(col("prev").isNotNull, dev * devPrev)).as("num"),
+        sum(dev * dev).as("den"))
+      .select(col(keyCol), col("n_points"), col("n_pairs"),
+        when(col("den") === 0 || col("n_pairs") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            col("den").cast("double"), 6))
+          .as(s"lag${k}_autocorr"))
+  }
+
   def lag1Autocorr(counts: DataFrame, keyCol: String, ordCol: String,
                    cCol: String, use128: Boolean = false): DataFrame = {
     val base =

@@ -407,6 +407,55 @@ object TextOps {
       .distinct()
   }
 
+  /** Rare-anchor one-sided containment pairs (a_id < b_id): every
+    * pair sharing at least one shingle with document frequency in
+    * [2, maxDf] is generated as a candidate, then verified with EXACT
+    * containment |A∩B|/|A| and |A∩B|/|B| over the cached
+    * [[shingleSets]] arrays; pairs pass when the LARGER side reaches
+    * tNum/tDen — an integer comparison (tDen·inter ≥ tNum·min(n)),
+    * never a float boundary. Containment is the asymmetric near-dup
+    * relation Jaccard misses: a short document wholly embedded in a
+    * long one has containment 1.0 but Jaccard ≈ |A|/|B| (planted
+    * fixture in TextOpsSpec). The df ceiling keeps the Zipf head out
+    * of the index — per-shingle postings are ≤ maxDf rows, so the
+    * self-join fan-out is ≤ maxDf² per shingle, never quadratic in
+    * the corpus. RECALL CAVEAT (mirrors [[jaccardPairs]]'s prefix
+    * ceiling): a pair ALL of whose shared shingles are hotter than
+    * maxDf is missed; rare-anchor indexing bets that near-copies
+    * share at least one rare shingle. */
+  def containmentPairs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, tNum: Int, tDen: Int, maxDf: Long,
+                       k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val anchors = sets
+      .select(col(idCol), col("__dfs"),
+        posexplode(col("__sh")).as(Seq("__p", "shingle")))
+      .withColumn("__df", element_at(col("__dfs"), col("__p") + 1))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col(idCol), col("shingle"))
+    val cand = anchors.as("a")
+      .join(anchors.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+    val inter = size(array_intersect(col("za.__sh"), col("zb.__sh")))
+      .cast("long")
+    cand
+      .join(sets.as("za"), col("a_id") === col(s"za.$idCol"))
+      .join(sets.as("zb"), col("b_id") === col(s"zb.$idCol"))
+      .select(col("a_id"), col("b_id"), inter.as("n_shared"),
+        col("za.__n").cast("long").as("n_a"),
+        col("zb.__n").cast("long").as("n_b"))
+      .filter(col("n_shared") * tDen >=
+        least(col("n_a"), col("n_b")) * tNum)
+      .withColumn("cont_a",
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 6))
+      .withColumn("cont_b",
+        round(col("n_shared").cast("double") / col("n_b").cast("double"), 6))
+  }
+
   /** Top-k rows per group by (score DESC, id ASC) via the native
     * partial top-k aggregate (`graft_topk`,
     * [[graft.functions.TopKByScore]]; register via

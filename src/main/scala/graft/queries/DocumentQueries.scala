@@ -2757,6 +2757,23 @@ object DocumentQueries {
         .orderBy($"source")
     }),
 
+    // Asymmetric containment pairs — the subset-copy detector Jaccard
+    // misses (a quote or excerpt wholly embedded in a longer doc has
+    // containment 1.0 from the short side but Jaccard ≈ |A|/|B| <
+    // any symmetric threshold). Candidates come from rare-shingle
+    // anchors (df ∈ [2,10] — per-shingle postings bounded, Zipf head
+    // never indexed, recall caveat in the TextOps scaladoc); the pass
+    // decision is the integer comparison 5·inter ≥ 4·min(|A|,|B|),
+    // never a float boundary. ext.TextOps.containmentPairs carries
+    // the reusable op; the cached shingle-set frame feeds anchors and
+    // both verify sides.
+    "q175_containment_pairs" -> ((s, d) => {
+      import s.implicits._
+      TextOps.containmentPairs(documents(s, d), "doc_id", "text",
+          4, 5, maxDf = 10L)
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // source × lang contingency lift — the scrape-misrouting screen: a
     // cell whose observed count beats independence (lift > 1) marks a
     // source specializing in a language. Per-cell arithmetic only —
@@ -3807,6 +3824,34 @@ object DocumentQueries {
            round(CAST(coalesce(n_unique, 0) AS DOUBLE)
              / CAST(n_shingles AS DOUBLE), 6) AS unique_share
          FROM tot t LEFT JOIN uq USING (source) ORDER BY source""",
+
+    // re-derives anchors and sets from raw text with DuckDB lists; the
+    // pass filter is the same integer comparison
+    "q175_containment_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') w
+           FROM documents),
+         sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) s FROM tok),
+         post AS (SELECT doc_id, unnest(s) g FROM sh),
+         df AS (SELECT g, count(*) df FROM post GROUP BY 1),
+         anch AS (SELECT p.doc_id, p.g FROM post p JOIN df USING (g)
+           WHERE df BETWEEN 2 AND 10),
+         cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+           FROM anch a JOIN anch b ON a.g = b.g AND a.doc_id < b.doc_id),
+         v AS (SELECT a_id, b_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) n_shared,
+             CAST(len(sa.s) AS BIGINT) n_a, CAST(len(sb.s) AS BIGINT) n_b
+           FROM cand JOIN sh sa ON a_id = sa.doc_id
+             JOIN sh sb ON b_id = sb.doc_id)
+         SELECT a_id, b_id, n_shared, n_a, n_b,
+           round(CAST(n_shared AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             AS cont_a,
+           round(CAST(n_shared AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+             AS cont_b
+         FROM v WHERE n_shared * 5 >= least(n_a, n_b) * 4
+         ORDER BY a_id, b_id""",
 
     "q174_source_lang_lift" ->
       """WITH cell AS (SELECT source, lang,

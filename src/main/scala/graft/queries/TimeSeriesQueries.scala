@@ -1595,6 +1595,99 @@ object TimeSeriesQueries {
           round($"dau".cast("double") / $"mau28".cast("double"), 6)
             .as("stickiness"))
         .orderBy($"day")
+    }),
+
+    // Audience-overlap Jaccard per event-type pair — "do the same
+    // users click and purchase, or are those disjoint populations".
+    // Never a user-keyed self-join: each user's ≤|types| sorted type
+    // set (persisted — it feeds the pair explode AND the per-type
+    // sizes) fans out map-side to its 2-combinations, so the only
+    // corpus-volume exchange is the per-user collect; pair and size
+    // rollups are |types|-bounded and the size lookups broadcast.
+    // Counts are exact integers; Jaccard is the one 6dp division.
+    "q176_audience_overlap" -> ((s, d) => {
+      import s.implicits._
+      val per = graft.Caching.persisted(
+        events(s, d).groupBy($"user_id")
+          .agg(sort_array(collect_set($"event_type")).as("ts")))
+      val pairs = per.select(explode(expr(
+          "flatten(transform(ts, (x, i) -> transform(" +
+            "slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"))
+          .as("p"))
+        .groupBy($"p.a".as("type_a"), $"p.b".as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val sizes = per.select(explode($"ts").as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(sizes.select($"t".as("type_a"), $"n".as("n_a"))),
+          Seq("type_a"))
+        .join(broadcast(sizes.select($"t".as("type_b"), $"n".as("n_b"))),
+          Seq("type_b"))
+        .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+          round($"n_both".cast("double") /
+            ($"n_a" + $"n_b" - $"n_both").cast("double"), 6).as("jaccard"))
+        .orderBy($"type_a", $"type_b")
+    }),
+
+    // Weekly seasonality strength: calendar-aligned lag-7
+    // autocorrelation of the daily count series per event_type —
+    // q141's lag-1 read at the weekly phase, via the RANGE-frame core
+    // (ext.SeriesStats.calendarLagAutocorr) so a gappy calendar pairs
+    // day d with day d−7 exactly or not at all (a row lag would
+    // silently pair across gaps and fake the phase; gap semantics,
+    // decimal128 overflow contract and int64 parity are red-tested in
+    // SeriesStatsSpec). Scaled-integer numerator/denominator, one
+    // final division.
+    "q177_weekly_seasonality" -> ((s, d) => {
+      import s.implicits._
+      val daily = events(s, d)
+        .groupBy($"event_type",
+          datediff(date_trunc("day", $"ts").cast("date"),
+            to_date(lit("1970-01-01"))).cast("long").as("ed"))
+        .agg(count(lit(1)).as("c"))
+      graft.ext.SeriesStats
+        .calendarLagAutocorr(daily, "event_type", "ed", "c", 7)
+        .orderBy($"event_type")
+    }),
+
+    // Largest week-over-week shift of the exact per-type median value
+    // — the distribution-drift alarm in the same units as the metric
+    // itself (PSI/KS flag shape changes; this flags the headline
+    // median moving). Weekly medians use q156's histogram-cut form
+    // (lower median over integer cents — never a float percentile),
+    // so the shift is an exact integer cents difference; the
+    // consecutive-week lag and the argmax rank (ties → earliest week)
+    // run over the ≤ weeks×types collapsed frame on ONE event_type
+    // clustering. Types with a single week have no shift and drop.
+    "q178_median_drift" -> ((s, d) => {
+      import s.implicits._
+      val hist = events(s, d)
+        .groupBy($"event_type",
+          date_trunc("week", $"ts").cast("date").as("week"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+        .agg(count(lit(1)).as("m"))
+      val ww = Window.partitionBy($"event_type", $"week")
+      val wcum = ww.orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = hist.withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(ww))
+        .groupBy($"event_type", $"week")
+        .agg(min(when($"cum" * 2 >= $"n", $"cents")).as("median_cents"))
+      val wt = Window.partitionBy($"event_type")
+      val wk = wt.orderBy($"week")
+      val shifts = med
+        .withColumn("n_weeks", count(lit(1)).over(wt))
+        .withColumn("prev", lag($"median_cents", 1).over(wk))
+        .filter($"prev".isNotNull)
+        .select($"event_type", $"n_weeks", $"week",
+          abs($"median_cents" - $"prev").as("shift"))
+      val w1 = wt.orderBy($"shift".desc, $"week")
+      shifts
+        .withColumn("rn", row_number().over(w1))
+        .filter($"rn" === 1)
+        .select($"event_type", $"n_weeks",
+          $"shift".as("max_shift_cents"), $"week".as("shift_week"))
+        .orderBy($"event_type")
     })
   )
 
@@ -2723,6 +2816,79 @@ object TimeSeriesQueries {
          SELECT a.dy AS day, dau, mau28,
            round(CAST(dau AS DOUBLE) / CAST(mau28 AS DOUBLE), 6)
              AS stickiness
-         FROM dau a JOIN mau m ON a.dy = m.wday ORDER BY day"""
+         FROM dau a JOIN mau m ON a.dy = m.wday ORDER BY day""",
+
+    // independent route: a user-keyed SELF-JOIN builds the pair
+    // counts (the engine never joins on user — it explodes per-user
+    // sorted sets)
+    "q176_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         sz AS (SELECT event_type, CAST(count(*) AS BIGINT) n
+           FROM tu GROUP BY 1),
+         p AS (SELECT a.event_type ta, b.event_type tb,
+             CAST(count(*) AS BIGINT) n_both
+           FROM tu a JOIN tu b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT ta AS type_a, tb AS type_b, sa.n AS n_a, sb.n AS n_b,
+           n_both,
+           round(CAST(n_both AS DOUBLE)
+             / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+         FROM p JOIN sz sa ON ta = sa.event_type
+           JOIN sz sb ON tb = sb.event_type
+         ORDER BY type_a, type_b""",
+
+    "q177_weekly_seasonality" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(CAST(date_trunc('day', ts) AS DATE)
+               - DATE '1970-01-01' AS BIGINT) ed,
+             CAST(count(*) AS BIGINT) c
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, c,
+             count(*) OVER (PARTITION BY event_type) n,
+             sum(c) OVER (PARTITION BY event_type) s,
+             max(c) OVER (PARTITION BY event_type ORDER BY ed
+               RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) prev
+           FROM daily)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
+           CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pairs,
+           CASE WHEN sum((n*c - s)*(n*c - s)) = 0
+               OR sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) = 0
+             THEN NULL
+             ELSE round(CAST(sum(CASE WHEN prev IS NOT NULL
+                 THEN (n*c - s)*(n*prev - s) END) AS DOUBLE)
+               / CAST(sum((n*c - s)*(n*c - s)) AS DOUBLE), 6)
+             END AS lag7_autocorr
+         FROM w GROUP BY 1 ORDER BY event_type""",
+
+    "q178_median_drift" ->
+      """WITH h AS (SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) wk,
+             CAST(round(value * 100, 0) AS BIGINT) cents,
+             CAST(count(*) AS BIGINT) m
+           FROM events GROUP BY 1, 2, 3),
+         c AS (SELECT event_type, wk, cents, m,
+             sum(m) OVER (PARTITION BY event_type, wk ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) cum,
+             sum(m) OVER (PARTITION BY event_type, wk) n
+           FROM h),
+         med AS (SELECT event_type, wk,
+             min(CASE WHEN cum * 2 >= n THEN cents END) median_cents
+           FROM c GROUP BY 1, 2),
+         sh AS (SELECT event_type, wk,
+             count(*) OVER (PARTITION BY event_type) n_weeks,
+             abs(median_cents - lag(median_cents) OVER (
+               PARTITION BY event_type ORDER BY wk)) shift
+           FROM med),
+         r AS (SELECT event_type,
+             CAST(n_weeks AS BIGINT) n_weeks, wk,
+             CAST(shift AS BIGINT) shift,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY shift DESC, wk) rn
+           FROM sh WHERE shift IS NOT NULL)
+         SELECT event_type, n_weeks, shift AS max_shift_cents,
+           wk AS shift_week
+         FROM r WHERE rn = 1 ORDER BY event_type"""
   )
 }

@@ -1170,4 +1170,112 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got.keySet == cells.keySet)
   }
+
+  test("q175 containment pairs equal a driver-side anchor recompute") {
+    val got = q("q175_containment_pairs")
+      .select($"a_id", $"b_id", $"n_shared", $"n_a", $"n_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val sets: Map[Long, Set[String]] = docs.flatMap { case (id, t) =>
+      val w = t.split("\\s+", -1)
+      if (w.length < 3) None
+      else Some(id -> (0 to w.length - 3)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet)
+    }.toMap
+    val df = sets.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cand = df.values.filter(ids => ids.size >= 2 && ids.size <= 10)
+      .flatMap { ids =>
+        val s = ids.toSeq.sorted
+        for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))
+      }.toSet
+    val want = cand.toSeq.flatMap { case (a, b) =>
+      val inter = sets(a).intersect(sets(b)).size.toLong
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      if (inter * 5 >= math.min(na, nb) * 4) Some((a, b) -> ((inter, na, nb)))
+      else None
+    }.toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.nonEmpty, "fixture must produce containment pairs")
+  }
+
+  test("q176 audience overlap equals a driver-side set walk") {
+    val got = q("q176_audience_overlap")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both", $"jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val byType = rawEvents.map(e => (e._3, e._1)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val want = (for (i <- types.indices; j <- i + 1 until types.size)
+      yield (types(i), types(j))).flatMap { case (a, b) =>
+        val nb = byType(a).intersect(byType(b)).size.toLong
+        if (nb == 0) None
+        else {
+          val (na2, nb2) = (byType(a).size.toLong, byType(b).size.toLong)
+          Some((a, b) -> ((na2, nb2, nb, nb.toDouble / (na2 + nb2 - nb))))
+        }
+      }.toMap
+    assert(got.keySet == want.keySet, s"$got vs $want")
+    want.foreach { case (k, (na, nb2, both, j)) =>
+      val g = got(k)
+      assert((g._1, g._2, g._3) == ((na, nb2, both)), s"$k: $g")
+      assert(math.abs(g._4 - j) < 5e-7, s"$k jaccard")
+    }
+  }
+
+  test("q177 weekly seasonality equals a driver-side BigInt walk") {
+    val got = q("q177_weekly_seasonality")
+      .select($"event_type", $"n_points", $"n_pairs", $"lag7_autocorr")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val daily = rows.map(_._2 / 86400000000L)
+        .groupBy(identity).view.mapValues(v => BigInt(v.size)).toMap
+      val n = BigInt(daily.size); val s = daily.values.sum
+      def dev(c: BigInt) = n * c - s
+      val pairs = daily.toSeq.flatMap { case (d, c) =>
+        daily.get(d - 7).map(p => (dev(c), dev(p))) }
+      val num = pairs.map(p => p._1 * p._2).sum
+      val den = daily.values.map(c => dev(c) * dev(c)).sum
+      val (gn, gp, ga) = got(et)
+      assert((gn, gp) == ((daily.size.toLong, pairs.size.toLong)), s"$et")
+      if (den == 0 || pairs.isEmpty) assert(ga.isEmpty, s"$et: $ga")
+      else {
+        val want = math.rint(
+          (BigDecimal(num) / BigDecimal(den)).toDouble * 1e6) / 1e6
+        assert(ga.contains(want), s"$et: $ga vs $want")
+      }
+    }
+  }
+
+  test("q178 median drift equals a driver-side weekly-median walk") {
+    val got = q("q178_median_drift")
+      .select($"event_type", $"n_weeks", $"max_shift_cents",
+        datediff($"shift_week", lit("1970-01-01")).cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rawEvents.groupBy(_._3).foreach { case (et, rows) =>
+      val byWeek = rows.map { r =>
+        val ed = r._2 / 86400000000L
+        (ed - java.lang.Math.floorMod(ed - 4L, 7L),
+          math.rint(r._4 * 100).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val weeks = byWeek.keys.toSeq.sorted
+      def lowerMedian(v: Seq[Long]): Long =
+        v.zipWithIndex.collectFirst {
+          case (c, i) if (i + 1) * 2 >= v.size => c }.get
+      val med = weeks.map(w => lowerMedian(byWeek(w)))
+      if (weeks.size >= 2) {
+        val shifts = weeks.drop(1).zip(
+          med.zip(med.drop(1)).map { case (p, c) => math.abs(c - p) })
+        val best = shifts.maxBy { case (w, sh) => (sh, -w) }
+        assert(got(et) == ((weeks.size.toLong, best._2, best._1)),
+          s"$et: ${got(et)} vs (${weeks.size}, ${best._2}, ${best._1})")
+      } else assert(!got.contains(et), s"$et should drop with one week")
+    }
+  }
 }

@@ -1221,6 +1221,51 @@ class PlanInvariantsSpec extends SparkSpec {
       s"totals windows must sit above the cell aggregate:\n$p")
   }
 
+  test("q175 containment: anchor-bucket join over the cached sets, never a cartesian") {
+    // the cached shingle-set frame feeds anchor generation and BOTH
+    // verify sides; candidates come from the shingle-equality
+    // self-join of the df-capped anchors — no cross product anywhere
+    val p = plan("q175_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countOf(p, "InMemoryTableScan") >= 3, p)
+  }
+
+  test("q176 audience overlap: per-user set explode, no user self-join") {
+    // pair counts come from the map-side 2-combination explode of the
+    // cached per-user sorted sets; the only joins are the two
+    // broadcast size lookups (|types| rows each)
+    val p = plan("q176_audience_overlap")
+    assert(countOf(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "InMemoryTableScan") >= 2, p)
+  }
+
+  test("q177 seasonality: range-frame windows on one type clustering") {
+    // daily rollup + ONE event_type window exchange; the final
+    // per-type aggregate reuses the window's clustering (subset rule)
+    val p = plan("q177_weekly_seasonality")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"series windows must sit above the daily rollup:\n$p")
+  }
+
+  test("q178 median drift: histogram medians, one type clustering reused") {
+    // cents histogram + (type,week) median windows + type-level
+    // lag/rank windows: three hash exchanges, each over a collapsed
+    // frame; the rank and lag share the type clustering
+    val p = plan("q178_median_drift")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q170 dominance: three collapsed exchanges, no window, no join") {
     // (user,type) rollup collapses map-side from the raw scan; the
     // per-user max/sum and the <=10-row histogram each move an

@@ -56,6 +56,77 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got._2 == want, s"${got._2} vs $want")
   }
 
+  test("calendarLagAutocorr: a gappy calendar pairs d with d-k exactly or not at all") {
+    // days 8 and 15 missing: day 14 has no d-7 partner (day 7 exists
+    // but day 14... plant so some rows lose their partner), and a row
+    // lag would silently pair across the gaps
+    val rnd = new scala.util.Random(77)
+    val days = (1 to 25).filterNot(d => d == 8 || d == 15)
+    val cs = days.map(d => ("k", d.toLong, (rnd.nextInt(100) + 1).toLong))
+    val got = graft.ext.SeriesStats
+      .calendarLagAutocorr(cs.toDF("k", "d", "c"), "k", "d", "c", 7)
+      .select($"n_points".cast("long"), $"n_pairs".cast("long"),
+        $"lag7_autocorr")
+      .as[(Long, Long, Double)].collect().head
+    // BigInt reference with an explicit d-7 map lookup
+    val m = cs.map(c => c._2 -> BigInt(c._3)).toMap
+    val n = BigInt(cs.size); val s = cs.map(c => BigInt(c._3)).sum
+    def dev(v: BigInt) = n * v - s
+    val pairs = cs.flatMap(c => m.get(c._2 - 7)
+      .map(p => (dev(BigInt(c._3)), dev(p))))
+    val num = pairs.map(p => p._1 * p._2).sum
+    val den = cs.map(c => dev(BigInt(c._3))).map(d => d * d).sum
+    val want = math.rint((BigDecimal(num) / BigDecimal(den)).toDouble * 1e6) / 1e6
+    assert(got._1 == cs.size.toLong)
+    assert(got._2 == pairs.size.toLong, s"${got._2} vs ${pairs.size}")
+    assert(got._3 == want, s"${got._3} vs $want")
+    // the gaps must cost pairs — otherwise this fixture proves nothing
+    assert(pairs.size < cs.size - 7)
+    // and a row-k lag over the same gappy series gives a DIFFERENT
+    // answer (it pairs across the gaps): the range frame is load-bearing
+    val rowPairs = cs.sortBy(_._2).map(c => dev(BigInt(c._3)))
+      .sliding(8).filter(_.size == 8).map(w => (w.last, w.head)).toSeq
+    val rowNum = rowPairs.map(p => p._1 * p._2).sum
+    val rowWant = math.rint((BigDecimal(rowNum) / BigDecimal(den)).toDouble * 1e6) / 1e6
+    assert(rowWant != want, "fixture too tame: row lag agrees by luck")
+  }
+
+  test("calendarLagAutocorr: decimal128 agrees bit-exactly with int64 in the safe range") {
+    val rnd = new scala.util.Random(177)
+    val counts = (for (k <- Seq("a", "b", "c"); day <- 1 to 40;
+                       if rnd.nextInt(5) > 0)
+      yield (k, day.toLong, (rnd.nextInt(5000) + 1).toLong)).toDF("k", "d", "c")
+    def run(use128: Boolean) = graft.ext.SeriesStats
+      .calendarLagAutocorr(counts, "k", "d", "c", 7, use128)
+      .select($"k", $"n_points".cast("long"), $"n_pairs".cast("long"),
+        $"lag7_autocorr")
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(false) == run(true))
+  }
+
+  test("calendarLagAutocorr: int64 overflow is loud; decimal128 matches BigInt past 2^63") {
+    val cs = (1 to 14).map(d => ("k", d.toLong,
+      if (d % 2 == 0) 2000000000L else 0L))
+    val counts = cs.toDF("k", "d", "c")
+    val thrown = intercept[Throwable] {
+      graft.ext.SeriesStats
+        .calendarLagAutocorr(counts, "k", "d", "c", 7).collect()
+    }
+    assert(isLoudOverflow(thrown), causes(thrown).map(_.getClass.getName))
+    val got = graft.ext.SeriesStats
+      .calendarLagAutocorr(counts, "k", "d", "c", 7, use128 = true)
+      .select($"n_pairs".cast("long"), $"lag7_autocorr")
+      .as[(Long, Double)].collect().head
+    val vals = cs.map(c => BigInt(c._3))
+    val n = BigInt(vals.size); val s = vals.sum
+    val dev = vals.map(n * _ - s)
+    val num = dev.drop(7).zip(dev).map { case (a, b) => a * b }.sum
+    val den = dev.map(d => d * d).sum
+    val want = math.rint((BigDecimal(num) / BigDecimal(den)).toDouble * 1e6) / 1e6
+    assert(got._1 == 7L)
+    assert(got._2 == want, s"${got._2} vs $want")
+  }
+
   test("Gini.fromHistogram: decimal128 agrees bit-exactly with int64 in the safe range") {
     val rnd = new scala.util.Random(137)
     val hist = (for (k <- Seq("a", "b"); t <- 1 to 40; if rnd.nextInt(3) > 0)

@@ -605,6 +605,32 @@ class TextOpsSpec extends SparkSpec {
     assert(nullSh)
   }
 
+  test("containmentPairs finds subset copies that jaccardPairs misses") {
+    val base = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),                    // 4 shingles, all inside doc 2
+      (2L, base + " " + filler),     // the long host document
+      (3L, "unrelated text entirely here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(df, "doc_id", "text", 4, 5, 10L)
+      .select($"a_id", $"b_id", $"n_shared", $"n_a", $"n_b",
+        $"cont_a", $"cont_b")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    Caching.release()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)), got.toSeq)
+    val p = got.head
+    assert(p._3 == 4L && p._4 == 4L, p) // every doc-1 shingle is shared
+    assert(p._6 == 1.0, p)              // full containment short side
+    assert(p._7 < 0.1, p)               // host side tiny
+    // the symmetric op at ANY threshold above their true Jaccard
+    // cannot emit this pair: here 1/2 — the subset copy is invisible
+    val jac = TextOps.jaccardPairs(df, "doc_id", "text", 1, 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    Caching.release()
+    assert(!jac.contains((1L, 2L)), jac.toSeq)
+  }
+
   test("token counters: whitespace vs bpe-ish") {
     val (ws, bp) = Seq("hello world, this is 42!")
       .toDF("t")
