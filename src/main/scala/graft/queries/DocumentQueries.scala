@@ -2799,6 +2799,52 @@ object DocumentQueries {
           round(($"n_docs" * $"t").cast("double") /
             ($"r" * $"c").cast("double"), 6).as("lift"))
         .orderBy($"source", $"lang")
+    }),
+
+    // Per-dimension embedding audit — the dead/degenerate-dimension
+    // screen an ANN pipeline runs before trusting distances: NaN/zero
+    // counts catch encoder bugs, an all-positive or constant
+    // dimension breaks cosine separability. Counts are exact
+    // integers; min/max are order-free (the ONLY float aggregates
+    // whose result is partitioning-independent), widened to double
+    // losslessly. One map-side posexplode (64× fan-out of the vector
+    // column only) and one ≤ dims-row rollup.
+    "q179_embedding_dims" -> ((s, d) => {
+      import s.implicits._
+      embeddings(s, d)
+        .select(posexplode($"embedding").as(Seq("dim", "x")))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"),
+          sum(when(isnan($"x"), 1L).otherwise(0L)).as("n_nan"),
+          sum(when($"x" === 0f, 1L).otherwise(0L)).as("n_zero"),
+          sum(when($"x" < 0f, 1L).otherwise(0L)).as("n_neg"),
+          min($"x").cast("double").as("min_v"),
+          max($"x").cast("double").as("max_v"))
+        .orderBy($"dim")
+    }),
+
+    // Shingle document-frequency profile in ⌊log2⌋ buckets — the
+    // operational tuning read for every shingle-indexed op (q24's
+    // bands, q26's prefix ceiling, q175's rare-anchor df cap): how
+    // much posting mass sits in each df octave, i.e. what a given df
+    // ceiling actually discards. Native map-only shingle extraction;
+    // the df rollup exchange is vocabulary-bounded, the octave
+    // histogram ≤ 64 rows, the share window rides that frame.
+    "q181_shingle_df_profile" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val oct = documents(s, d)
+        .select(explode(expr("graft_shingle_set(text)")).as("g"))
+        .groupBy($"g").agg(count(lit(1)).as("df"))
+        .groupBy(expr("length(bin(df)) - 1").as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"), sum($"df").as("postings"),
+          min($"df").as("min_df"), max($"df").as("max_df"))
+      oct.withColumn("__t", sum($"postings").over(Window.partitionBy()))
+        .select($"df_bucket", $"n_shingles", $"postings",
+          $"min_df", $"max_df",
+          round($"postings".cast("double") / $"__t".cast("double"), 6)
+            .as("postings_share"))
+        .orderBy($"df_bucket")
     })
   )
 
@@ -3866,6 +3912,44 @@ object DocumentQueries {
            CAST(n_docs * t - r * c AS BIGINT) AS excess_x_n,
            round(CAST(n_docs * t AS DOUBLE) / CAST(r * c AS DOUBLE), 6)
              AS lift
-         FROM w ORDER BY source, lang"""
+         FROM w ORDER BY source, lang""",
+
+    "q179_embedding_dims" ->
+      """SELECT CAST(i - 1 AS INTEGER) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN isnan(x) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nan,
+           CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CAST(min(x) AS DOUBLE) AS min_v,
+           CAST(max(x) AS DOUBLE) AS max_v
+         FROM (SELECT embedding[CAST(i AS INTEGER)] x, i
+           FROM embeddings,
+             unnest(generate_series(1, len(embedding))) t(i))
+         GROUP BY 1 ORDER BY dim""",
+
+    // independent shingle route (list_transform over the regex split)
+    // + the same bin()-length octave bucket
+    "q181_shingle_df_profile" ->
+      """WITH tok AS (SELECT string_split_regex(text, '\s+') w
+           FROM documents),
+         shd AS (SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END)) g FROM tok),
+         df AS (SELECT g, CAST(count(*) AS BIGINT) df FROM shd GROUP BY 1),
+         oct AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) df_bucket,
+             CAST(count(*) AS BIGINT) n_shingles,
+             CAST(sum(df) AS BIGINT) postings,
+             CAST(min(df) AS BIGINT) min_df,
+             CAST(max(df) AS BIGINT) max_df
+           FROM df GROUP BY 1)
+         SELECT df_bucket, n_shingles, postings, min_df, max_df,
+           round(CAST(postings AS DOUBLE)
+             / CAST(sum(postings) OVER () AS DOUBLE), 6)
+             AS postings_share
+         FROM oct ORDER BY df_bucket"""
   )
 }

@@ -290,6 +290,67 @@ object RelationalQueries {
         .select($"edge", $"n_child", $"n_orphans",
           round($"n_orphans" / $"n_child", 6).as("orphan_rate"))
         .orderBy($"edge")
+    }),
+
+    // Unit-price consistency screen: basis-point deviation of
+    // l_extendedprice from quantity × p_retailprice, bucketed by
+    // 100 bp — the pricing-pipeline sanity audit (a mispriced feed
+    // shows as an outlier bucket). dev_bp = (ec·10⁴) DIV (q·rc) −
+    // 10⁴ is exact integer (positive operands — truncation IS floor);
+    // the 100-bp bucket uses floor() of a double division because
+    // dev_bp is SIGNED and Spark's DIV truncates toward zero while
+    // DuckDB's // floors — the explicit floor makes both engines
+    // agree on negative deviations. Dim lookup broadcasts (part ≪
+    // lineitem); histogram ≤ a few hundred rows.
+    "q180_price_deviation" -> ((s, d) => {
+      import s.implicits._
+      val dev = lineitem(s, d)
+        .select($"l_partkey",
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("ec"),
+          expr("CAST(round(l_quantity, 0) AS BIGINT)").as("q"))
+        .join(broadcast(part(s, d).select($"p_partkey",
+          expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("rc"))),
+          $"l_partkey" === $"p_partkey")
+        .select(expr("(ec * 10000) DIV (q * rc) - 10000").as("dev_bp"))
+      dev
+        .groupBy(floor($"dev_bp" / lit(100.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_items"),
+          min($"dev_bp").as("min_dev_bp"), max($"dev_bp").as("max_dev_bp"))
+        .select(($"bucket" * 100).as("bucket_lo_bp"), $"n_items",
+          $"min_dev_bp", $"max_dev_bp")
+        .orderBy($"bucket_lo_bp")
+    }),
+
+    // Monthly revenue trend per market segment — the q124 exact-
+    // integer OLS discipline on the star schema: y is order value in
+    // integer cents summed per (segment, month-index), x the integer
+    // month index, so every OLS sum is an exact long and the
+    // unrounded slope double is IEEE-identical on both engines
+    // (headroom: Σ(x·y) ≲ months²·monthly-cents ≈ 10¹⁴ at sf0.1 —
+    // decimal128 per the Hits pattern at 10⁵× that). Customer-dim
+    // join broadcasts; the monthly rollup is ≤ months×segments rows
+    // and the per-segment reduction reuses nothing it shouldn't.
+    "q182_segment_trend" -> ((s, d) => {
+      import s.implicits._
+      val monthly = orders(s, d)
+        .join(broadcast(customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment",
+          ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+            .cast("long").as("mi"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("yc"))
+      val sums = monthly.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"mi").as("sx"),
+          sum($"yc").as("sy"), sum($"mi" * $"yc").as("sxy"),
+          sum($"mi" * $"mi").as("sxx"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val slope = (d2($"n") * d2($"sxy") - d2($"sx") * d2($"sy")) /
+        (d2($"n") * d2($"sxx") - d2($"sx") * d2($"sx"))
+      sums.select($"c_mktsegment", $"n".as("n_months"),
+          slope.as("slope_cents_per_month"))
+        .orderBy($"c_mktsegment")
     })
   )
 
@@ -504,6 +565,43 @@ object RelationalQueries {
            UNION ALL SELECT * FROM e3)
          SELECT edge, n_child, n_orphans,
            round(n_orphans / n_child, 6) AS orphan_rate
-         FROM u ORDER BY edge"""
+         FROM u ORDER BY edge""",
+
+    // same integer dev_bp; the signed bucket goes through the same
+    // explicit floor-of-double (DuckDB // floors, Spark DIV truncates
+    // — neither is used on the signed value)
+    "q180_price_deviation" ->
+      """WITH d AS (SELECT
+             (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000)
+               // (CAST(round(l_quantity, 0) AS BIGINT)
+                 * CAST(round(p_retailprice * 100, 0) AS BIGINT))
+               - 10000 AS dev_bp
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT CAST(floor(dev_bp / 100.0) AS BIGINT) * 100
+             AS bucket_lo_bp,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(dev_bp) AS BIGINT) AS min_dev_bp,
+           CAST(max(dev_bp) AS BIGINT) AS max_dev_bp
+         FROM d GROUP BY 1 ORDER BY bucket_lo_bp""",
+
+    "q182_segment_trend" ->
+      """WITH m AS (SELECT c_mktsegment,
+             CAST((year(o_orderdate) - 1995) * 12
+               + month(o_orderdate) - 1 AS BIGINT) mi,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) yc
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) n,
+             CAST(sum(mi) AS BIGINT) sx, CAST(sum(yc) AS BIGINT) sy,
+             CAST(sum(mi * yc) AS BIGINT) sxy,
+             CAST(sum(mi * mi) AS BIGINT) sxx
+           FROM m GROUP BY 1)
+         SELECT c_mktsegment, n AS n_months,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             AS slope_cents_per_month
+         FROM s ORDER BY c_mktsegment"""
   )
 }

@@ -1278,4 +1278,100 @@ class AnalyticsSpec extends SparkSpec {
       } else assert(!got.contains(et), s"$et should drop with one week")
     }
   }
+
+  test("q179 embedding dim audit equals a driver-side array walk") {
+    val got = q("q179_embedding_dims")
+      .select($"dim", $"n", $"n_nan", $"n_zero", $"n_neg",
+        $"min_v", $"max_v")
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"embedding").as[Seq[Float]].collect().toSeq
+    val dims = vecs.head.size
+    assert(got.keySet == (0 until dims).toSet)
+    (0 until dims).foreach { i =>
+      val xs = vecs.map(_(i))
+      val want = (xs.size.toLong, xs.count(_.isNaN).toLong,
+        xs.count(_ == 0f).toLong, xs.count(_ < 0f).toLong,
+        xs.min.toDouble, xs.max.toDouble)
+      assert(got(i) == want, s"dim $i: ${got(i)} vs $want")
+    }
+  }
+
+  test("q180 price deviation equals a driver-side join walk") {
+    val got = q("q180_price_deviation")
+      .select($"bucket_lo_bp", $"n_items", $"min_dev_bp", $"max_dev_bp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val retail = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_retailprice").as[(Long, Double)]
+      .collect().map(p => p._1 -> math.rint(p._2 * 100).toLong).toMap
+    val devs = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_extendedprice", $"l_quantity")
+      .as[(Long, Double, Double)].collect().toSeq
+      .map { case (pk, ep, qt) =>
+        val ec = math.rint(ep * 100).toLong
+        val q0 = math.rint(qt).toLong
+        ec * 10000L / (q0 * retail(pk)) - 10000L
+      }
+    val want = devs.groupBy(d => math.floor(d / 100.0).toLong * 100)
+      .view.mapValues(v => (v.size.toLong, v.min, v.max)).toMap
+    assert(got == want,
+      s"${got.size} buckets vs ${want.size}; diff=${(got.keySet diff want.keySet) ++ (want.keySet diff got.keySet)}")
+  }
+
+  test("q181 shingle df profile equals a driver-side df walk") {
+    val got = q("q181_shingle_df_profile")
+      .select($"df_bucket", $"n_shingles", $"postings",
+        $"min_df", $"max_df", $"postings_share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"text").as[String].collect().toSeq
+    val dfm = docs.flatMap { t =>
+      val w = t.split("\\s+", -1)
+      if (w.length < 3) Seq.empty[String]
+      else (0 to w.length - 3)
+        .map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = dfm.values.sum
+    val want = dfm.values.groupBy(df => 63L - java.lang.Long.numberOfLeadingZeros(df))
+      .view.mapValues(v =>
+        (v.size.toLong, v.sum, v.min, v.max)).toMap
+    assert(got.view.mapValues(g => (g._1, g._2, g._3, g._4)).toMap == want,
+      s"$got vs $want")
+    got.foreach { case (b, g) =>
+      assert(math.abs(g._5 - want(b)._2.toDouble / total) < 5e-7, s"bucket $b share")
+    }
+  }
+
+  test("q182 segment trend equals a driver-side BigInt OLS") {
+    val got = q("q182_segment_trend")
+      .select($"c_mktsegment", $"n_months", $"slope_cents_per_month")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val seg = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)]
+      .collect().toMap
+    val monthly = Tables.orders(spark, sf)
+      .select($"o_custkey", year($"o_orderdate"), month($"o_orderdate"),
+        $"o_totalprice")
+      .as[(Long, Int, Int, Double)].collect().toSeq
+      .map(o => ((seg(o._1), (o._2 - 1995) * 12 + o._3 - 1),
+        math.rint(o._4 * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((sg, mi), yc) => (sg, BigInt(mi), BigInt(yc)) }
+    monthly.groupBy(_._1).foreach { case (sg, rows) =>
+      val n = BigInt(rows.size)
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val want = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val g = got(sg)
+      assert(g._1 == rows.size.toLong, s"$sg months")
+      assert(java.lang.Double.compare(g._2, want) == 0,
+        s"$sg: ${g._2} vs $want") // bit-exact by design
+    }
+  }
 }

@@ -1266,6 +1266,49 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q179 embedding dims: map-side posexplode, one rollup exchange") {
+    val p = plan("q179_embedding_dims")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.startsWith("embedding:"),
+      s"only the vector column may be read: $readSchema")
+  }
+
+  test("q180 price deviation: broadcast dim lookup, two pruned scans") {
+    val p = plan("q180_price_deviation")
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    // lineitem side must read exactly its three needed columns
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.exists(_.split(",").length == 3), schemas.toString)
+  }
+
+  test("q181 shingle df profile: native extractor, two collapsed exchanges") {
+    val p = plan("q181_shingle_df_profile")
+    assert(p.contains("graft_shingle_set"), p)
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+  }
+
+  test("q182 segment trend: broadcast customer dim, integer OLS rollups") {
+    val p = plan("q182_segment_trend")
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    // monthly rollup + per-segment reduction
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
   test("q170 dominance: three collapsed exchanges, no window, no join") {
     // (user,type) rollup collapses map-side from the raw scan; the
     // per-user max/sum and the <=10-row histogram each move an
