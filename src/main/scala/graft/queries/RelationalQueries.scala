@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core relational operators from SURVEY.md §2 (scans, filters, joins,
@@ -351,6 +352,129 @@ object RelationalQueries {
       sums.select($"c_mktsegment", $"n".as("n_months"),
           slope.as("slope_cents_per_month"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // Order-header vs line-detail reconciliation — the cross-table
+    // consistency audit a warehouse runs nightly: basis-point
+    // deviation of Σ(line extended price) from o_totalprice, bucketed
+    // by 100 bp. Deliberately a BIG-BIG join: the per-order line
+    // rollup (map-side combinable) meets orders on the SHARED
+    // o_orderkey clustering — a sort-merge join of two fact-scale
+    // frames, the one join shape the dim-broadcast queries never
+    // exercise. All arithmetic integer until the q180 floor-of-double
+    // bucket (dev_bp is signed).
+    "q183_order_reconciliation" -> ((s, d) => {
+      import s.implicits._
+      val lines = lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("lc"))
+      // merge hint: at test SFs the orders file sits under the
+      // broadcast threshold and the planner would BHJ — but at fact
+      // scale BOTH sides are huge, so the co-partitioned sort-merge
+      // is the only plan that survives; pin the intended shape
+      val dev = orders(s, d)
+        .select($"o_orderkey",
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("oc"))
+        .hint("merge")
+        .join(lines, $"o_orderkey" === $"l_orderkey")
+        .select(expr("(lc * 10000) DIV oc - 10000").as("dev_bp"))
+      dev
+        .groupBy(floor($"dev_bp" / lit(100.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"dev_bp").as("min_dev_bp"), max($"dev_bp").as("max_dev_bp"))
+        .select(($"bucket" * 100).as("bucket_lo_bp"), $"n_orders",
+          $"min_dev_bp", $"max_dev_bp")
+        .orderBy($"bucket_lo_bp")
+    }),
+
+    // Supply-concentration screen: per brand, the top supplier by
+    // revenue and its share — single-supplier brands are the supply-
+    // chain risk a procurement review hunts. Revenue collapses
+    // map-side to ≤ |brands|·|suppliers| cells after the broadcast
+    // part lookup; the rank and total windows share one brand
+    // clustering (ties break on suppkey — deterministic argmax).
+    "q184_supplier_concentration" -> ((s, d) => {
+      import s.implicits._
+      val cell = lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey",
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("ec"))
+        .join(broadcast(part(s, d).select($"p_partkey", $"p_brand")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"l_suppkey")
+        .agg(sum($"ec").as("sc"))
+      val wb = Window.partitionBy($"p_brand")
+      cell
+        .withColumn("rn", row_number().over(
+          wb.orderBy($"sc".desc, $"l_suppkey")))
+        .withColumn("bc", sum($"sc").over(wb))
+        .withColumn("n_suppliers", count(lit(1)).over(wb))
+        .filter($"rn" === 1)
+        .select($"p_brand", $"n_suppliers",
+          $"l_suppkey".as("top_suppkey"), $"sc".as("top_cents"),
+          $"bc".as("brand_cents"),
+          round($"sc".cast("double") / $"bc".cast("double"), 6)
+            .as("top_share"))
+        .orderBy($"p_brand")
+    }),
+
+    // Fulfilment-latency grid: exact p50/p90/max days from order date
+    // to line ship date per order priority (the q148/q152 histogram-
+    // cut nearest-rank discipline — never a per-priority sort of raw
+    // rows). The orders↔lineitem join is again big-big on o_orderkey;
+    // lag days are exact integer date arithmetic; the lag histogram
+    // collapses to ≤ distinct-lags×priorities rows before any window.
+    "q185_ship_lag_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val hist = orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority",
+          $"o_orderdate".cast("date").as("od"))
+        .hint("merge") // fact-fact: see q183
+        .join(lineitem(s, d)
+          .select($"l_orderkey", $"l_shipdate".cast("date").as("sd")),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority",
+          datediff($"sd", $"od").cast("long").as("lag_days"))
+        .agg(count(lit(1)).as("m"))
+      val wp = Window.partitionBy($"o_orderpriority")
+      val wcum = wp.orderBy($"lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def pick(p: Int) =
+        min(when($"cum" * 100 >= lit(p) * $"n", $"lag_days")).cast("long")
+      hist.withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(wp))
+        .groupBy($"o_orderpriority")
+        .agg(max($"n").cast("long").as("n_lines"),
+          pick(50).as("p50_days"), pick(90).as("p90_days"),
+          max($"lag_days").as("max_days"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Repeat-business share by month: of each month's orders, how
+    // many come from customers with a PRIOR order — growth-quality
+    // accounting on the fact table itself. The first-order flag is a
+    // min window on the custkey clustering (one fact-scale exchange,
+    // no self-join, no customer-dim read at all); the monthly rollup
+    // is ≤ months rows. Ties (a customer's several same-instant
+    // firsts) resolve identically on both engines because the flag
+    // compares against the MIN (ts, orderkey) pair, not a row number.
+    "q186_repeat_share" -> ((s, d) => {
+      import s.implicits._
+      val wc = Window.partitionBy($"o_custkey")
+      val flagged = orders(s, d)
+        .select($"o_custkey", $"o_orderdate",
+          ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+            .cast("long").as("mi"),
+          struct($"o_orderdate", $"o_orderkey").as("ok"))
+        .withColumn("first_ok", min($"ok").over(wc))
+        .select($"mi", ($"ok" =!= $"first_ok").as("is_repeat"))
+      flagged.groupBy($"mi")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when($"is_repeat", 1L).otherwise(0L)).as("n_repeat"))
+        .select($"mi".as("month_index"), $"n_orders", $"n_repeat",
+          round($"n_repeat".cast("double") / $"n_orders".cast("double"), 6)
+            .as("repeat_share"))
+        .orderBy($"month_index")
     })
   )
 
@@ -602,6 +726,75 @@ object RelationalQueries {
            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              AS slope_cents_per_month
-         FROM s ORDER BY c_mktsegment"""
+         FROM s ORDER BY c_mktsegment""",
+
+    "q183_order_reconciliation" ->
+      """WITH l AS (SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) lc
+           FROM lineitem GROUP BY 1),
+         d AS (SELECT (lc * 10000)
+               // CAST(round(o_totalprice * 100, 0) AS BIGINT)
+               - 10000 AS dev_bp
+           FROM orders JOIN l ON o_orderkey = l_orderkey)
+         SELECT CAST(floor(dev_bp / 100.0) AS BIGINT) * 100
+             AS bucket_lo_bp,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(dev_bp) AS BIGINT) AS min_dev_bp,
+           CAST(max(dev_bp) AS BIGINT) AS max_dev_bp
+         FROM d GROUP BY 1 ORDER BY bucket_lo_bp""",
+
+    "q184_supplier_concentration" ->
+      """WITH cell AS (SELECT p_brand, l_suppkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) sc
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         w AS (SELECT p_brand, l_suppkey, CAST(sc AS BIGINT) sc,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY sc DESC, l_suppkey) rn,
+             CAST(sum(sc) OVER (PARTITION BY p_brand) AS BIGINT) bc,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT)
+               n_suppliers
+           FROM cell)
+         SELECT p_brand, n_suppliers, l_suppkey AS top_suppkey,
+           sc AS top_cents, bc AS brand_cents,
+           round(CAST(sc AS DOUBLE) / CAST(bc AS DOUBLE), 6)
+             AS top_share
+         FROM w WHERE rn = 1 ORDER BY p_brand""",
+
+    "q185_ship_lag_percentiles" ->
+      """WITH h AS (SELECT o_orderpriority,
+             CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+               AS BIGINT) lag_days,
+             CAST(count(*) AS BIGINT) m
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         c AS (SELECT o_orderpriority, lag_days, m,
+             sum(m) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+               ROWS UNBOUNDED PRECEDING) cum,
+             sum(m) OVER (PARTITION BY o_orderpriority) n
+           FROM h)
+         SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN cum * 100 >= 50 * n THEN lag_days END)
+             AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN cum * 100 >= 90 * n THEN lag_days END)
+             AS BIGINT) AS p90_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days
+         FROM c GROUP BY 1 ORDER BY o_orderpriority""",
+
+    // independent route: explicit row_number instead of the engine's
+    // min-(date,orderkey)-struct comparison
+    "q186_repeat_share" ->
+      """WITH f AS (SELECT
+             CAST((year(o_orderdate) - 1995) * 12
+               + month(o_orderdate) - 1 AS BIGINT) mi,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) rn
+           FROM orders)
+         SELECT mi AS month_index, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS repeat_share
+         FROM f GROUP BY 1 ORDER BY month_index"""
   )
 }

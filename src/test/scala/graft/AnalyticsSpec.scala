@@ -1374,4 +1374,98 @@ class AnalyticsSpec extends SparkSpec {
         s"$sg: ${g._2} vs $want") // bit-exact by design
     }
   }
+
+  test("q183 order reconciliation equals a driver-side join walk") {
+    val got = q("q183_order_reconciliation")
+      .select($"bucket_lo_bp", $"n_orders", $"min_dev_bp", $"max_dev_bp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val lc = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_extendedprice").as[(Long, Double)]
+      .collect().toSeq.groupBy(_._1).view
+      .mapValues(_.map(v => math.rint(v._2 * 100).toLong).sum).toMap
+    val devs = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)]
+      .collect().toSeq
+      .flatMap { case (ok, tp) => lc.get(ok).map(l =>
+        l * 10000L / math.rint(tp * 100).toLong - 10000L) }
+    val want = devs.groupBy(d => math.floor(d / 100.0).toLong * 100)
+      .view.mapValues(v => (v.size.toLong, v.min, v.max)).toMap
+    assert(got == want, s"${got.size} vs ${want.size} buckets")
+  }
+
+  test("q184 supplier concentration equals a driver-side argmax walk") {
+    val got = q("q184_supplier_concentration")
+      .select($"p_brand", $"n_suppliers", $"top_suppkey", $"top_cents",
+        $"brand_cents", $"top_share")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val brand = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_brand").as[(Long, String)].collect().toMap
+    val cells = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+      .as[(Long, Long, Double)].collect().toSeq
+      .map(l => ((brand(l._1), l._2), math.rint(l._3 * 100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((b, sk), c) => (b, sk, c) }
+    cells.groupBy(_._1).foreach { case (b, rows) =>
+      val bc = rows.map(_._3).sum
+      val top = rows.minBy(r => (-r._3, r._2))
+      val g = got(b)
+      assert((g._1, g._2, g._3, g._4) ==
+        ((rows.size.toLong, top._2, top._3, bc)), s"$b: $g")
+      assert(math.abs(g._5 - top._3.toDouble / bc) < 5e-7, s"$b share")
+    }
+    assert(got.keySet == cells.map(_._1).toSet)
+  }
+
+  test("q185 ship lag percentiles equal a driver-side nearest-rank walk") {
+    val got = q("q185_ship_lag_percentiles")
+      .select($"o_orderpriority", $"n_lines", $"p50_days", $"p90_days",
+        $"max_days")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val od = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderpriority",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01")))
+      .as[(Long, String, Int)].collect()
+      .map(o => o._1 -> ((o._2, o._3))).toMap
+    val lags = Tables.lineitem(spark, sf)
+      .select($"l_orderkey",
+        datediff($"l_shipdate".cast("date"), lit("1970-01-01")))
+      .as[(Long, Int)].collect().toSeq
+      .map { case (ok, sd) =>
+        val (pr, odd) = od(ok); (pr, (sd - odd).toLong) }
+    lags.groupBy(_._1).foreach { case (pr, rows) =>
+      val sv = rows.map(_._2).sorted
+      def pick(p: Int) = sv.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * 100 >= p * sv.size => v }.get
+      val want = (sv.size.toLong, pick(50), pick(90), sv.last)
+      assert(got(pr) == want, s"$pr: ${got(pr)} vs $want")
+    }
+  }
+
+  test("q186 repeat share equals a driver-side first-order walk") {
+    val got = q("q186_repeat_share")
+      .select($"month_index", $"n_orders", $"n_repeat", $"repeat_share")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderkey",
+        datediff($"o_orderdate".cast("date"), lit("1970-01-01")),
+        (year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    val firstOf = orders.groupBy(_._1).view
+      .mapValues(_.map(o => (o._3, o._2)).min).toMap
+    val want = orders
+      .map(o => (o._4.toLong, (o._3, o._2) != firstOf(o._1)))
+      .groupBy(_._1).view.mapValues { v =>
+        (v.size.toLong, v.count(_._2).toLong) }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (mi, (n, rep)) =>
+      val g = got(mi)
+      assert((g._1, g._2) == ((n, rep)), s"month $mi: $g vs ($n,$rep)")
+      assert(math.abs(g._3 - rep.toDouble / n) < 5e-7, s"month $mi share")
+    }
+  }
 }

@@ -1309,6 +1309,49 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("q183 reconciliation: fact-fact merge join on the order key") {
+    // the one join shape dim-broadcast queries never exercise: both
+    // sides fact-scale, co-partitioned sort-merge on o_orderkey (the
+    // hint pins it — at test SFs the planner would broadcast the
+    // small orders file and silently hide the scale shape)
+    val p = plan("q183_order_reconciliation")
+    assert(countOf(p, "SortMergeJoin") == 1, p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q184 supplier concentration: broadcast part dim, one brand clustering") {
+    val p = plan("q184_supplier_concentration")
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
+      s"rank/total windows must sit above the cell rollup:\n$p")
+  }
+
+  test("q185 ship lag: fact-fact merge join, histogram-cut percentiles") {
+    val p = plan("q185_ship_lag_percentiles")
+    assert(countOf(p, "SortMergeJoin") == 1, p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // two merge-join side exchanges + lag-histogram rollup + priority
+    // window clustering; the final per-priority aggregate reuses the
+    // window's clustering (no fifth exchange)
+    assert(countOf(p, "Exchange hashpartitioning") == 4, p)
+  }
+
+  test("q186 repeat share: first-order flag on one custkey window") {
+    val p = plan("q186_repeat_share")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Window ") == 1, p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  }
+
   test("q170 dominance: three collapsed exchanges, no window, no join") {
     // (user,type) rollup collapses map-side from the raw scan; the
     // per-user max/sum and the <=10-row histogram each move an
