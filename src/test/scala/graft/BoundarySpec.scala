@@ -95,6 +95,7 @@ class BoundarySpec extends SparkSpec {
       "events.parquet"   -> Seq("value"),
       "customer.parquet" -> Seq("c_acctbal"),
       "lineitem.parquet" -> Seq("l_extendedprice", "l_discount"),
+      "part.parquet"     -> Seq("p_retailprice"), // q180's divisor
       "orders.parquet"   -> Seq("o_totalprice"))
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1");
          (table, cs) <- cols; c <- cs) {
@@ -111,6 +112,21 @@ class BoundarySpec extends SparkSpec {
         s"$sf/$table.$c off the cents grid: round-trip err ${row.getDouble(0)}")
       assert(row.getDouble(1) < 1e-6,
         s"$sf/$table.$c ambiguous cents product: noise ${row.getDouble(1)}")
+    }
+    // q180 additionally rounds l_quantity to a whole number (its
+    // per-unit divisor): quantities must sit exactly on the INTEGER
+    // grid, and be strictly positive (a zero quantity would divide
+    // by zero in the dev_bp form — ANSI would make that loud, but
+    // red out here with the reason instead)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val df = spark.read.parquet(s"/root/testdata/$sf/lineitem.parquet")
+      val row = df.agg(
+        max(abs(col("l_quantity") - round(col("l_quantity")))).as("err"),
+        min(col("l_quantity")).as("mn")).collect().head
+      assert(row.getDouble(0) == 0.0,
+        s"$sf l_quantity off the integer grid: ${row.getDouble(0)}")
+      assert(row.getDouble(1) >= 1.0,
+        s"$sf l_quantity not strictly positive: ${row.getDouble(1)}")
     }
   }
 }
