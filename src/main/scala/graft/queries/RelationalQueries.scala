@@ -475,6 +475,80 @@ object RelationalQueries {
           round($"n_repeat".cast("double") / $"n_orders".cast("double"), 6)
             .as("repeat_share"))
         .orderBy($"month_index")
+    }),
+
+    // Top part-name tokens by revenue — the text×fact composition a
+    // merchandising review runs ("which words sell"). The fact table
+    // collapses FIRST (per-part revenue, map-side combinable), the
+    // token explode runs over the part dim, and the global top-20 is
+    // graft_topk_str's map-side bounded buffer (≤20 rows per task
+    // reach the driver-side final) — never a vocabulary sort. Cents
+    // ride exactly through the double score (< 2⁵³), cast back
+    // losslessly; ties break token-ascending (deterministic).
+    "q188_name_token_revenue" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .groupBy($"l_partkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("pc"))
+      graft.plans.GraftExtensions.register(s)
+      part(s, d)
+        .select($"p_partkey", explode(split($"p_name", " ")).as("token"))
+        .join(rev, $"p_partkey" === $"l_partkey")
+        .groupBy($"token").agg(sum($"pc").as("tc"))
+        .agg(call_function("graft_topk_str",
+          $"tc".cast("double"), $"token", lit(20)).as("tk"))
+        .select(posexplode($"tk").as(Seq("__pos", "__e")))
+        .select(($"__pos" + 1).cast("long").as("rank"),
+          $"__e.id".as("token"),
+          $"__e.score".cast("long").as("revenue_cents"))
+        .orderBy($"rank")
+    }),
+
+    // Cohort LTV grid: cohort month × months-since-first-order →
+    // active customers, orders, revenue, revenue per active customer.
+    // The cohort label is a min window on ONE custkey clustering of
+    // the fact table (no dim read, no self-join); the grid rollup is
+    // ≤ months² rows. Integer cents; one division per cell.
+    "q189_cohort_ltv" -> ((s, d) => {
+      import s.implicits._
+      val wc = Window.partitionBy($"o_custkey")
+      orders(s, d)
+        .select($"o_custkey",
+          ((year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1)
+            .cast("long").as("mi"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("oc"))
+        .withColumn("cohort", min($"mi").over(wc))
+        .groupBy($"cohort", ($"mi" - $"cohort").as("age_months"))
+        .agg(countDistinct($"o_custkey").as("n_customers"),
+          count(lit(1)).as("n_orders"), sum($"oc").as("total_cents"))
+        .select($"cohort".as("cohort_month"), $"age_months",
+          $"n_customers", $"n_orders", $"total_cents",
+          round($"total_cents".cast("double") /
+            $"n_customers".cast("double"), 6).as("cents_per_customer"))
+        .orderBy($"cohort_month", $"age_months")
+    }),
+
+    // Top-5 customers by revenue per market segment — the native
+    // partial top-k on the star schema: per-customer revenue collapses
+    // map-side from the fact scan, the segment label joins BROADCAST,
+    // and graft_topk keeps ≤5 rows per segment per task before the
+    // exchange (a window rank would shuffle and sort every customer).
+    "q190_segment_top_customers" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val rev = orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("rc"))
+        .join(broadcast(customer(s, d)
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+      graft.ext.TextOps.topKPerGroup(rev, Seq("c_mktsegment"),
+          col("rc").cast("double"), col("o_custkey"), 5)
+        .select($"c_mktsegment", $"rank", $"id".as("c_custkey"),
+          $"score".cast("long").as("revenue_cents"))
+        .orderBy($"c_mktsegment", $"rank")
     })
   )
 
@@ -795,6 +869,52 @@ object RelationalQueries {
              AS n_repeat,
            round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS repeat_share
-         FROM f GROUP BY 1 ORDER BY month_index"""
+         FROM f GROUP BY 1 ORDER BY month_index""",
+
+    // independent route: full ORDER BY + LIMIT instead of the
+    // engine's bounded partial top-k buffer
+    "q188_name_token_revenue" ->
+      """WITH rev AS (SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) pc
+           FROM lineitem GROUP BY 1),
+         tok AS (SELECT unnest(string_split(p_name, ' ')) token, pc
+           FROM part JOIN rev ON p_partkey = l_partkey),
+         t AS (SELECT token, CAST(sum(pc) AS BIGINT) tc
+           FROM tok GROUP BY 1)
+         SELECT CAST(row_number() OVER (ORDER BY tc DESC, token)
+             AS BIGINT) AS rank,
+           token, tc AS revenue_cents
+         FROM t ORDER BY tc DESC, token LIMIT 20""",
+
+    "q189_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+             CAST((year(o_orderdate) - 1995) * 12
+               + month(o_orderdate) - 1 AS BIGINT) mi,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) oc
+           FROM orders),
+         c AS (SELECT o_custkey, mi, oc,
+             min(mi) OVER (PARTITION BY o_custkey) cohort
+           FROM o)
+         SELECT cohort AS cohort_month, mi - cohort AS age_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(oc) AS BIGINT) AS total_cents,
+           round(CAST(sum(oc) AS DOUBLE)
+             / CAST(count(DISTINCT o_custkey) AS DOUBLE), 6)
+             AS cents_per_customer
+         FROM c GROUP BY 1, 2 ORDER BY cohort_month, age_months""",
+
+    // independent route: window rank instead of the partial top-k
+    "q190_segment_top_customers" ->
+      """WITH rev AS (SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) rc
+           FROM orders GROUP BY 1),
+         j AS (SELECT c_mktsegment, o_custkey, CAST(rc AS BIGINT) rc,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY rc DESC, o_custkey) rn
+           FROM rev JOIN customer ON o_custkey = c_custkey)
+         SELECT c_mktsegment, CAST(rn AS BIGINT) AS rank,
+           o_custkey AS c_custkey, rc AS revenue_cents
+         FROM j WHERE rn <= 5 ORDER BY c_mktsegment, rank"""
   )
 }

@@ -1688,6 +1688,29 @@ object TimeSeriesQueries {
         .select($"event_type", $"n_weeks",
           $"shift".as("max_shift_cents"), $"week".as("shift_week"))
         .orderBy($"event_type")
+    }),
+
+    // Session-depth conversion curve: does a longer session convert? —
+    // the funnel-shape read product teams act on, composed from the
+    // q19 sessionize operator. The per-session rollup reuses the ONE
+    // user-window clustering (subset rule); sessions then collapse to
+    // a ≤64-row ⌊log2 length⌋ bucket histogram (the q154 integer
+    // bit-length bucket). Counts integer, one division per bucket.
+    "q187_session_conversion" -> ((s, d) => {
+      import s.implicits._
+      val sess = Sessionize.assignSessions(events(s, d), $"user_id",
+        $"ts", Seq($"event_id"), gapSeconds = 1800L)
+      sess.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("len"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .groupBy(expr("length(bin(len)) - 1").as("len_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"conv").as("n_converting"))
+        .select($"len_bucket", $"n_sessions", $"n_converting",
+          round($"n_converting".cast("double") /
+            $"n_sessions".cast("double"), 6).as("conversion_rate"))
+        .orderBy($"len_bucket")
     })
   )
 
@@ -2889,6 +2912,33 @@ object TimeSeriesQueries {
            FROM sh WHERE shift IS NOT NULL)
          SELECT event_type, n_weeks, shift AS max_shift_cents,
            wk AS shift_week
-         FROM r WHERE rn = 1 ORDER BY event_type"""
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // DuckDB's own lag + running-sum sessionization (the q163 oracle
+    // pattern) with the purchase flag carried through
+    "q187_session_conversion" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                 > 1800000000 THEN 1 ELSE 0 END brk
+           FROM events),
+         g AS (SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) sid
+           FROM s),
+         p AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) len,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               conv
+           FROM g GROUP BY 1, 2),
+         b AS (SELECT CAST(length(bin(len)) - 1 AS BIGINT) len_bucket,
+             CAST(count(*) AS BIGINT) n_sessions,
+             CAST(sum(conv) AS BIGINT) n_converting
+           FROM p GROUP BY 1)
+         SELECT len_bucket, n_sessions, n_converting,
+           round(CAST(n_converting AS DOUBLE)
+             / CAST(n_sessions AS DOUBLE), 6) AS conversion_rate
+         FROM b ORDER BY len_bucket"""
   )
 }

@@ -1468,4 +1468,98 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(g._3 - rep.toDouble / n) < 5e-7, s"month $mi share")
     }
   }
+
+  test("q187 session conversion equals a driver-side gap walk") {
+    val got = q("q187_session_conversion")
+      .select($"len_bucket", $"n_sessions", $"n_converting",
+        $"conversion_rate")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val raw = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val sessions = raw.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      var len = 0L; var conv = false; var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._2 - prev > 1800000000L) {
+          out += ((len, conv)); len = 0; conv = false
+        }
+        len += 1; conv ||= e._4 == "purchase"; prev = e._2
+      }
+      out += ((len, conv)); out
+    }.toSeq
+    val want = sessions
+      .groupBy(s => 63L - java.lang.Long.numberOfLeadingZeros(s._1))
+      .view.mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    assert(got.view.mapValues(g => (g._1, g._2)).toMap == want,
+      s"$got vs $want")
+    got.foreach { case (b, g) =>
+      assert(math.abs(g._3 - want(b)._2.toDouble / want(b)._1) < 5e-7,
+        s"bucket $b rate")
+    }
+  }
+
+  test("q188 token revenue equals a driver-side sort walk") {
+    val got = q("q188_name_token_revenue")
+      .select($"rank", $"token", $"revenue_cents")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    val pc = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_extendedprice").as[(Long, Double)]
+      .collect().toSeq.groupBy(_._1).view
+      .mapValues(_.map(v => math.rint(v._2 * 100).toLong).sum).toMap
+    val want = Tables.part(spark, sf)
+      .select($"p_partkey", $"p_name").as[(Long, String)].collect().toSeq
+      .flatMap { case (pk, name) =>
+        pc.get(pk).toSeq.flatMap(c => name.split(" ").map(_ -> c)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20).zipWithIndex
+      .map { case ((t, c), i) => (i + 1L, t, c) }
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("q189 cohort LTV equals a driver-side first-order walk") {
+    val got = q("q189_cohort_ltv")
+      .select($"cohort_month", $"age_months", $"n_customers",
+        $"n_orders", $"total_cents", $"cents_per_customer")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    val os = Tables.orders(spark, sf)
+      .select($"o_custkey",
+        (year($"o_orderdate") - 1995) * 12 + month($"o_orderdate") - 1,
+        $"o_totalprice")
+      .as[(Long, Int, Double)].collect().toSeq
+      .map(o => (o._1, o._2.toLong, math.rint(o._3 * 100).toLong))
+    val cohortOf = os.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = os.groupBy(o => (cohortOf(o._1), o._2 - cohortOf(o._1)))
+      .view.mapValues { v =>
+        (v.map(_._1).distinct.size.toLong, v.size.toLong, v.map(_._3).sum)
+      }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (nc, no, tc)) =>
+      val g = got(k)
+      assert((g._1, g._2, g._3) == ((nc, no, tc)), s"$k: $g")
+      assert(math.abs(g._4 - tc.toDouble / nc) < 5e-7, s"$k per-customer")
+    }
+  }
+
+  test("q190 segment top customers equal a driver-side rank walk") {
+    val got = q("q190_segment_top_customers")
+      .select($"c_mktsegment", $"rank", $"c_custkey", $"revenue_cents")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val seg = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)]
+      .collect().toMap
+    val rev = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+      .collect().toSeq.groupBy(_._1).view
+      .mapValues(_.map(v => math.rint(v._2 * 100).toLong).sum).toMap
+    val want = rev.toSeq.map { case (ck, rc) => (seg(ck), ck, rc) }
+      .groupBy(_._1).toSeq.flatMap { case (sg, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, ck, rc), i) => (sg, i + 1L, ck, rc) }
+      }.sorted
+    assert(got == want, s"$got vs $want")
+  }
 }

@@ -1352,6 +1352,45 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
   }
 
+  test("q187 session conversion: per-session rollup reuses the user window") {
+    // sessionize window + per-(user,session) rollup on ONE user
+    // clustering (subset rule), then the <=64-row bucket histogram
+    val p = plan("q187_session_conversion")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(countOf(p, "+- Sort [user_id") == 1, p)
+  }
+
+  test("q188 token revenue: fact collapses first, bounded global top-k") {
+    // per-part revenue rollup BEFORE the token explode; the global
+    // top-20 is the partial top-k aggregate, never a vocabulary sort
+    // (no rank window, no rangepartitioning of the token frame)
+    val p = plan("q188_name_token_revenue")
+    assert(p.contains("graft_topk_str"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countOf(p, "Scan parquet") == 2, p)
+  }
+
+  test("q189 cohort ltv: cohort label on one custkey window, no dim read") {
+    val p = plan("q189_cohort_ltv")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "Window ") == 1, p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  }
+
+  test("q190 segment top-k: partial top-k after a broadcast dim join") {
+    val p = plan("q190_segment_top_customers")
+    assert(p.contains("graft_topk"), p)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p) // a rank window would sort every customer
+  }
+
   test("q170 dominance: three collapsed exchanges, no window, no join") {
     // (user,type) rollup collapses map-side from the raw scan; the
     // per-user max/sum and the <=10-row histogram each move an
