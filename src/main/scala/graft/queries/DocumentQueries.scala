@@ -2785,7 +2785,10 @@ object DocumentQueries {
     // sits above the collapsing aggregate, pack rule). Long products
     // bound: o·n ≤ n² overflows past n ≈ 3.0e9 docs — at that corpus
     // scale swap the two products to decimal(38,0) (the Hits.use128
-    // pattern; the grid is tiny, the cast costs nothing).
+    // pattern; the grid is tiny, the cast costs nothing). The
+    // contract is red-tested with planted counts in SeriesStatsSpec
+    // ("contingency lift"): the long form fails LOUDLY under ANSI,
+    // the decimal form matches a BigInt reference past 2⁶³.
     "q174_source_lang_lift" -> ((s, d) => {
       import s.implicits._
       val cell = documents(s, d).groupBy($"source", $"lang")

@@ -127,6 +127,47 @@ class SeriesStatsSpec extends SparkSpec {
     assert(got._2 == want, s"${got._2} vs $want")
   }
 
+  test("contingency lift (q174 form): int64 overflow is loud; decimal128 matches BigInt") {
+    // the q174 scaladoc names the per-cell decimal(38,0) swap for
+    // corpora past ~3e9 docs (o·t > 2⁶³); encode the contract on
+    // planted counts rather than leaving it prose (the q136 lesson)
+    import org.apache.spark.sql.expressions.Window
+    val cells = Seq(("s1", "en", 4000000000L), ("s1", "de", 1000000000L),
+      ("s2", "en", 3000000000L)).toDF("source", "lang", "n_docs")
+    def lift(use128: Boolean) = {
+      val base = if (use128)
+        cells.withColumn("n_docs", $"n_docs".cast("decimal(38,0)"))
+      else cells
+      base
+        .withColumn("r", sum($"n_docs").over(Window.partitionBy($"source")))
+        .withColumn("c", sum($"n_docs").over(Window.partitionBy($"lang")))
+        .withColumn("t", sum($"n_docs").over(Window.partitionBy()))
+        .select($"source", $"lang",
+          ($"n_docs" * $"t" - $"r" * $"c").cast("string").as("excess"),
+          round(($"n_docs" * $"t").cast("double") /
+            ($"r" * $"c").cast("double"), 6).as("lift"))
+    }
+    val thrown = intercept[Throwable] { lift(use128 = false).collect() }
+    assert(isLoudOverflow(thrown), causes(thrown).map(_.getClass.getName))
+    val got = lift(use128 = true)
+      .as[(String, String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> ((BigInt(r._3), r._4))).toMap
+    // BigInt reference
+    val raw = Seq(("s1", "en", BigInt(4000000000L)),
+      ("s1", "de", BigInt(1000000000L)), ("s2", "en", BigInt(3000000000L)))
+    val r = raw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val c = raw.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val t = raw.map(_._3).sum
+    raw.foreach { case (src, lg, o) =>
+      val excess = o * t - r(src) * c(lg)
+      val want = math.rint((BigDecimal(o * t) / BigDecimal(r(src) * c(lg)))
+        .toDouble * 1e6) / 1e6
+      val g = got((src, lg))
+      assert(g._1 == excess, s"($src,$lg) excess ${g._1} vs $excess")
+      assert(math.abs(g._2 - want) < 1e-9, s"($src,$lg) lift ${g._2} vs $want")
+    }
+  }
+
   test("Gini.fromHistogram: decimal128 agrees bit-exactly with int64 in the safe range") {
     val rnd = new scala.util.Random(137)
     val hist = (for (k <- Seq("a", "b"); t <- 1 to 40; if rnd.nextInt(3) > 0)
