@@ -428,12 +428,18 @@ object TextOps {
                        k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     val sets = shingleSets(docs, idCol, textCol, k)
+    // __dfs is sorted ASCENDING, so the [2, maxDf] anchors are a
+    // CONTIGUOUS slice: count the df<2 prefix and the df<=maxDf
+    // prefix, slice between them, and explode ONLY the anchors —
+    // in a diverse corpus most shingles are df=1, so this emits a
+    // small fraction of the rows the explode-all-then-filter form
+    // shuffles into the bucket join
+    val nLt2 = size(filter(col("__dfs"), d => d < 2))
+    val nLe = size(filter(col("__dfs"), d => d <= maxDf))
     val anchors = sets
-      .select(col(idCol), col("__dfs"),
-        posexplode(col("__sh")).as(Seq("__p", "shingle")))
-      .withColumn("__df", element_at(col("__dfs"), col("__p") + 1))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol),
+        explode(slice(col("__sh"), nLt2 + 1,
+          greatest(nLe - nLt2, lit(0)))).as("shingle"))
     val cand = anchors.as("a")
       .join(anchors.as("b"),
         col("a.shingle") === col("b.shingle") &&
