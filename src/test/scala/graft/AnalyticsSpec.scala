@@ -1544,6 +1544,189 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q167 randomized: quintile ties split by user_id on adversarial shapes") {
+    // shapes the corpus never produces: massive ties on every axis
+    // (same last day, same frequency, same cents — the nearest-rank
+    // formula must split them by user_id identically on both engines),
+    // plus n < 5 users' worth of distinct values
+    val rnd = new scala.util.Random(167)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Double)]()
+    def ts(day: Int, i: Int): String =
+      f"2024-01-${day + 1}%02d ${i % 24}%02d:${i % 60}%02d:00"
+    // 12 "clone" users: identical one-event histories (all three axes tie)
+    for (u <- 0 until 12)
+      rows += ((rows.size.toLong, ts(5, 1), u.toLong, 7.25))
+    // 8 random users
+    for (u <- 12 until 20; i <- 0 to rnd.nextInt(6))
+      rows += ((rows.size.toLong, ts(rnd.nextInt(20), i), u.toLong,
+        (rnd.nextInt(20000) - 5000) / 100.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q167r").toString
+    rows.toSeq.toDF("event_id", "tss", "user_id", "value")
+      .withColumn("ts", to_timestamp_ntz($"tss"))
+      .withColumn("event_type", lit("view")).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q167_rfm_segments")(spark, dir)
+      .select($"r_q", $"f_q", $"m_q", $"n_users", $"n_events",
+        $"total_cents")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6))).toMap
+    Caching.release()
+    val per = rows.toSeq.groupBy(_._3).toSeq.map { case (u, es) =>
+      (u, es.map(e => java.time.LocalDate.parse(e._2.take(10)).toEpochDay).max,
+        es.size.toLong, es.map(e => math.rint(e._4 * 100).toLong).sum)
+    }
+    val n = per.size
+    def quint(rank0: Int) = (5L * (rank0 + 1) + n - 1) / n
+    def ranks(key: ((Long, Long, Long, Long)) => (Long, Long)) =
+      per.sortBy(key).zipWithIndex
+        .map { case ((u, _, _, _), i) => u -> quint(i) }.toMap
+    val rQ = ranks { case (u, ld, _, _) => (-ld, u) }
+    val fQ = ranks { case (u, _, f, _) => (-f, u) }
+    val mQ = ranks { case (u, _, _, c) => (-c, u) }
+    val want = per.groupBy { case (u, _, _, _) => (rQ(u), fQ(u), mQ(u)) }
+      .view.mapValues(rs =>
+        (rs.size.toLong, rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    assert(got == want, s"$got vs $want")
+    // the 12 clones MUST spread across quintiles, not collapse into one
+    assert(got.keySet.map(_._1).size >= 3, s"tie split lost: ${got.keySet}")
+  }
+
+  test("q173 randomized: stickiness windows on gappy adversarial calendars") {
+    // isolated actives, a user active EXACTLY 27 days before a window
+    // end (inclusive boundary), and long dead stretches
+    val rnd = new scala.util.Random(173)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    def ts(day: Int): String = {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(day)
+      s"$d 12:00:00"
+    }
+    for (u <- 0 until 10; d <- 0 until 60; if rnd.nextInt(8) == 0)
+      rows += ((rows.size.toLong, ts(d), u.toLong))
+    rows += ((rows.size.toLong, ts(0), 100L))  // boundary pair: active
+    rows += ((rows.size.toLong, ts(27), 100L)) // on both window edges
+    rows += ((rows.size.toLong, ts(59), 101L)) // isolated single-day user
+    val dir = java.nio.file.Files.createTempDirectory("graft_q173r").toString
+    rows.toSeq.toDF("event_id", "tss", "user_id")
+      .withColumn("ts", to_timestamp_ntz($"tss"))
+      .withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q173_stickiness")(spark, dir)
+      .select(datediff($"day", lit("1970-01-01")).cast("long"),
+        $"dau", $"mau28")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Caching.release()
+    val ud = rows.toSeq.map(r =>
+      (r._3, java.time.LocalDate.parse(r._2.take(10)).toEpochDay)).distinct
+    val days = ud.map(_._2).distinct.sorted
+    assert(got.keySet == days.toSet)
+    days.foreach { dy =>
+      val dau = ud.count(_._2 == dy).toLong
+      val mau = ud.filter(u => u._2 >= dy - 27 && u._2 <= dy)
+        .map(_._1).distinct.size.toLong
+      assert(got(dy) == ((dau, mau)), s"day $dy: ${got(dy)} vs ($dau,$mau)")
+    }
+  }
+
+  test("q178 randomized: median-shift ties break to the earliest week") {
+    // all-equal weeks (every shift 0 — earliest shift week must win),
+    // tie-storm shifts, single-week types (must drop), random types
+    val rnd = new scala.util.Random(178)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Double)]()
+    def ts(week: Int, i: Int): String = {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(week * 7L + i % 7)
+      f"$d ${i % 24}%02d:00:00"
+    }
+    for (w <- 0 until 6; i <- 0 until 5)
+      rows += ((rows.size.toLong, ts(w, i), "allequal", 5.00))
+    rows += ((rows.size.toLong, ts(2, 0), "oneweek", 9.99))
+    // ties: medians 1.00, 3.00, 1.00 → two shifts of 200 cents;
+    // earliest (week 1) must win
+    for ((w, v) <- Seq((0, 1.00), (1, 3.00), (2, 1.00)); i <- 0 until 3)
+      rows += ((rows.size.toLong, ts(w, i), "ties", v))
+    for (s <- 0 until 2; w <- 0 until 8; if rnd.nextInt(4) > 0;
+         i <- 0 until (1 + rnd.nextInt(4)))
+      rows += ((rows.size.toLong, ts(w, i), s"rand$s",
+        rnd.nextInt(2000) / 100.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q178r").toString
+    rows.toSeq.toDF("event_id", "tss", "event_type", "value")
+      .withColumn("ts", to_timestamp_ntz($"tss"))
+      .withColumn("user_id", $"event_id" % 7).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q178_median_drift")(spark, dir)
+      .select($"event_type", $"n_weeks", $"max_shift_cents",
+        datediff($"shift_week", lit("1970-01-01")).cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Caching.release()
+    assert(!got.contains("oneweek"), "single-week type must drop")
+    rows.toSeq.groupBy(_._3).filter(_._1 != "oneweek").foreach { case (et, es) =>
+      val byWeek = es.map { r =>
+        val ed = java.time.LocalDate.parse(r._2.take(10)).toEpochDay
+        (ed - java.lang.Math.floorMod(ed - 4L, 7L),
+          math.rint(r._4 * 100).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val weeks = byWeek.keys.toSeq.sorted
+      def lowerMedian(v: Seq[Long]): Long =
+        v.zipWithIndex.collectFirst {
+          case (c, i) if (i + 1) * 2 >= v.size => c }.get
+      val med = weeks.map(w => lowerMedian(byWeek(w)))
+      val shifts = weeks.drop(1).zip(
+        med.zip(med.drop(1)).map { case (p, c) => math.abs(c - p) })
+      val best = shifts.maxBy { case (w, sh) => (sh, -w) }
+      assert(got(et) == ((weeks.size.toLong, best._2, best._1)),
+        s"$et: ${got(et)} vs (${weeks.size}, ${best._2}, ${best._1})")
+    }
+    assert(got("allequal")._2 == 0L, "all-equal weeks must shift 0")
+    assert(got("ties")._2 == 200L)
+  }
+
+  test("q186 randomized: same-date order ties resolve by orderkey") {
+    // customers whose first TWO orders share a date (the min-struct
+    // flag must count exactly one of them as first), single-order
+    // customers, and random histories
+    val rnd = new scala.util.Random(186)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Double)]()
+    def od(m: Int, d: Int): String = f"1995-${m + 1}%02d-${d + 1}%02d 00:00:00"
+    for (c <- 0 until 5) { // same-date pair + one later order
+      rows += ((rows.size.toLong, c.toLong, od(0, 3), 10.00))
+      rows += ((rows.size.toLong, c.toLong, od(0, 3), 20.00))
+      rows += ((rows.size.toLong, c.toLong, od(2, 7), 30.00))
+    }
+    for (c <- 5 until 9) rows += ((rows.size.toLong, c.toLong, od(1, c), 5.00))
+    for (c <- 9 until 15; i <- 0 to rnd.nextInt(5))
+      rows += ((rows.size.toLong, c.toLong,
+        od(rnd.nextInt(12), rnd.nextInt(28)), rnd.nextInt(10000) / 100.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q186r").toString
+    rows.toSeq.toDF("o_orderkey", "o_custkey", "ods", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp_ntz($"ods"))
+      .withColumn("o_orderstatus", lit("F"))
+      .withColumn("o_orderpriority", lit("3-MEDIUM"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q186_repeat_share")(spark, dir)
+      .select($"month_index", $"n_orders", $"n_repeat")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Caching.release()
+    val os = rows.toSeq.map { r =>
+      val ld = java.time.LocalDate.parse(r._3.take(10))
+      (r._2, r._1, ld.toEpochDay, (ld.getYear - 1995) * 12 + ld.getMonthValue - 1) }
+    val firstOf = os.groupBy(_._1).view
+      .mapValues(_.map(o => (o._3, o._2)).min).toMap
+    val want = os.map(o => (o._4.toLong, (o._3, o._2) != firstOf(o._1)))
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    assert(got == want, s"$got vs $want")
+    // month 0 holds the 5 same-date pairs: 10 orders, exactly 5 repeats
+    assert(got(0L) == ((10L, 5L)), got(0L))
+  }
+
   test("q190 segment top customers equal a driver-side rank walk") {
     val got = q("q190_segment_top_customers")
       .select($"c_mktsegment", $"rank", $"c_custkey", $"revenue_cents")
