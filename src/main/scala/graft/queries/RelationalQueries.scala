@@ -549,6 +549,112 @@ object RelationalQueries {
         .select($"c_mktsegment", $"rank", $"id".as("c_custkey"),
           $"score".cast("long").as("revenue_cents"))
         .orderBy($"c_mktsegment", $"rank")
+    }),
+
+    // Geographic revenue rollup: nation revenue + its share of the
+    // region — the full dim chain (customer → nation → region), every
+    // hop BROADCAST, with the fact table collapsed to per-customer
+    // cents BEFORE any dim touches it (the dims annotate ≤ |customers|
+    // rows, never raw orders). The region-share window runs over the
+    // ≤ |nations| collapsed frame on one region clustering.
+    "q191_nation_revenue" -> ((s, d) => {
+      import s.implicits._
+      val rev = orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("rc"))
+        .join(broadcast(customer(s, d)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"), sum($"rc").as("nation_cents"))
+      rev
+        .withColumn("region_cents",
+          sum($"nation_cents").over(Window.partitionBy($"r_name")))
+        .select($"r_name", $"n_name", $"n_customers", $"nation_cents",
+          round($"nation_cents".cast("double") /
+            $"region_cents".cast("double"), 6).as("region_share"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // Size↔price association per brand: exact-integer Pearson sums
+    // (the q124/q14 discipline on the part dim — p_size integer,
+    // retail cents integer, every moment an exact long, ONE final
+    // expression of IEEE ops shipped unrounded-identical). A
+    // zero-variance side yields NULL, decided before the division.
+    "q192_size_price_corr" -> ((s, d) => {
+      import s.implicits._
+      val sums = part(s, d)
+        .select($"p_brand", $"p_size".cast("long").as("x"),
+          expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("y"))
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      val varX = d2($"n") * d2($"sxx") - d2($"sx") * d2($"sx")
+      val varY = d2($"n") * d2($"syy") - d2($"sy") * d2($"sy")
+      val cov = d2($"n") * d2($"sxy") - d2($"sx") * d2($"sy")
+      sums.select($"p_brand", $"n".as("n_parts"),
+          when($"n" === 1L || varX === 0.0 || varY === 0.0,
+            lit(null).cast("double"))
+            .otherwise(round(cov / sqrt(varX * varY), 6))
+            .as("size_price_corr"))
+        .orderBy($"p_brand")
+    }),
+
+    // Customer-wealth profile per nation: exact median account balance
+    // (histogram-cut over integer cents — c_acctbal can be NEGATIVE,
+    // which is exactly where a float percentile's tie handling gets
+    // engine-specific) + min/max/count, nation names via one broadcast
+    // hop. All windows ride the ≤ distinct-balances×nations frame.
+    "q193_nation_balance_median" -> ((s, d) => {
+      import s.implicits._
+      val hist = customer(s, d)
+        .join(broadcast(nation(s, d).select($"n_nationkey", $"n_name")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name",
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+        .agg(count(lit(1)).as("m"))
+      val wn = Window.partitionBy($"n_name")
+      val wcum = wn.orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum($"m").over(wcum))
+        .withColumn("n", sum($"m").over(wn))
+        .groupBy($"n_name")
+        .agg(max($"n").cast("long").as("n_customers"),
+          min($"cents").as("min_cents"),
+          min(when($"cum" * 2 >= $"n", $"cents")).cast("long")
+            .as("median_cents"),
+          max($"cents").as("max_cents"))
+        .orderBy($"n_name")
+    }),
+
+    // Supply-side geography: lineitem revenue by SUPPLIER nation —
+    // the mirror of q191's demand-side rollup, off the supplier dim
+    // chain. The fact collapses per suppkey first; both dim hops
+    // broadcast; the share window rides the ≤ |nations| frame.
+    "q194_supplier_nation_revenue" -> ((s, d) => {
+      import s.implicits._
+      val rev = lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+          .as("sc"))
+        .join(broadcast(supplier(s, d)
+          .select($"s_suppkey", $"s_nationkey")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_suppliers"), sum($"sc").as("nation_cents"))
+      rev
+        .withColumn("__t",
+          sum($"nation_cents").over(Window.partitionBy()))
+        .select($"n_name", $"n_suppliers", $"nation_cents",
+          round($"nation_cents".cast("double") / $"__t".cast("double"), 6)
+            .as("global_share"))
+        .orderBy($"n_name")
     })
   )
 
@@ -915,6 +1021,80 @@ object RelationalQueries {
            FROM rev JOIN customer ON o_custkey = c_custkey)
          SELECT c_mktsegment, CAST(rn AS BIGINT) AS rank,
            o_custkey AS c_custkey, rc AS revenue_cents
-         FROM j WHERE rn <= 5 ORDER BY c_mktsegment, rank"""
+         FROM j WHERE rn <= 5 ORDER BY c_mktsegment, rank""",
+
+    "q191_nation_revenue" ->
+      """WITH rev AS (SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) rc
+           FROM orders GROUP BY 1),
+         nn AS (SELECT r_name, n_name,
+             CAST(count(*) AS BIGINT) n_customers,
+             CAST(sum(rc) AS BIGINT) nation_cents
+           FROM rev JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name, n_customers, nation_cents,
+           round(CAST(nation_cents AS DOUBLE) / CAST(sum(nation_cents)
+             OVER (PARTITION BY r_name) AS DOUBLE), 6) AS region_share
+         FROM nn ORDER BY r_name, n_name""",
+
+    "q192_size_price_corr" ->
+      """WITH s AS (SELECT p_brand, CAST(count(*) AS BIGINT) n,
+             CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+             CAST(sum(x * y) AS BIGINT) sxy,
+             CAST(sum(x * x) AS BIGINT) sxx,
+             CAST(sum(y * y) AS BIGINT) syy
+           FROM (SELECT p_brand, CAST(p_size AS BIGINT) x,
+               CAST(round(p_retailprice * 100, 0) AS BIGINT) y FROM part)
+           GROUP BY 1)
+         SELECT p_brand, n AS n_parts,
+           CASE WHEN n = 1
+               OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+               OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0
+             THEN NULL
+             ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             END AS size_price_corr
+         FROM s ORDER BY p_brand""",
+
+    "q193_nation_balance_median" ->
+      """WITH h AS (SELECT n_name,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) cents,
+             CAST(count(*) AS BIGINT) m
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         c AS (SELECT n_name, cents, m,
+             sum(m) OVER (PARTITION BY n_name ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) cum,
+             sum(m) OVER (PARTITION BY n_name) n
+           FROM h)
+         SELECT n_name, CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(min(CASE WHEN cum * 2 >= n THEN cents END) AS BIGINT)
+             AS median_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+         FROM c GROUP BY 1 ORDER BY n_name""",
+
+    "q194_supplier_nation_revenue" ->
+      """WITH rev AS (SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) sc
+           FROM lineitem GROUP BY 1),
+         nn AS (SELECT n_name, CAST(count(*) AS BIGINT) n_suppliers,
+             CAST(sum(sc) AS BIGINT) nation_cents
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY 1)
+         SELECT n_name, n_suppliers, nation_cents,
+           round(CAST(nation_cents AS DOUBLE)
+             / CAST(sum(nation_cents) OVER () AS DOUBLE), 6)
+             AS global_share
+         FROM nn ORDER BY n_name"""
   )
 }

@@ -1745,4 +1745,108 @@ class AnalyticsSpec extends SparkSpec {
       }.sorted
     assert(got == want, s"$got vs $want")
   }
+
+  private lazy val nationName: Map[Long, String] =
+    Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+
+  test("q191 nation revenue equals a driver-side dim-chain walk") {
+    val got = q("q191_nation_revenue")
+      .select($"r_name", $"n_name", $"n_customers", $"nation_cents",
+        $"region_share")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val regionOf = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name", $"r_name")
+      .as[(Long, String, String)].collect()
+      .map(n => n._1 -> ((n._2, n._3))).toMap
+    val natOf = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Long)]
+      .collect().toMap
+    val perCust = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+      .collect().toSeq.groupBy(_._1).view
+      .mapValues(_.map(v => math.rint(v._2 * 100).toLong).sum).toSeq
+    val byNation = perCust.groupBy(p => regionOf(natOf(p._1))).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val regionTot = byNation.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._2).sum).toMap
+    assert(got.keySet == byNation.keySet.map { case (n, r) => (r, n) })
+    byNation.foreach { case ((n, r), (nc, cents)) =>
+      val g = got((r, n))
+      assert((g._1, g._2) == ((nc, cents)), s"$n: $g")
+      assert(math.abs(g._3 - cents.toDouble / regionTot(r)) < 5e-7, s"$n share")
+    }
+  }
+
+  test("q192 size-price corr equals a driver-side exact-integer Pearson") {
+    val got = q("q192_size_price_corr")
+      .select($"p_brand", $"n_parts", $"size_price_corr").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val parts = Tables.part(spark, sf)
+      .select($"p_brand", $"p_size".cast("long"), $"p_retailprice")
+      .as[(String, Long, Double)].collect().toSeq
+      .map(p => (p._1, p._2, math.rint(p._3 * 100).toLong))
+    parts.groupBy(_._1).foreach { case (b, rows) =>
+      val n = rows.size.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val vx = n.toDouble * sxx - sx.toDouble * sx
+      val vy = n.toDouble * syy - sy.toDouble * sy
+      val (gn, gc) = got(b)
+      assert(gn == n, s"$b n")
+      if (n == 1 || vx == 0.0 || vy == 0.0) assert(gc.isEmpty, s"$b: $gc")
+      else {
+        val want = (n.toDouble * sxy - sx.toDouble * sy) / math.sqrt(vx * vy)
+        assert(math.abs(gc.get - want) < 5e-7, s"$b: $gc vs $want")
+      }
+    }
+  }
+
+  test("q193 nation balance median equals a driver-side sorted pick") {
+    val got = q("q193_nation_balance_median")
+      .select($"n_name", $"n_customers", $"min_cents", $"median_cents",
+        $"max_cents")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val custs = Tables.customer(spark, sf)
+      .select($"c_nationkey", $"c_acctbal").as[(Long, Double)]
+      .collect().toSeq
+      .map(c => (nationName(c._1), math.rint(c._2 * 100).toLong))
+    custs.groupBy(_._1).foreach { case (nn, rows) =>
+      val sv = rows.map(_._2).sorted
+      val med = sv.zipWithIndex.collectFirst {
+        case (c, i) if (i + 1) * 2 >= sv.size => c }.get
+      val want = (sv.size.toLong, sv.head, med, sv.last)
+      assert(got(nn) == want, s"$nn: ${got(nn)} vs $want")
+    }
+  }
+
+  test("q194 supplier nation revenue equals a driver-side chain walk") {
+    val got = q("q194_supplier_nation_revenue")
+      .select($"n_name", $"n_suppliers", $"nation_cents", $"global_share")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val natOf = Tables.supplier(spark, sf)
+      .select($"s_suppkey", $"s_nationkey").as[(Long, Long)]
+      .collect().toMap
+    val perSupp = Tables.lineitem(spark, sf)
+      .select($"l_suppkey", $"l_extendedprice").as[(Long, Double)]
+      .collect().toSeq.groupBy(_._1).view
+      .mapValues(_.map(v => math.rint(v._2 * 100).toLong).sum).toSeq
+    val byNation = perSupp.groupBy(p => nationName(natOf(p._1))).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val total = byNation.values.map(_._2).sum
+    assert(got.keySet == byNation.keySet)
+    byNation.foreach { case (nn, (ns, cents)) =>
+      val g = got(nn)
+      assert((g._1, g._2) == ((ns, cents)), s"$nn: $g")
+      assert(math.abs(g._3 - cents.toDouble / total) < 5e-7, s"$nn share")
+    }
+  }
 }

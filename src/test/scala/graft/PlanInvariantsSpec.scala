@@ -1391,6 +1391,42 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Window"), p) // a rank window would sort every customer
   }
 
+  test("q191 nation revenue: fact collapses before the broadcast dim chain") {
+    // per-customer rollup is the ONLY fact-scale exchange; customer,
+    // nation and region all annotate BROADCAST; the share window
+    // rides the <= |nations| collapsed frame
+    val p = plan("q191_nation_revenue")
+    assert(countOf(p, "BroadcastHashJoin") == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx, p)
+  }
+
+  test("q192 size-price corr: single dim scan, exact-moment rollup") {
+    val p = plan("q192_size_price_corr")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("q193 nation balance: broadcast name hop, histogram-cut median") {
+    val p = plan("q193_nation_balance_median")
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // cents histogram + nation window clustering; the final rollup
+    // reuses the window's clustering
+    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("q194 supplier nation: fact collapses before both broadcast hops") {
+    val p = plan("q194_supplier_nation_revenue")
+    assert(countOf(p, "BroadcastHashJoin") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val wIdx = p.indexOf("Window ")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx, p)
+  }
+
   test("q170 dominance: three collapsed exchanges, no window, no join") {
     // (user,type) rollup collapses map-side from the raw scan; the
     // per-user max/sum and the <=10-row histogram each move an
