@@ -2704,18 +2704,22 @@ object DocumentQueries {
     // before deciding which copy to keep (and whether a source is a
     // wholesale mirror). The pair set is banded-MinHash (never
     // all-pairs); the source lookup streams a slim (doc_id, source)
-    // projection of the corpus past a BROADCAST of the exploded pair
-    // sides — near-dup pairs ≪ corpus by construction, so the
-    // broadcast is the scale shape (a shuffle join would re-exchange
-    // the whole corpus to annotate a tiny frame). min/max over each
-    // pair's two source rows is the canonical (src_a ≤ src_b) key.
+    // projection of the corpus past the exploded pair sides. On a
+    // typical corpus near-dup pairs ≪ corpus and AQE converts this to
+    // a broadcast join at runtime (pinned in PlanInvariantsSpec) — but
+    // the broadcast is NOT forced: pair count is quadratic in
+    // duplicate-cluster size (m mirrored docs ⇒ ~m² banded pairs), so
+    // on a duplicate-heavy corpus a forced broadcast would blow the
+    // driver where AQE's runtime-size decision degrades to a shuffle
+    // join instead. min/max over each pair's two source rows is the
+    // canonical (src_a ≤ src_b) key.
     "q169_dup_source_matrix" -> ((s, d) => {
       import s.implicits._
       val sides = minhashPairs(s, d)
         .select($"a_id", $"b_id",
           explode(array($"a_id", $"b_id")).as("doc_id"))
       documents(s, d).select($"doc_id", $"source")
-        .join(broadcast(sides), Seq("doc_id"))
+        .join(sides, Seq("doc_id"))
         .groupBy($"a_id", $"b_id")
         .agg(min($"source").as("src_a"), max($"source").as("src_b"))
         .groupBy($"src_a", $"src_b")
@@ -2839,7 +2843,7 @@ object DocumentQueries {
       val oct = documents(s, d)
         .select(explode(expr("graft_shingle_set(text)")).as("g"))
         .groupBy($"g").agg(count(lit(1)).as("df"))
-        .groupBy(expr("length(bin(df)) - 1").as("df_bucket"))
+        .groupBy(expr("length(bin(df)) - 1").cast("long").as("df_bucket"))
         .agg(count(lit(1)).as("n_shingles"), sum($"df").as("postings"),
           min($"df").as("min_df"), max($"df").as("max_df"))
       oct.withColumn("__t", sum($"postings").over(Window.partitionBy()))

@@ -347,8 +347,14 @@ object RelationalQueries {
           sum($"yc").as("sy"), sum($"mi" * $"yc").as("sxy"),
           sum($"mi" * $"mi").as("sxx"))
       def d2(c: org.apache.spark.sql.Column) = c.cast("double")
-      val slope = (d2($"n") * d2($"sxy") - d2($"sx") * d2($"sy")) /
-        (d2($"n") * d2($"sxx") - d2($"sx") * d2($"sx"))
+      // decide-before-division (the q192/q141/q143 rule): a segment
+      // with one month (or a constant month index) has zero x-variance
+      // — Spark's 0/0 is NaN where DuckDB's is NULL, so the degenerate
+      // case must be decided BEFORE the division on both engines
+      val denom = d2($"n") * d2($"sxx") - d2($"sx") * d2($"sx")
+      val slope = when($"n" === 1L || denom === 0.0,
+          lit(null).cast("double"))
+        .otherwise((d2($"n") * d2($"sxy") - d2($"sx") * d2($"sy")) / denom)
       sums.select($"c_mktsegment", $"n".as("n_months"),
           slope.as("slope_cents_per_month"))
         .orderBy($"c_mktsegment")
@@ -901,11 +907,15 @@ object RelationalQueries {
              CAST(sum(mi * mi) AS BIGINT) sxx
            FROM m GROUP BY 1)
          SELECT c_mktsegment, n AS n_months,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             AS slope_cents_per_month
+           CASE WHEN n = 1
+                  OR CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS slope_cents_per_month
          FROM s ORDER BY c_mktsegment""",
 
     "q183_order_reconciliation" ->

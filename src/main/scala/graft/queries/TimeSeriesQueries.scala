@@ -1455,29 +1455,38 @@ object TimeSeriesQueries {
     // never ntile, whose tie placement is row-order-dependent and so
     // layout-dependent). Rank order ties break on user_id, making
     // every quintile assignment bit-exact at any partitioning. The
-    // three rank windows are unpartitioned BUT run over the per-user
-    // collapsed frame (≤ |users| rows — the pack-wide bounded-global-
-    // window rule), which a single user-keyed rollup exchange builds
-    // map-side from the raw scan; the ≤125-cell grid rollup is the
-    // only other exchange.
+    // per-user frame is collapsed but NOT bounded — |users| is
+    // 10⁸–10⁹ at the 100 TB target, so an unpartitioned rank window
+    // here would be a single-task sort of tens of GB (the r18 weak
+    // mark). Each axis rank instead comes from Ids.stableIds: range-
+    // partition on the axis order, per-partition row_number + a
+    // broadcast prefix-offset join — fully distributed, bit-identical
+    // ranks (total order via the user_id tie-break). The three passes
+    // CHAIN (each re-ranges the previous output, carrying earlier
+    // ranks along), so no user-keyed join is ever needed; n rides in
+    // as the one-row crossJoin scalar (q42/q108 pattern) and the
+    // ≤125-cell grid rollup ends it. The pack-wide census now rejects
+    // user-cardinality global windows outright.
     "q167_rfm_segments" -> ((s, d) => {
       import s.implicits._
-      val per = events(s, d).groupBy($"user_id")
-        .agg(max(date_trunc("day", $"ts").cast("date")).as("last_day"),
-          count(lit(1)).as("freq"),
-          sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("cents"))
-      val wg = Window.partitionBy()
-      val quint = per
-        .withColumn("n", count(lit(1)).over(wg))
-        .withColumn("r_rn", row_number().over(
-          wg.orderBy($"last_day".desc, $"user_id")))
-        .withColumn("f_rn", row_number().over(
-          wg.orderBy($"freq".desc, $"user_id")))
-        .withColumn("m_rn", row_number().over(
-          wg.orderBy($"cents".desc, $"user_id")))
-        .select(expr("(5 * r_rn + n - 1) DIV n").as("r_q"),
-          expr("(5 * f_rn + n - 1) DIV n").as("f_q"),
-          expr("(5 * m_rn + n - 1) DIV n").as("m_q"),
+      import graft.operators.Ids
+      val per = graft.Caching.persisted(
+        events(s, d).groupBy($"user_id")
+          .agg(max(date_trunc("day", $"ts").cast("date")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))
+              .as("cents")))
+      val nDf = per.agg(count(lit(1)).as("n"))
+      val ranked = Ids.stableIds(
+        Ids.stableIds(
+          Ids.stableIds(per,
+            Seq($"last_day".desc, $"user_id"), "r_rid"),
+          Seq($"freq".desc, $"user_id"), "f_rid"),
+        Seq($"cents".desc, $"user_id"), "m_rid")
+      val quint = ranked.crossJoin(nDf)
+        .select(expr("(5 * (r_rid + 1) + n - 1) DIV n").as("r_q"),
+          expr("(5 * (f_rid + 1) + n - 1) DIV n").as("f_q"),
+          expr("(5 * (m_rid + 1) + n - 1) DIV n").as("m_q"),
           $"freq", $"cents")
       quint.groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_users"), sum($"freq").as("n_events"),
@@ -1704,7 +1713,7 @@ object TimeSeriesQueries {
         .agg(count(lit(1)).as("len"),
           max(when($"event_type" === "purchase", 1L).otherwise(0L))
             .as("conv"))
-        .groupBy(expr("length(bin(len)) - 1").as("len_bucket"))
+        .groupBy(expr("length(bin(len)) - 1").cast("long").as("len_bucket"))
         .agg(count(lit(1)).as("n_sessions"),
           sum($"conv").as("n_converting"))
         .select($"len_bucket", $"n_sessions", $"n_converting",

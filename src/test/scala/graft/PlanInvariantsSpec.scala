@@ -40,6 +40,33 @@ class PlanInvariantsSpec extends SparkSpec {
   private def countOf(s: String, needle: String): Int =
     s.sliding(needle.length).count(_ == needle)
 
+  /** r18 verdict items 3/4: an unpartitioned WindowExec is a
+    * single-task sort of its input, legal ONLY over a frame that is
+    * both (a) collapsed by an Aggregate/Limit below it and (b) bounded
+    * by a NON-corpus dimension (calendar days, vocabulary octaves,
+    * |nations|, value histograms). A frame grouped by a corpus-entity
+    * key still GROWS with the data — 10⁸–10⁹ users at the 100 TB
+    * target — which is exactly how pre-fix q167's per-user rank trio
+    * slipped the r17 "above a collapsing aggregate" rule. */
+  private def globalWindowInputBounded(
+      w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
+    import org.apache.spark.sql.execution.GlobalLimitExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // corpus-entity grouping keys: cardinality scales with the data
+    // (suffix match covers the TPC-H prefixes: o_orderkey, c_custkey…)
+    val corpusKeys = Seq("user_id", "doc_id", "emb_id", "event_id",
+      "session_id", "orderkey", "custkey", "suppkey", "partkey")
+    def isCorpusKey(n: String): Boolean =
+      corpusKeys.exists(k => n == k || n.endsWith(k))
+    // the nearest collapsing node below the window IS the frame the
+    // single-task sort pays for
+    w.child.collectFirst {
+      case a: BaseAggregateExec =>
+        !a.groupingExpressions.exists(g => isCorpusKey(g.name.toLowerCase))
+      case _: GlobalLimitExec => true
+    }.getOrElse(false)
+  }
+
   /** Drop cached-plan bodies (the innerChildren a printed
     * InMemoryRelation carries) so node counts see each EXECUTED operator
     * once: the text printer re-prints a cached subtree at every
@@ -1106,22 +1133,34 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("row_number"), p)
   }
 
-  test("q167 rfm: quintile windows over the per-user collapsed frame") {
-    // ONE user rollup exchange builds the <= |users| frame; all the
-    // unpartitioned rank windows share ONE single-partition exchange
-    // (re-sorts, no re-shuffle); the <=125-cell grid rollup then rides
-    // the same single partition — no further exchange at all
-    val p = plan("q167_rfm_segments")
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
-    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
-    assert(countOf(p, "Exchange SinglePartition") == 1, p)
-    val wIdx = p.indexOf("Window ")
-    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
-      s"rank windows must sit above the per-user aggregate:\n$p")
-    val readSchema = "ReadSchema: struct<([^>]*)>".r
-      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
-    assert(readSchema.split(",").length == 3, s"column pruning lost: $readSchema")
+  test("q167 rfm: distributed axis ranks — no single-partition sort anywhere") {
+    // |users| is NOT a bounded dimension, so the three axis ranks must
+    // come from the Ids.stableIds range-partition + broadcast-prefix-
+    // offset pattern (the r18 weak mark was three unpartitioned
+    // row_number sorts here): three range exchanges over the cached
+    // per-user frame, every rank window partitioned by __pid, the tiny
+    // offset frames broadcast back, n as the one-row BNLJ scalar —
+    // and NO Exchange SinglePartition / empty-partitionSpec window in
+    // the whole tree
+    val full = plan("q167_rfm_segments")
+    // the ONE SinglePartition exchange allowed is the scalar-n global
+    // aggregate (moves <= numPartitions partial count rows, never data)
+    assert(countOf(full, "Exchange SinglePartition") <= 1, full)
+    assert(!full.contains("SortMergeJoin"), full)
+    assert(!full.contains("CartesianProduct"), full)
+    // range exchanges sit inside the cached ranged copies (printed as
+    // InMemoryRelation bodies), the live tree reads them + broadcasts
+    assert(countOf(full, "Exchange rangepartitioning") >= 1, full)
+    assert(full.contains("BroadcastHashJoin"), full) // prefix-offset joins
+    // executed tree: every WindowExec must carry a partitionSpec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q167_rfm_segments")(spark, sf)
+    val globals = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    Caching.release(); spark.catalog.clearCache()
+    assert(globals.isEmpty,
+      s"q167 regressed to an unpartitioned rank window: $globals")
   }
 
   test("q168 touch matrix: one window sort, user clustering reused") {
@@ -1139,17 +1178,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
-  test("q169 source matrix: broadcast pair sides onto the corpus scan") {
-    // the exploded near-dup pair sides (tiny by construction) must
-    // BROADCAST onto the slim (doc_id, source) projection — a shuffle
-    // join here would re-exchange the corpus to annotate a bounded
-    // frame; the upstream pair derivation keeps q24's banded shape
-    // (cached signature frame, never a cartesian)
-    val p = plan("q169_dup_source_matrix")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  test("q169 source matrix: AQE broadcasts pair sides onto the corpus scan") {
+    // the exploded near-dup pair sides are tiny on a typical corpus
+    // and must end up BROADCAST onto the slim (doc_id, source)
+    // projection — but the hint is deliberately NOT forced (pair count
+    // is quadratic in duplicate-cluster size; a duplicate-heavy corpus
+    // must degrade to a shuffle join, not blow the driver), so the
+    // broadcast shows up in the AQE FINAL plan via runtime sizes, not
+    // the static one. Pair derivation keeps q24's banded shape (cached
+    // signature frame, never a cartesian).
+    val p0 = plan("q169_dup_source_matrix")
+    assert(!p0.contains("CartesianProduct"), p0)
+    assert(!p0.contains("BroadcastNestedLoopJoin"), p0)
+    assert(countOf(p0, "InMemoryTableScan") >= 4, p0)
+    val p = finalPlan("q169_dup_source_matrix")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(countOf(p, "InMemoryTableScan") >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q171 survival: cumulative windows over the lifespan histogram") {
@@ -1468,21 +1512,59 @@ class PlanInvariantsSpec extends SparkSpec {
       val globals = root.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
-      val bad = globals.filter(_.child.collect {
-        case a: BaseAggregateExec => a
-        case l: GlobalLimitExec   => l
-      }.isEmpty)
+      val bad = globals.filter(w => !globalWindowInputBounded(w))
       if (globals.nonEmpty && bad.isEmpty) sawBounded ::= name
       Caching.release(); spark.catalog.clearCache()
       if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
-      s"global window over an uncollapsed (corpus-sized) input in: $offenders")
+      s"global window over an uncollapsed or corpus-cardinality input in: $offenders")
     // the pattern's known users must actually exercise the assertion —
     // if a refactor removed their windows entirely this test would pass
     // vacuously, so pin the census too
     Seq("q108_curriculum_buckets", "q127_auc", "q133_percentile_rank")
       .foreach(q => assert(sawBounded.contains(q),
         s"$q no longer uses the bounded-global-window pattern; update this census"))
+  }
+
+  test("census rule red-test: user-cardinality global windows are rejected") {
+    // the EXACT shape that slipped the r17 rule (pre-fix q167): a
+    // global rank window above a groupBy(user_id) rollup is collapsed
+    // but NOT bounded — the tightened checker must flag it, while a
+    // calendar-bounded histogram window stays legal
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{row_number, sum}
+    import spark.implicits._
+    def globals(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
+      val root: SparkPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    }
+    val base = spark.range(100)
+      .select(($"id" % 10).as("user_id"), ($"id" % 7).as("day"),
+        $"id".as("v"))
+    val perUser = base.groupBy($"user_id").agg(sum($"v").as("s"))
+      .withColumn("rn", row_number().over(W.partitionBy().orderBy($"s")))
+    val gu = globals(perUser)
+    assert(gu.nonEmpty)
+    assert(gu.forall(w => !globalWindowInputBounded(w)),
+      "a per-user collapsed frame must NOT count as bounded")
+    val perDay = base.groupBy($"day").agg(sum($"v").as("s"))
+      .withColumn("rn", row_number().over(W.partitionBy().orderBy($"s")))
+    val gd = globals(perDay)
+    assert(gd.nonEmpty)
+    assert(gd.forall(globalWindowInputBounded),
+      "a calendar-bounded histogram frame must stay legal")
+    val raw = base
+      .withColumn("rn", row_number().over(W.partitionBy().orderBy($"v")))
+    val gr = globals(raw)
+    assert(gr.nonEmpty)
+    assert(gr.forall(w => !globalWindowInputBounded(w)),
+      "an uncollapsed frame must stay rejected")
   }
 }

@@ -631,6 +631,38 @@ class TextOpsSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), jac.toSeq)
   }
 
+  test("containmentPairs recall caveat: all-shared-shingles-hot pairs are MISSED by design") {
+    // r18 verdict item 5: the df∈[2,maxDf] anchor index documents
+    // that a pair whose EVERY shared shingle is hotter than maxDf is
+    // missed (rare-anchor indexing bets near-copies share a rare
+    // shingle). Plant exactly that boundary: a phrase S in three docs
+    // makes every S-shingle df=3; docs 1/2 share ONLY those shingles
+    // (distinct tails kill the boundary shingles). At maxDf=2 the
+    // documented miss MUST happen — a "fix" that silently indexes the
+    // Zipf head (and with it per-shingle fan-out > maxDf²) reds out
+    // here — and at the adjacent maxDf=3 the same pair must be found.
+    val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s8 + " u1 u2"),
+      (2L, s8 + " v1 v2"),
+      (3L, s8 + " w1 w2")
+    ).toDF("doc_id", "text")
+    val miss = TextOps.containmentPairs(df, "doc_id", "text", 1, 2, 2L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    Caching.release()
+    assert(miss.isEmpty,
+      s"df>maxDf shared shingles must NOT produce candidates: ${miss.toSeq}")
+    val hit = TextOps.containmentPairs(df, "doc_id", "text", 1, 2, 3L)
+      .select($"a_id", $"b_id", $"n_shared", $"n_a", $"n_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    Caching.release()
+    assert(hit.map(r => (r._1, r._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)), hit.toSeq)
+    // 10 words → 8 shingles/doc; the 6 S-internal shingles are shared
+    assert(hit.forall(r => r._3 == 6L && r._4 == 8L && r._5 == 8L),
+      hit.toSeq)
+  }
+
   test("token counters: whitespace vs bpe-ish") {
     val (ws, bp) = Seq("hello world, this is 42!")
       .toDF("t")
