@@ -119,9 +119,16 @@ object Bench {
 
     // ---- mechanical 2x-bound adjudication (round-16 verdict #3), see
     // emitBaselineRatios below (called after the chunk/spread block so
-    // the OVER_2X line lands near the tail but before the headline)
+    // the OVER_2X line lands near the tail but before the headline).
+    // Returns a COMPACT baseline fragment for the final headline —
+    // bounded at any pack size (OVER_2X capped to 5 entries + a count)
+    // so the driver's 2000-char tail window always carries the
+    // median_ratio/worst/OVER_2X signal (r18 verdict #1: at 194
+    // queries the old headline overflowed and the whole perf signal
+    // went dark).
     def emitBaselineRatios(f2: Double => String, short: String => String,
-                           emit: String => Unit): Unit = {
+                           emit: String => Unit): Option[String] = {
+    var frag: Option[String] = None
     // BASELINE_BENCH.json (committed at the repo root) holds per-query
     // reference medians per methodology ("block" / "interleaved").
     // Every run emits the per-query ratio vs the SAME-mode baseline on
@@ -169,37 +176,40 @@ object Bench {
             val rs = ratios.map(_._4).sorted
             val medianRatio = rs(rs.length / 2)
             val over = ratios.filter(_._4 > 2.0).sortBy(-_._4)
-            val overStr = over.map { case (k, med, b, r) =>
-              "\"" + short(k) + ":" + f2(r) + "(" + f2(med) + "/" + f2(b) + ")\""
-            }.mkString("[", ",", "]")
+            def overEntries(xs: Seq[(String, Double, Double, Double)]) =
+              xs.map { case (k, med, b, r) =>
+                "\"" + short(k) + ":" + f2(r) + "(" + f2(med) + "/" + f2(b) + ")\""
+              }.mkString("[", ",", "]")
             val worst = ratios.maxBy(_._4)
-            emit(s"""{"metric":"baseline_ratio","mode":"$mode","baseline_round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"${short(worst._1)}:${f2(worst._4)}","OVER_2X":$overStr}""")
+            emit(s"""{"metric":"baseline_ratio","mode":"$mode","baseline_round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"${short(worst._1)}:${f2(worst._4)}","OVER_2X":${overEntries(over)}}""")
+            frag = Some(s""""baseline":{"mode":"$mode","round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"${short(worst._1)}:${f2(worst._4)}","over2x_n":${over.size},"OVER_2X":${overEntries(over.take(5))}}""")
           }
         }
       }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] baseline comparison failed: $t")
-    } }
+    }
+    frag }
     val loadAfter = loadavg()
     val telemetry =
       s""""loadavg_before":[$loadBefore],"loadavg_after":[$loadAfter],"wall_sec":${f(wallSec)}"""
 
     // ---- final stdout block, designed for a 2000-char keep-the-tail
     // capture window (measured: every BENCH_rN.json tail is exactly 2000
-    // chars, and the full-name headline — ~2.4 KB for 83 queries — has
-    // NEVER fit it whole: "parsed": null in all ten rounds). Layout, in
-    // emission order (later lines survive truncation first):
+    // chars; at 194 queries even a 2dp short-name queries map is ~2.3 KB
+    // — r18 shipped "parsed": null and lost the OVER_2X line). Layout,
+    // in emission order (later lines survive truncation first):
     //   1. chunk lines — ≤10 queries each, FULL names, [med,min,max] —
     //      the complete per-query record, each line well under 1 KB;
-    //   2. spread lines — short qNN names, [min,max] only, ~550 chars
-    //      each, so at least the trailing ones land inside the window;
-    //   3. the headline, LAST — total + ALL medians under short qNN
-    //      names + ALL [min,max] spreads folded in as flat centisecond
-    //      pairs (~1.9 KB for 87 queries), a single complete JSON line
-    //      that fits the 2000-char window with room for sbt's trailing
-    //      "[success]" line. qNN is the unique prefix of the full query
-    //      name (q74 ↔ q74_tfidf_topk); full names are in the chunk
-    //      lines, on stderr, and in target/bench_last.json.
+    //   2. spread lines — short qNN names, [min,max] only;
+    //   3. the full-length baseline_ratio line (uncapped OVER_2X);
+    //   4. the headline, LAST — a compact summary that fits the window
+    //      at ANY pack size: total/iters/loadavg + the baseline
+    //      fragment (median_ratio, worst, over2x_n, OVER_2X capped to
+    //      5) + all medians as integer centiseconds in sorted-query-
+    //      name order (~5 chars each; dropped first if the line ever
+    //      outgrows the 1800-char budget). Full names live in the
+    //      chunk lines, on stderr, and in target/bench_last.json.
     def short(n: String): String = n.split("_").head
     def emit(line: String): Unit = { println(line); System.err.println(line) }
     val chunks = results.grouped(10).toSeq
@@ -217,38 +227,30 @@ object Bench {
       }.mkString("{", ",", "}")
       emit(s"""{"metric":"spread","i":${i + 1},"of":${spreadChunks.length},"queries":$qs}""")
     }
-    emitBaselineRatios(f2, short, emit)
-    // Per-query spreads folded INTO the headline (round-14 verdict #7:
-    // the separate spread lines only survive the 2000-char tail window
-    // for the trailing chunk). Flat [min,max] centisecond pairs in
-    // `queries` key order keep all 87 pairs ≈ 550 chars, so headline +
-    // spreads + sbt's "[success]" line fit the window together; a failed
-    // query (-1 median) encodes as -1,-1. "interleaved" moved off the
-    // stdout headline for budget (constant since r11; still on the
-    // stderr full line and in target/bench_last.json). If digit growth
-    // overflows the 1920-char budget anyway, degrade median precision
-    // to 2dp first and drop the spreads only as a last resort — a
-    // truncated headline would lose EVERYTHING.
-    val spreadCs = results.map { case (_, (_, mn, mx)) =>
-      if (mn < 0) "-1,-1"
-      else s"${math.round(mn * 100)},${math.round(mx * 100)}"
+    val baselineFrag = emitBaselineRatios(f2, short, emit)
+    // The final headline (r18 verdict #1): a single compact JSON line
+    // whose size is bounded at any pack size. Medians ride as integer
+    // centiseconds in sorted-query-name order (a failed query encodes
+    // as -1); the baseline fragment carries median_ratio/worst/
+    // over2x_n with OVER_2X capped to its 5 worst entries (the full
+    // list is on the baseline_ratio line and stderr). If med_cs ever
+    // outgrows the budget (500+ queries), it is dropped FIRST — the
+    // summary must always parse whole inside the 2000-char tail.
+    val medCs = results.map { case (_, (med, _, _)) =>
+      if (med < 0) "-1" else math.round(med * 100).toString
     }.mkString("[", ",", "]")
-    def mkHeadline(medDp: Int, withSpread: Boolean): String = {
-      val qsShort = results.map { case (k, (med, _, _)) =>
-        "\"" + short(k) + "\":" + s"%.${medDp}f".formatLocal(java.util.Locale.ROOT, med)
-      }.mkString("{", ",", "}")
-      val sp =
-        if (withSpread)
-          s""","spread_cs":$spreadCs,"note":"spread_cs=[min,max] cs pairs in queries key order""""
-        else ""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsShort,"iters":$iters$sp,$telemetry,"sf":"$sfDir"}"""
+    def mkHeadline(withMeds: Boolean): String = {
+      val meds = if (withMeds)
+        s""","med_cs":$medCs,"med_cs_order":"sorted query names""""
+      else ""
+      val bl = baselineFrag.map("," + _).getOrElse("")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"iters":$iters$meds$bl,$telemetry,"sf":"$sfDir"}"""
     }
     val headline = Seq(
-      () => mkHeadline(3, withSpread = true),
-      () => mkHeadline(2, withSpread = true),
-      () => mkHeadline(3, withSpread = false))
-      .view.map(_.apply()).find(_.length <= 1920)
-      .getOrElse(mkHeadline(2, withSpread = false))
+      () => mkHeadline(withMeds = true),
+      () => mkHeadline(withMeds = false))
+      .view.map(_.apply()).find(_.length <= 1800)
+      .getOrElse(mkHeadline(withMeds = false))
     // full-name record for local diagnosis — NOT printed to stdout (a
     // second large line is exactly what overflowed the r9 window)
     val qsFull = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }
@@ -269,7 +271,7 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] could not write target/bench_last.json: $t")
     }
-    if (headline.length > 1920)
+    if (headline.length > 1800)
       System.err.println(s"[bench] WARNING headline ${headline.length} chars may not fit a 2000-char tail window")
     // The short-name headline goes to stdout exactly ONCE, as the very
     // last line, so a first-match or last-line JSON scan over the tail
