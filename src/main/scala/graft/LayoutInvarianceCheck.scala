@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *   - every other table → rewritten `repartition(n, key)` (multi-file,
   *     hash-distributed, file and row order unrelated to the flat copy).
   *
+  * A THIRD leg ([[buildUserBucketLayout]]) re-runs everything over
+  * `events` hash-bucketed by `user_id` — the pre-clustered layout the
+  * user-keyed windows/persists (q163/q167/q168/q173/q176) would meet
+  * on a user-bucketed deployment.
+  *
   * This is the third leg of the engine-side gate triad: the DuckDB
   * oracle proves the VALUE, DeterminismCheck proves independence from
   * shuffle fan-out, and this proves independence from the INPUT layout —
@@ -83,6 +88,37 @@ object LayoutInvarianceCheck {
       }
   }
 
+  /** Third leg (r18 verdict #6): `events` hash-bucketed by `user_id`
+    * (8 bucket files, rows user-clustered and (user_id, ts)-sorted
+    * within each file) — the layout a user-keyed 100 TB deployment
+    * would pre-bucket, and the one the analytics pack's user-clustered
+    * windows/persists (q163/q167/q168/q173/q176) have never been
+    * driven over. Results must be identical; plans may legitimately
+    * differ (a pre-clustered layout can LOSE exchanges — this gate
+    * asserts rows, never plans). Every non-events table symlinks to
+    * the flat copy: the perturbation under test is events bucketing
+    * alone (leg 2 already scatters the rest). */
+  def buildUserBucketLayout(spark: SparkSession, sfDir: String,
+                            out: String): Unit = {
+    spark.sql("DROP TABLE IF EXISTS graft_layout_events_u")
+    Tables.events(spark, sfDir)
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .format("parquet").saveAsTable("graft_layout_events_u")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val tableDir = new java.io.File(warehouse, "graft_layout_events_u")
+    require(tableDir.isDirectory, s"bucketed table dir missing: $tableDir")
+    java.nio.file.Files.move(tableDir.toPath,
+      java.nio.file.Paths.get(s"$out/events.parquet"))
+    spark.sql("DROP TABLE IF EXISTS graft_layout_events_u")
+    Seq("documents", "embeddings", "lineitem", "orders", "customer",
+      "part", "supplier", "nation", "region").foreach { name =>
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$out/$name.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
@@ -96,6 +132,9 @@ object LayoutInvarianceCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     buildLayout(spark, sfDir, out)
+    val outU = s"$out/__user_bucketed"
+    new java.io.File(outU).mkdirs()
+    buildUserBucketLayout(spark, sfDir, outU)
     // the gate is only evidence if the rebuild actually perturbed the
     // layout — a silently-flat copy would pass every diff vacuously
     def files(p: String)(f: java.io.File => Boolean): Int =
@@ -109,6 +148,10 @@ object LayoutInvarianceCheck {
     val embFiles = files(s"$out/embeddings.parquet")(
       f => f.isFile && f.getName.endsWith(".parquet"))
     require(embFiles > 1, s"embeddings fixture has $embFiles files")
+    val evtUFiles = files(s"$outU/events.parquet")(
+      f => f.isFile && f.getName.endsWith(".parquet"))
+    require(evtUFiles > 1,
+      s"user-bucketed events fixture has $evtUFiles bucket files")
 
     val only = sys.env.get("SPARK_GRAFT_LAYOUT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -125,15 +168,19 @@ object LayoutInvarianceCheck {
       if (selected(name)) {
         try {
           val flat = runOn(name, sfDir)
-          val alt = runOn(name, out)
-          if (flat == alt) {
+          val legs = Seq("partitioned/bucketed" -> runOn(name, out),
+            "user-bucketed-events" -> runOn(name, outU))
+          val diffs = legs.filter(_._2 != flat)
+          if (diffs.isEmpty) {
             passed += 1; println(s"PASS $name (${flat.size} rows)")
           } else {
             failed ::= name
-            val i = flat.zip(alt).indexWhere { case (x, y) => x != y }
-            println(s"FAIL $name: rows ${flat.size} vs ${alt.size}, " +
-              s"first diff at ${if (i < 0) "size" else i}: " +
-              flat.lift(i).getOrElse("-") + " vs " + alt.lift(i).getOrElse("-"))
+            diffs.foreach { case (leg, alt) =>
+              val i = flat.zip(alt).indexWhere { case (x, y) => x != y }
+              println(s"FAIL $name [$leg]: rows ${flat.size} vs ${alt.size}, " +
+                s"first diff at ${if (i < 0) "size" else i}: " +
+                flat.lift(i).getOrElse("-") + " vs " + alt.lift(i).getOrElse("-"))
+            }
           }
         } catch {
           case e: Throwable =>
