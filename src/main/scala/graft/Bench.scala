@@ -15,6 +15,32 @@ import org.apache.spark.sql.SparkSession
   * relative to the input (aggregated/top-k), so collect is safe here.
   */
 object Bench {
+
+  /** Assemble the final stdout summary line — the one artifact line
+    * the driver's 2000-char keep-the-tail window must always carry
+    * whole. Pure and unit-tested (BenchHeadlineSpec) for the budget at
+    * any pack size: medians ride as integer centiseconds (a failed
+    * query encodes -1) and drop FIRST if the line outgrows `budget`;
+    * the summary (total/iters/baseline fragment with OVER_2X) never
+    * drops. */
+  private[graft] def buildHeadline(total: Double, nQueries: Int,
+      iters: Int, medians: Seq[Double], baselineFrag: Option[String],
+      telemetry: String, sfDir: String, budget: Int = 1800): String = {
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val medCs = medians.map(m =>
+      if (m < 0) "-1" else math.round(m * 100).toString)
+      .mkString("[", ",", "]")
+    def mk(withMeds: Boolean): String = {
+      val meds = if (withMeds)
+        s""","med_cs":$medCs,"med_cs_order":"sorted query names""""
+      else ""
+      val bl = baselineFrag.map("," + _).getOrElse("")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$nQueries,"iters":$iters$meds$bl,$telemetry,"sf":"$sfDir"}"""
+    }
+    Seq(() => mk(true), () => mk(false)).view.map(_.apply())
+      .find(_.length <= budget).getOrElse(mk(withMeds = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -236,21 +262,8 @@ object Bench {
     // list is on the baseline_ratio line and stderr). If med_cs ever
     // outgrows the budget (500+ queries), it is dropped FIRST — the
     // summary must always parse whole inside the 2000-char tail.
-    val medCs = results.map { case (_, (med, _, _)) =>
-      if (med < 0) "-1" else math.round(med * 100).toString
-    }.mkString("[", ",", "]")
-    def mkHeadline(withMeds: Boolean): String = {
-      val meds = if (withMeds)
-        s""","med_cs":$medCs,"med_cs_order":"sorted query names""""
-      else ""
-      val bl = baselineFrag.map("," + _).getOrElse("")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"iters":$iters$meds$bl,$telemetry,"sf":"$sfDir"}"""
-    }
-    val headline = Seq(
-      () => mkHeadline(withMeds = true),
-      () => mkHeadline(withMeds = false))
-      .view.map(_.apply()).find(_.length <= 1800)
-      .getOrElse(mkHeadline(withMeds = false))
+    val headline = buildHeadline(total, results.size, iters,
+      results.map(_._2._1), baselineFrag, telemetry, sfDir)
     // full-name record for local diagnosis — NOT printed to stdout (a
     // second large line is exactly what overflowed the r9 window)
     val qsFull = results.map { case (k, (med, _, _)) => "\"" + k + "\":" + f(med) }

@@ -49,6 +49,31 @@ class IdsSpec extends SparkSpec {
     graft.Caching.release()
   }
 
+  test("chained passes: earlier rank columns ride along bit-exact (q167 contract)") {
+    // q167 chains three stableIds calls, each re-range-partitioning
+    // the previous OUTPUT on a different axis while earlier rank
+    // columns ride along as payload. Pin that contract: ranks from a
+    // chained pass equal ranks computed independently on the base
+    // frame, for both a same-direction and a reversed second axis.
+    val base = spark.range(1000).select(
+      xxhash64($"id").as("k"),
+      xxhash64($"id" + 7L).as("j"))
+    val chained = Ids.stableIds(
+      Ids.stableIds(base, Seq(col("k")), "k_rid", Some(8)),
+      Seq(col("j").desc), "j_rid", Some(8))
+    val indepK = Ids.stableIds(base, Seq(col("k")), "k_rid", Some(8))
+      .select($"k", $"k_rid".as("k_expect"))
+    val indepJ = Ids.stableIds(base, Seq(col("j").desc), "j_rid", Some(8))
+      .select($"j", $"j_rid".as("j_expect"))
+    val bad = chained.join(indepK, Seq("k")).join(indepJ, Seq("j"))
+      .filter($"k_rid" =!= $"k_expect" || $"j_rid" =!= $"j_expect")
+      .count()
+    assert(bad == 0L)
+    // and the chained output still carries every base column + both ids
+    assert(chained.columns.sorted.toSeq == Seq("j", "j_rid", "k", "k_rid"))
+    graft.Caching.release()
+  }
+
   test("plan: distributed end to end — no single-partition exchange") {
     val out = Ids.stableIds(df, Seq(col("k")), numPartitions = Some(16))
     val p = out.queryExecution.executedPlan.toString
