@@ -43,6 +43,30 @@ import org.apache.spark.sql.functions._
   */
 object LayoutInvarianceCheck {
 
+  /** Relocate a directory tree. `Files.move` is an atomic rename when
+    * source and target share a filesystem — `main` pins the session
+    * warehouse under the same temp root so both bucketed-table moves
+    * take that path — but degrades to copy semantics across
+    * filesystems, where a non-empty directory throws
+    * DirectoryNotEmptyException (advisor r19 low #4). Fall back to a
+    * recursive copy + delete so a relocated warehouse cannot crash the
+    * gate. */
+  private def moveDir(from: java.nio.file.Path,
+                      to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    try Files.move(from, to)
+    catch {
+      case _: java.io.IOException =>
+        import scala.jdk.CollectionConverters._
+        // walk is depth-first, parents before children — copy in
+        // encounter order, delete in reverse
+        val paths = Files.walk(from).iterator().asScala.toSeq
+        paths.foreach(p => Files.copy(p, to.resolve(from.relativize(p)),
+          StandardCopyOption.COPY_ATTRIBUTES))
+        paths.reverse.foreach(Files.delete)
+    }
+  }
+
   /** Rebuild `sfDir`'s tables under `out` in the partitioned/bucketed/
     * multi-file layout described above. Pure layout change: same logical
     * rows, same column types (events' ts is written post-normalization
@@ -71,7 +95,7 @@ object LayoutInvarianceCheck {
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     val tableDir = new java.io.File(warehouse, "graft_layout_documents")
     require(tableDir.isDirectory, s"bucketed table dir missing: $tableDir")
-    java.nio.file.Files.move(tableDir.toPath,
+    moveDir(tableDir.toPath,
       java.nio.file.Paths.get(s"$out/documents.parquet"))
     spark.sql("DROP TABLE IF EXISTS graft_layout_documents")
 
@@ -108,7 +132,7 @@ object LayoutInvarianceCheck {
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     val tableDir = new java.io.File(warehouse, "graft_layout_events_u")
     require(tableDir.isDirectory, s"bucketed table dir missing: $tableDir")
-    java.nio.file.Files.move(tableDir.toPath,
+    moveDir(tableDir.toPath,
       java.nio.file.Paths.get(s"$out/events.parquet"))
     spark.sql("DROP TABLE IF EXISTS graft_layout_events_u")
     Seq("documents", "embeddings", "lineitem", "orders", "customer",

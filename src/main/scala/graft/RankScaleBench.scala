@@ -59,6 +59,10 @@ object RankScaleBench {
       val df = frame(spark, n)
       // chained stableIds (the q167 shape): each pass re-ranges the
       // previous output, earlier rank columns ride along
+      // cache teardown runs OUTSIDE both timed blocks (advisor r19
+      // low #3: release/clearCache inside only the stableIds leg
+      // charged teardown cost to the side the A/B vindicates) — each
+      // leg times the agg action alone
       val (sSec, sSum) = time {
         import graft.operators.Ids
         val ranked = Ids.stableIds(
@@ -66,25 +70,23 @@ object RankScaleBench {
             Ids.stableIds(df, Seq(col("a")), "ra"),
             Seq(col("b")), "rb"),
           Seq(col("c")), "rc")
-        val s = ranked
+        ranked
           .agg(sum(col("ra") + col("rb") + col("rc") + 3L)).head().getLong(0)
-        Caching.release(); spark.catalog.clearCache()
-        s
       }
+      Caching.release(); spark.catalog.clearCache()
       // the pre-fix form: three unpartitioned rank windows (ONE task
       // sorts all n rows, three times)
       val (wSec, wSum) =
         if (n <= maxWindow) time {
           val wg = Window.partitionBy()
-          val s = df
+          df
             .withColumn("ra", row_number().over(wg.orderBy(col("a"))))
             .withColumn("rb", row_number().over(wg.orderBy(col("b"))))
             .withColumn("rc", row_number().over(wg.orderBy(col("c"))))
             .agg(sum(col("ra").cast("long") + col("rb") + col("rc")))
             .head().getLong(0)
-          spark.catalog.clearCache()
-          s
         } else (-1.0, expect)
+      spark.catalog.clearCache()
       val ok = sSum == expect && wSum == expect
       println(s"""{"n":$n,"stableids_sec":${"%.3f".formatLocal(
         java.util.Locale.ROOT, sSec)},"window_sec":${"%.3f".formatLocal(

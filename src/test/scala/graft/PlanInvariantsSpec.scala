@@ -48,14 +48,39 @@ class PlanInvariantsSpec extends SparkSpec {
     * key still GROWS with the data — 10⁸–10⁹ users at the 100 TB
     * target — which is exactly how pre-fix q167's per-user rank trio
     * slipped the r17 "above a collapsing aggregate" rule. */
+  // corpus-entity grouping keys: cardinality scales with the data
+  // (suffix match covers the TPC-H prefixes: o_orderkey, c_custkey…).
+  // Spec-level so the census can assert no entry is dead (advisor r19
+  // medium: "emb_id" sat here unmatched — the embeddings key is vec_id).
+  private val corpusKeys = Seq("user_id", "doc_id", "vec_id", "event_id",
+    "session_id", "orderkey", "custkey", "suppkey", "partkey")
+
+  /** Every WindowExec reachable from the df's executed plan, descending
+    * through AQE wrappers (a leaf to a naive collect), materialized
+    * query stages, and cached-plan bodies (InMemoryRelation trees a
+    * shallow collect never enters). */
+  private def deepWindows(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
+  }
+
   private def globalWindowInputBounded(
       w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
     import org.apache.spark.sql.execution.GlobalLimitExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    // corpus-entity grouping keys: cardinality scales with the data
-    // (suffix match covers the TPC-H prefixes: o_orderkey, c_custkey…)
-    val corpusKeys = Seq("user_id", "doc_id", "emb_id", "event_id",
-      "session_id", "orderkey", "custkey", "suppkey", "partkey")
     def isCorpusKey(n: String): Boolean =
       corpusKeys.exists(k => n == k || n.endsWith(k))
     // the nearest collapsing node below the window IS the frame the
@@ -1152,13 +1177,20 @@ class PlanInvariantsSpec extends SparkSpec {
     // InMemoryRelation bodies), the live tree reads them + broadcasts
     assert(countOf(full, "Exchange rangepartitioning") >= 1, full)
     assert(full.contains("BroadcastHashJoin"), full) // prefix-offset joins
-    // executed tree: every WindowExec must carry a partitionSpec
-    import org.apache.spark.sql.execution.window.WindowExec
-    val df = SparkEntry.queries("q167_rfm_segments")(spark, sf)
-    val globals = df.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
+    // executed tree: every WindowExec must carry a partitionSpec.
+    // The collect must UNWRAP AdaptiveSparkPlanExec (a leaf under AQE —
+    // a naive executedPlan.collect returns nothing and passes
+    // vacuously: advisor r19 low #2) and descend into cached-plan
+    // bodies (the three ranged copies are InMemoryRelations whose
+    // windows a shallow collect never sees). Non-vacuity is pinned:
+    // the walk must SEE the three __pid-partitioned rank windows.
+    val wins = deepWindows(SparkEntry.queries("q167_rfm_segments")(spark, sf))
     Caching.release(); spark.catalog.clearCache()
+    val globals = wins.filter(_.partitionSpec.isEmpty)
+    assert(wins.size >= 3, s"expected the three __pid rank windows, " +
+      s"saw ${wins.size} — the deep collect went vacuous")
+    assert(wins.forall(_.partitionSpec.exists(_.toString.contains("__pid"))),
+      s"rank windows must partition by __pid: ${wins.map(_.partitionSpec)}")
     assert(globals.isEmpty,
       s"q167 regressed to an unpartitioned rank window: $globals")
   }
@@ -1502,13 +1534,21 @@ class PlanInvariantsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
     var sawBounded = List.empty[String]
+    var seenCols = Set.empty[String]
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val exec = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan
+      val df = SparkEntry.queries(name)(spark, sf)
+      seenCols ++= df.columns.map(_.toLowerCase)
+      val exec = df.queryExecution.executedPlan
       val root: SparkPlan = exec match {
         case a: AdaptiveSparkPlanExec => a.inputPlan
         case p => p
       }
+      // grouping keys too: the classifier reads AGGREGATE grouping
+      // names, and some corpus keys (session_id) only ever appear there
+      seenCols ++= root.collect {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.map(_.name.toLowerCase)
+      }.flatten
       val globals = root.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
@@ -1519,6 +1559,13 @@ class PlanInvariantsSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"global window over an uncollapsed or corpus-cardinality input in: $offenders")
+    // no dead corpusKeys entries (advisor r19 medium: "emb_id" matched
+    // nothing, so a corpus window over the embeddings entity key would
+    // have slipped) — every listed key must name a real column in some
+    // query's output schema
+    val dead = corpusKeys.filterNot(k =>
+      seenCols.exists(c => c == k || c.endsWith(k)))
+    assert(dead.isEmpty, s"corpusKeys entries matching no query column: $dead")
     // the pattern's known users must actually exercise the assertion —
     // if a refactor removed their windows entirely this test would pass
     // vacuously, so pin the census too
