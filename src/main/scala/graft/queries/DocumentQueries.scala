@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.ext.{TextOps, TextStats}
+import graft.operators.GlobalAgg
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -299,18 +300,17 @@ object DocumentQueries {
     // detector (a weak signal — the point is the harness).
     "q127_auc" -> ((s, d) => {
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
       val hist = documents(s, d)
         .select(size(TextOps.words($"text")).cast("long").as("score"),
           ($"lang" === "en").as("pos"))
         .groupBy($"score")
         .agg(sum(when($"pos", 1L).otherwise(0L)).as("p"),
           sum(when($"pos", 0L).otherwise(1L)).as("n"))
-      // descending threshold sweep over the TINY histogram frame
-      val w = W.orderBy($"score".desc)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val roc = hist.select($"p", $"n",
-        sum($"p").over(w).as("tp"), sum($"n").over(w).as("fp"))
+      // descending threshold sweep: distributed prefix sums over the
+      // score histogram (both counters ride one runningLong pass)
+      val roc = GlobalAgg.runningLong(hist, Seq($"score".desc),
+          Seq(($"p", "tp"), ($"n", "fp")))
+        .select($"p", $"n", $"tp", $"fp")
       roc.agg(sum($"p").as("n_pos"), sum($"n").as("n_neg"),
           sum((lit(2) * $"tp" - $"p") * $"n").as("__num2"))
         .select($"n_pos", $"n_neg",
@@ -327,15 +327,12 @@ object DocumentQueries {
     // turns any quality signal into a uniform [0,1] scale.
     "q133_percentile_rank" -> ((s, d) => {
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
       val scored = documents(s, d).select($"doc_id",
         size(TextOps.words($"text")).cast("long").as("n_tokens"))
       val hist = scored.groupBy($"n_tokens".as("v"))
         .agg(count(lit(1)).as("c"))
-      val cum = hist.select($"v", $"c",
-        (sum($"c").over(W.orderBy($"v")
-          .rowsBetween(W.unboundedPreceding, W.currentRow)) - $"c")
-          .as("below"))
+      val cum = GlobalAgg.runningLong(hist, Seq($"v"), Seq(($"c", "__cum")))
+        .select($"v", $"c", ($"__cum" - $"c").as("below"))
       val n = scored.agg(count(lit(1)).as("__n"))
       scored.join(broadcast(cum), $"n_tokens" === $"v")
         .join(broadcast(n))
@@ -2230,18 +2227,16 @@ object DocumentQueries {
     // (cut_k = min length with cume_count·10 ≥ k·n, pure integer
     // comparisons — no interpolated-quantile float to disagree on),
     // the 9 cuts fold into ONE broadcast array row, and bucket
-    // assignment is a map-only array fold over the corpus. The only
-    // corpus window anywhere is... none; the window below runs over
-    // the tiny histogram.
+    // assignment is a map-only array fold over the corpus. The
+    // histogram's cumulative count is GlobalAgg.runningLong — no
+    // window anywhere is unpartitioned.
     "q108_curriculum_buckets" -> ((s, d) => {
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
       val docsDf = documents(s, d).select($"doc_id",
         size(TextOps.words($"text")).cast("long").as("n_tokens"))
       val hist = docsDf.groupBy($"n_tokens".as("v")).agg(count(lit(1)).as("c"))
-      val cum = hist.select($"v",
-        sum($"c").over(W.orderBy($"v")
-          .rowsBetween(W.unboundedPreceding, 0)).as("cum"))
+      val cum = GlobalAgg.runningLong(hist, Seq($"v"), Seq(($"c", "cum")))
+        .select($"v", $"cum")
       val n = docsDf.agg(count(lit(1)).as("__n"))
       val cuts = cum.join(broadcast(n))
         .select($"v", $"cum", $"__n", explode(sequence(lit(1), lit(9))).as("k"))
@@ -2551,8 +2546,8 @@ object DocumentQueries {
     // bucket index is the q154 integer trick (length(bin(off)) − 1 =
     // ⌊log2 off⌋ — the float log2 route cliffs on exact powers), both
     // sides collapse to ≤ 64-row bucket histograms, and the cumulative
-    // windows run over THAT frame (the unpartitioned window sits above
-    // collapsing aggregates per the pack-wide rule). The 1-row min
+    // totals are GlobalAgg.runningLong prefix sums over THAT frame
+    // (zero unpartitioned windows, the pack-wide rule). The 1-row min
     // frame joins in-plan (the F8 crossJoin pattern, no collect); its
     // subtree appears twice but scans only the doc_id column.
     "q153_vocab_growth" -> ((s, d) => {
@@ -2569,13 +2564,10 @@ object DocumentQueries {
         .groupBy($"term").agg(min($"off").as("fd"))
         .select((length(bin($"fd")) - 1).cast("long").as("k"))
         .groupBy($"k").agg(count(lit(1)).as("new_terms"))
-      val W = org.apache.spark.sql.expressions.Window
-      val wcum = W.orderBy($"k")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      dHist.join(broadcast(tHist), Seq("k"), "left")
+      val filled = dHist.join(broadcast(tHist), Seq("k"), "left")
         .na.fill(0L, Seq("new_terms"))
-        .withColumn("prefix_docs", sum($"__nd").over(wcum))
-        .withColumn("vocab_size", sum($"new_terms").over(wcum))
+      GlobalAgg.runningLong(filled, Seq($"k"),
+          Seq(($"__nd", "prefix_docs"), ($"new_terms", "vocab_size")))
         .select($"k", $"prefix_docs", $"vocab_size", $"new_terms")
         .orderBy($"k")
     }),
@@ -2665,21 +2657,17 @@ object DocumentQueries {
     // (interchangeable ties), so coverage is computed from the
     // (tf → n_terms) COUNT HISTOGRAM — cumulative terms in tf-desc
     // order, the straddling bucket contributing (K − prev)·tf. The
-    // unpartitioned window runs over the ≤ distinct-tf-row frame
-    // (Zipf-small) above two collapsing aggregates. All integer,
-    // three 6dp share divisions.
+    // cumulative count is a GlobalAgg.runningLong prefix sum over the
+    // ≤ distinct-tf-row frame (Zipf-small) above two collapsing
+    // aggregates. All integer, three 6dp share divisions.
     "q166_zipf_coverage" -> ((s, d) => {
       import s.implicits._
       val hist = documents(s, d)
         .select(explode(TextOps.words($"text")).as("term"))
         .groupBy($"term").agg(count(lit(1)).as("tf"))
         .groupBy($"tf").agg(count(lit(1)).as("m"))
-      val wcum = org.apache.spark.sql.expressions.Window
-        .orderBy($"tf".desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cum = hist.withColumn("cumT", sum($"m").over(wcum))
+      val cum = GlobalAgg.runningLong(hist, Seq($"tf".desc),
+          Seq(($"m", "cumT")))
         .withColumn("prevT", $"cumT" - $"m")
       def cov(k: Int) =
         sum($"tf" * greatest(least($"m", lit(k.toLong) - $"prevT"),
@@ -2797,10 +2785,9 @@ object DocumentQueries {
       import s.implicits._
       val cell = documents(s, d).groupBy($"source", $"lang")
         .agg(count(lit(1)).as("n_docs"))
-      cell
+      GlobalAgg.withScalars(cell, (sum($"n_docs"), "t"))
         .withColumn("r", sum($"n_docs").over(Window.partitionBy($"source")))
         .withColumn("c", sum($"n_docs").over(Window.partitionBy($"lang")))
-        .withColumn("t", sum($"n_docs").over(Window.partitionBy()))
         .select($"source", $"lang", $"n_docs",
           ($"n_docs" * $"t" - $"r" * $"c").as("excess_x_n"),
           round(($"n_docs" * $"t").cast("double") /
@@ -2846,7 +2833,7 @@ object DocumentQueries {
         .groupBy(expr("length(bin(df)) - 1").cast("long").as("df_bucket"))
         .agg(count(lit(1)).as("n_shingles"), sum($"df").as("postings"),
           min($"df").as("min_df"), max($"df").as("max_df"))
-      oct.withColumn("__t", sum($"postings").over(Window.partitionBy()))
+      GlobalAgg.withScalars(oct, (sum($"postings"), "__t"))
         .select($"df_bucket", $"n_shingles", $"postings",
           $"min_df", $"max_df",
           round($"postings".cast("double") / $"__t".cast("double"), 6)

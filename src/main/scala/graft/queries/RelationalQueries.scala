@@ -654,9 +654,8 @@ object RelationalQueries {
         .join(broadcast(nation(s, d)), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(count(lit(1)).as("n_suppliers"), sum($"sc").as("nation_cents"))
-      rev
-        .withColumn("__t",
-          sum($"nation_cents").over(Window.partitionBy()))
+      graft.operators.GlobalAgg.withScalars(rev,
+          (sum($"nation_cents"), "__t"))
         .select($"n_name", $"n_suppliers", $"nation_cents",
           round($"nation_cents".cast("double") / $"__t".cast("double"), 6)
             .as("global_share"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.operators.{AsOfJoin, RangeJoin, Resample, Sessionize, Postprocess}
+import graft.operators.{AsOfJoin, GlobalAgg, RangeJoin, Resample, Sessionize, Postprocess}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1134,8 +1134,8 @@ object TimeSeriesQueries {
     // story: grid exchange → one user_id window exchange → the tiny
     // per-week histogram); churn for the last observed week is
     // undefined (no w+1 horizon) and emits NULL, with the global max
-    // week read off the collapsed weekly frame by an unpartitioned
-    // window (≤ weeks rows). All counts integer, one 6dp division.
+    // week a broadcast 1-row-aggregate scalar over the collapsed
+    // weekly frame. All counts integer, one 6dp division.
     "q151_weekly_churn" -> ((s, d) => {
       import s.implicits._
       val uw = events(s, d)
@@ -1148,7 +1148,7 @@ object TimeSeriesQueries {
           when(nxt === date_add($"week", 7), 1L).otherwise(0L))
         .groupBy($"week")
         .agg(count(lit(1)).as("n_active"), sum($"retained").as("__ret"))
-      hist.withColumn("__mx", max($"week").over(Window.partitionBy()))
+      GlobalAgg.withScalars(hist, (max($"week"), "__mx"))
         .select($"week", $"n_active",
           when($"week" === $"__mx", lit(null).cast("long"))
             .otherwise($"n_active" - $"__ret").as("n_churned"),
@@ -1243,10 +1243,8 @@ object TimeSeriesQueries {
         .agg(sum($"diff").as("dd"), sum($"mass").as("mm"))
         .groupBy($"day")
         .agg(sum(abs($"dd")).as("l1"), sum($"mm").as("pair_mass"))
-      val wAll = Window.partitionBy()
-      byDay
-        .withColumn("__mn", min($"day").over(wAll))
-        .withColumn("__mx", max($"day").over(wAll))
+      GlobalAgg.withScalars(byDay,
+          (min($"day"), "__mn"), (max($"day"), "__mx"))
         .where($"day" > $"__mn" && $"day" < $"__mx")
         .select($"day", $"l1", $"pair_mass",
           round($"l1".cast("double") / $"pair_mass".cast("double"), 6)
@@ -1564,12 +1562,11 @@ object TimeSeriesQueries {
         .agg(datediff(max($"day"), min($"day")).cast("long")
           .as("lifespan_days"))
         .groupBy($"lifespan_days").agg(count(lit(1)).as("n_ending"))
-      val wAll = Window.partitionBy()
-      val wTop = wAll.orderBy($"lifespan_days".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist
-        .withColumn("survivors", sum($"n_ending").over(wTop))
-        .withColumn("__n", sum($"n_ending").over(wAll))
+      // survivors = prefix sum from the TOP (lifespan desc); the user
+      // grand total rides out of the same pass's collected subtotals
+      GlobalAgg.runningLong(hist, Seq($"lifespan_days".desc),
+          Seq(($"n_ending", "survivors")),
+          grandTotals = Map("survivors" -> "__n"))
         .select($"lifespan_days", $"n_ending", $"survivors",
           round($"survivors".cast("double") / $"__n".cast("double"), 6)
             .as("surviving_share"))

@@ -40,21 +40,6 @@ class PlanInvariantsSpec extends SparkSpec {
   private def countOf(s: String, needle: String): Int =
     s.sliding(needle.length).count(_ == needle)
 
-  /** r18 verdict items 3/4: an unpartitioned WindowExec is a
-    * single-task sort of its input, legal ONLY over a frame that is
-    * both (a) collapsed by an Aggregate/Limit below it and (b) bounded
-    * by a NON-corpus dimension (calendar days, vocabulary octaves,
-    * |nations|, value histograms). A frame grouped by a corpus-entity
-    * key still GROWS with the data — 10⁸–10⁹ users at the 100 TB
-    * target — which is exactly how pre-fix q167's per-user rank trio
-    * slipped the r17 "above a collapsing aggregate" rule. */
-  // corpus-entity grouping keys: cardinality scales with the data
-  // (suffix match covers the TPC-H prefixes: o_orderkey, c_custkey…).
-  // Spec-level so the census can assert no entry is dead (advisor r19
-  // medium: "emb_id" sat here unmatched — the embeddings key is vec_id).
-  private val corpusKeys = Seq("user_id", "doc_id", "vec_id", "event_id",
-    "session_id", "orderkey", "custkey", "suppkey", "partkey")
-
   /** Every WindowExec reachable from the df's executed plan, descending
     * through AQE wrappers (a leaf to a naive collect), materialized
     * query stages, and cached-plan bodies (InMemoryRelation trees a
@@ -75,21 +60,6 @@ class PlanInvariantsSpec extends SparkSpec {
       p +: kids.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
-  }
-
-  private def globalWindowInputBounded(
-      w: org.apache.spark.sql.execution.window.WindowExec): Boolean = {
-    import org.apache.spark.sql.execution.GlobalLimitExec
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    def isCorpusKey(n: String): Boolean =
-      corpusKeys.exists(k => n == k || n.endsWith(k))
-    // the nearest collapsing node below the window IS the frame the
-    // single-task sort pays for
-    w.child.collectFirst {
-      case a: BaseAggregateExec =>
-        !a.groupingExpressions.exists(g => isCorpusKey(g.name.toLowerCase))
-      case _: GlobalLimitExec => true
-    }.getOrElse(false)
   }
 
   /** Drop cached-plan bodies (the innerChildren a printed
@@ -670,18 +640,17 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("q108 curriculum buckets: corpus stays map-only under broadcast cuts") {
-    // the decile machinery (histogram, cume window, cut fold) runs over
-    // the tiny distinct-length frame; the CORPUS side must see only a
-    // broadcast of the one-row cut array — its lone hash exchange is the
-    // length histogram's, and the Window must sit above a histogram-
-    // sized aggregate, never the raw docs
+    // the decile machinery (histogram, runningLong cume, cut fold)
+    // runs over the tiny distinct-length frame; the CORPUS side must
+    // see only a broadcast of the one-row cut array — and the one
+    // window is the __pid-partitioned prefix-sum pass, never an
+    // unpartitioned sort of anything
     val p = plan("q108_curriculum_buckets")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row cut array
-    // windows in this plan: the histogram cume-sum only (over the
-    // grouped frame, i.e. downstream of a HashAggregate)
-    assert(countOf(p, "Window") <= 2, p) // WindowExec (+ its sort node)
+    assert(countOf(p, "windowspecdefinition(__pid") == 1, p)
+    assert(countOf(p, "windowspecdefinition") == 1, p)
   }
 
   test("q136 hits: edge-list iteration — cached rollup, broadcast authority, no SMJ") {
@@ -969,14 +938,23 @@ class PlanInvariantsSpec extends SparkSpec {
       s"rank window must sit above the per-user aggregate:\n$p")
   }
 
-  test("q151 churn: lead window on the grid, q149's 3 exchanges, no joins") {
-    // distinct (user,week) grid exchange → one user_id window exchange
-    // → weekly histogram; the max-week window is unpartitioned but
-    // runs over the COLLAPSED ≤ weeks-row frame
+  test("q151 churn: lead window on the grid, scalar max-week broadcast back") {
+    // distinct (user,week) grid exchange → one user_id lead-window
+    // exchange → weekly histogram, all inside the ONE persisted frame;
+    // the global max week is GlobalAgg.withScalars — a 1-row aggregate
+    // over the cache joined back as a one-row BNLJ. The only
+    // SinglePartition exchange is that aggregate's ≤-numPartitions
+    // partial-row collapse, and no window is unpartitioned. (Counts
+    // are on the raw plan text, which re-prints the cached body at
+    // each of the two InMemoryTableScans — hence 2× the body's 3
+    // exchanges and its scan.)
     val p = plan("q151_weekly_churn")
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
-    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(countOf(p, "InMemoryTableScan") == 2, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    assert(countOf(p, "Scan parquet") == 2, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 6, p)
     val wIdx = p.indexOf("Window ")
     assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
       s"lead window must sit above the distinct-week aggregate:\n$p")
@@ -996,17 +974,24 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("q153 vocab growth: bucket histograms join broadcast, no raw-doc sort") {
     // two ≤64-row bucket histograms (docs + term-first-occurrence)
-    // meet in a broadcast join; the 1-row min frame enters via two
-    // BroadcastNestedLoopJoins (the F8 crossJoin pattern — its subtree
-    // scans only doc_id); cumulative windows run on the joined tiny
-    // frame. No SortMergeJoin, no unpartitioned window below a
-    // collapse.
+    // meet in a broadcast left-outer join; the 1-row min frame enters
+    // via two BroadcastNestedLoopJoins (the F8 crossJoin pattern — its
+    // subtree scans only doc_id); BOTH cumulative totals ride one
+    // GlobalAgg.runningLong pass over the persisted joined frame
+    // (__pid-partitioned window + the LocalTableScan offset row — no
+    // unpartitioned window anywhere). Raw text re-prints the cached
+    // body at the InMemoryTableScan, doubling its counts; the lone
+    // live additions are the offsets BroadcastHashJoin, the __pid
+    // re-cluster and the terminal sort.
     val p = plan("q153_vocab_growth")
     assert(!p.contains("SortMergeJoin"), p)
-    assert(countOf(p, "BroadcastNestedLoopJoin") == 2, p)
-    assert(countOf(p, "BroadcastHashJoin") == 1, p)
-    assert(countOf(p, "Scan parquet") == 4, p)
-    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 4, p)
+    assert(countOf(p, "BroadcastHashJoin") == 3, p)
+    assert(countOf(p, "windowspecdefinition(__pid") == 2, p)
+    assert(countOf(p, "LocalTableScan") == 1, p)
+    assert(countOf(p, "Scan parquet") == 7, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 7, p)
+    assert(countOf(p, "Exchange rangepartitioning") == 3, p)
   }
 
   test("q154 activity histogram: two rollups, map-side combine, no windows") {
@@ -1021,16 +1006,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(readSchema.split(",").length == 1, s"column pruning lost: $readSchema")
   }
 
-  test("q155 mix shift: one scan, signed explode of the daily collapse, no joins") {
+  test("q155 mix shift: one scan, signed explode of the daily collapse") {
     // the day-pair alignment is a map-side explode of the collapsed
     // daily histogram (a self-union or per-type lag join would plan
-    // the rollup twice / shuffle raw events twice); min/max windows
-    // run over the ≤ days-row frame
+    // the rollup twice / shuffle raw events twice); the day-range
+    // bounds are GlobalAgg.withScalars over the persisted byDay frame
+    // — a 1-row min/max aggregate joined back BNLJ, zero windows.
+    // Counts double where the cached body re-prints (2 scans/6
+    // exchanges = one physical scan/3 exchanges).
     val p = plan("q155_mix_shift")
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(countOf(p, "InMemoryTableScan") == 2, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    assert(countOf(p, "Scan parquet") == 2, p)
     assert(p.contains("Generate explode"), p)
-    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 6, p)
   }
 
   test("q156 daily median: percentile windows on the cents histogram, 2 exchanges") {
@@ -1152,10 +1144,19 @@ class PlanInvariantsSpec extends SparkSpec {
     // frame — a row_number over the vocabulary would be a
     // single-partition sort of vocabulary-cardinality rows
     val p = plan("q166_zipf_coverage")
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
-    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
     assert(!p.contains("row_number"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the cumulative head mass is GlobalAgg.runningLong over the
+    // persisted (tf → m) histogram: a __pid-partitioned window fed by
+    // the offsets BroadcastHashJoin + LocalTableScan — the only
+    // SinglePartition exchange is the terminal 1-row aggregate's
+    // partial collapse. Cached body re-prints double its counts.
+    assert(countOf(p, "windowspecdefinition(__pid") == 1, p)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(countOf(p, "LocalTableScan") == 1, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    assert(countOf(p, "Scan parquet") == 2, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 5, p)
   }
 
   test("q167 rfm: distributed axis ranks — no single-partition sort anywhere") {
@@ -1228,18 +1229,22 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q171 survival: cumulative windows over the lifespan histogram") {
-    // user rollup + lifespan histogram are the only hash exchanges;
-    // both cumulative windows ride ONE single-partition pass over the
-    // <= span-days collapsed frame (never a per-user window)
+  test("q171 survival: distributed prefix sum over the lifespan histogram") {
+    // user rollup + lifespan histogram collapse inside the persisted
+    // ranged frame; survivors is GlobalAgg.runningLong from the TOP
+    // (lifespan desc) with the grand total riding out of the same
+    // pass's collected subtotals as a literal — so ZERO SinglePartition
+    // exchanges remain anywhere. Cached body re-prints double its
+    // counts (2 scans, 2× the user/lifespan exchanges + the live __pid
+    // re-cluster = 5 hash exchanges in text).
     val p = plan("q171_survival_curve")
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
-    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
-    assert(countOf(p, "Exchange SinglePartition") == 1, p)
-    val wIdx = p.indexOf("Window ")
-    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
-      s"cumulative windows must sit above the histogram aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(countOf(p, "Exchange SinglePartition") == 0, p)
+    assert(countOf(p, "windowspecdefinition(__pid") == 1, p)
+    assert(countOf(p, "BroadcastHashJoin") == 1, p)
+    assert(countOf(p, "LocalTableScan") == 1, p)
+    assert(countOf(p, "Scan parquet") == 2, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 5, p)
     val readSchema = "ReadSchema: struct<([^>]*)>".r
       .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
     assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
@@ -1282,19 +1287,23 @@ class PlanInvariantsSpec extends SparkSpec {
       s"explode must fan out the cached frame:\n$p")
   }
 
-  test("q174 lift: three totals windows over the collapsed cell frame") {
+  test("q174 lift: partitioned margin windows, scalar grand total") {
+    // the grand total is GlobalAgg.withScalars over the persisted cell
+    // frame (1-row aggregate, BNLJ back); the row/column margins stay
+    // PARTITIONED windows (by source, by lang) over the same cache —
+    // their two re-cluster exchanges plus the cell rollup's (re-printed
+    // at both cache reads) make 4 in text. The only SinglePartition
+    // exchange is the scalar aggregate's partial-row collapse.
     val p = plan("q174_source_lang_lift")
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
-    // cell rollup is the ONLY hash exchange: the planner runs the
-    // grand-total window first, and the source/lang totals windows
-    // then re-SORT within the same single partition (AllTuples
-    // satisfies their ClusteredDistribution) — no further exchange
-    assert(countOf(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(countOf(p, "InMemoryTableScan") == 2, p)
     assert(countOf(p, "Exchange SinglePartition") == 1, p)
+    assert(countOf(p, "Scan parquet") == 2, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 4, p)
     val wIdx = p.indexOf("Window ")
     assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx,
-      s"totals windows must sit above the cell aggregate:\n$p")
+      s"margin windows must sit above the cell aggregate:\n$p")
   }
 
   test("q175 containment: anchor-bucket join over the cached sets, never a cartesian") {
@@ -1367,12 +1376,20 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(schemas.exists(_.split(",").length == 3), schemas.toString)
   }
 
-  test("q181 shingle df profile: native extractor, two collapsed exchanges") {
+  test("q181 shingle df profile: native extractor, scalar postings total") {
+    // df rollup + octave histogram collapse inside the persisted
+    // frame (body re-printed at both cache reads → 2 scans/4 hash
+    // exchanges in text); the postings total is GlobalAgg.withScalars
+    // — its partial-row collapse is the only SinglePartition exchange
+    // and there is no window at all
     val p = plan("q181_shingle_df_profile")
     assert(p.contains("graft_shingle_set"), p)
-    assert(!p.contains("Join"), p)
-    assert(countOf(p, "Scan parquet") == 1, p)
-    assert(countOf(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(countOf(p, "InMemoryTableScan") == 2, p)
+    assert(countOf(p, "Scan parquet") == 2, p)
+    assert(countOf(p, "Exchange hashpartitioning") == 4, p)
     assert(countOf(p, "Exchange SinglePartition") == 1, p)
   }
 
@@ -1496,11 +1513,18 @@ class PlanInvariantsSpec extends SparkSpec {
   }
 
   test("q194 supplier nation: fact collapses before both broadcast hops") {
+    // per-supplier rollup → two broadcast dim hops → nation rollup,
+    // all inside the persisted frame (body re-printed at both cache
+    // reads → 4 BroadcastHashJoins/6 scans in text); the global share
+    // denominator is GlobalAgg.withScalars — no window, and the only
+    // SinglePartition exchange is its partial-row collapse
     val p = plan("q194_supplier_nation_revenue")
-    assert(countOf(p, "BroadcastHashJoin") == 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
-    val wIdx = p.indexOf("Window ")
-    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx, p)
+    assert(countOf(p, "BroadcastHashJoin") == 4, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(countOf(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(countOf(p, "InMemoryTableScan") == 2, p)
+    assert(countOf(p, "Exchange SinglePartition") == 1, p)
   }
 
   test("q170 dominance: three collapsed exchanges, no window, no join") {
@@ -1518,100 +1542,57 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(readSchema.split(",").length == 2, s"column pruning lost: $readSchema")
   }
 
-  test("pack-wide: every unpartitioned window runs over a collapsed frame") {
-    // The bounded-global-window pattern (round-16 verdict nit #1): an
-    // unpartitioned WindowExec IS a single-partition sort of its input,
-    // so it is only legal when that input has already collapsed to a
-    // bounded frame — an Aggregate (the value histograms of q108 / q127 /
-    // q133, bounded by distinct values, not corpus rows) or an explicit
-    // Limit. Nothing pinned that structurally until now: a refactor
-    // lifting the window ABOVE its aggregate would keep the answer and
-    // silently become a corpus-wide single-partition sort. Sweep EVERY
-    // query's physical plan so any such refactor — in these three or any
-    // future query — reds out by name.
-    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.window.WindowExec
-    var sawBounded = List.empty[String]
-    var seenCols = Set.empty[String]
+  test("pack-wide: ZERO unpartitioned windows anywhere (deep walk)") {
+    // Round-20 end state of the bounded-global-window rule (r16 nit →
+    // r17 collapse rule → r18 cardinality classifier → r19 verdict #4
+    // "allowlist shrinks to empty"): an unpartitioned WindowExec IS a
+    // single-partition sort of its input, and every frame the pack
+    // computes — scalar totals (GlobalAgg.withScalars) and running
+    // totals (GlobalAgg.runningLong) alike — now has a distributed
+    // form, so NO query may plan one, bounded input or not. Zero
+    // tolerance needs no cardinality classifier, which retires the
+    // r17/r18 corpusKeys allowlist machinery outright. The walk is
+    // DEEP (AQE wrappers, query stages, cached-plan bodies) so a
+    // global window hiding inside a persisted subtree reds out too;
+    // the red-test below plants exactly those shapes against this
+    // same detector.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val df = SparkEntry.queries(name)(spark, sf)
-      seenCols ++= df.columns.map(_.toLowerCase)
-      val exec = df.queryExecution.executedPlan
-      val root: SparkPlan = exec match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      // grouping keys too: the classifier reads AGGREGATE grouping
-      // names, and some corpus keys (session_id) only ever appear there
-      seenCols ++= root.collect {
-        case a: BaseAggregateExec =>
-          a.groupingExpressions.map(_.name.toLowerCase)
-      }.flatten
-      val globals = root.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
-      val bad = globals.filter(w => !globalWindowInputBounded(w))
-      if (globals.nonEmpty && bad.isEmpty) sawBounded ::= name
+      val globals = deepWindows(SparkEntry.queries(name)(spark, sf))
+        .filter(_.partitionSpec.isEmpty)
       Caching.release(); spark.catalog.clearCache()
-      if (bad.nonEmpty) Some(name) else None
+      if (globals.nonEmpty)
+        Some(s"$name (${globals.map(_.windowExpression.map(_.sql).mkString(";").take(80))})")
+      else None
     }
     assert(offenders.isEmpty,
-      s"global window over an uncollapsed or corpus-cardinality input in: $offenders")
-    // no dead corpusKeys entries (advisor r19 medium: "emb_id" matched
-    // nothing, so a corpus window over the embeddings entity key would
-    // have slipped) — every listed key must name a real column in some
-    // query's output schema
-    val dead = corpusKeys.filterNot(k =>
-      seenCols.exists(c => c == k || c.endsWith(k)))
-    assert(dead.isEmpty, s"corpusKeys entries matching no query column: $dead")
-    // the pattern's known users must actually exercise the assertion —
-    // if a refactor removed their windows entirely this test would pass
-    // vacuously, so pin the census too
-    Seq("q108_curriculum_buckets", "q127_auc", "q133_percentile_rank")
-      .foreach(q => assert(sawBounded.contains(q),
-        s"$q no longer uses the bounded-global-window pattern; update this census"))
+      s"unpartitioned window (single-partition sort) in: $offenders")
   }
 
-  test("census rule red-test: user-cardinality global windows are rejected") {
-    // the EXACT shape that slipped the r17 rule (pre-fix q167): a
-    // global rank window above a groupBy(user_id) rollup is collapsed
-    // but NOT bounded — the tightened checker must flag it, while a
-    // calendar-bounded histogram window stays legal
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.window.WindowExec
+  test("census red-test: the deep detector sees planted global windows") {
+    // non-vacuity of the zero-tolerance census: the detector must flag
+    // an unpartitioned window (a) in a plain plan, (b) buried inside a
+    // CACHED subtree (where a shallow executedPlan.collect sees only
+    // the InMemoryTableScan leaf), and must NOT flag the partitioned
+    // replacement shapes the pack actually uses
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions.{row_number, sum}
     import spark.implicits._
-    def globals(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] = {
-      val root: SparkPlan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-    }
     val base = spark.range(100)
-      .select(($"id" % 10).as("user_id"), ($"id" % 7).as("day"),
-        $"id".as("v"))
-    val perUser = base.groupBy($"user_id").agg(sum($"v").as("s"))
-      .withColumn("rn", row_number().over(W.partitionBy().orderBy($"s")))
-    val gu = globals(perUser)
-    assert(gu.nonEmpty)
-    assert(gu.forall(w => !globalWindowInputBounded(w)),
-      "a per-user collapsed frame must NOT count as bounded")
-    val perDay = base.groupBy($"day").agg(sum($"v").as("s"))
-      .withColumn("rn", row_number().over(W.partitionBy().orderBy($"s")))
-    val gd = globals(perDay)
-    assert(gd.nonEmpty)
-    assert(gd.forall(globalWindowInputBounded),
-      "a calendar-bounded histogram frame must stay legal")
-    val raw = base
+      .select(($"id" % 10).as("user_id"), $"id".as("v"))
+    val plain = base
       .withColumn("rn", row_number().over(W.partitionBy().orderBy($"v")))
-    val gr = globals(raw)
-    assert(gr.nonEmpty)
-    assert(gr.forall(w => !globalWindowInputBounded(w)),
-      "an uncollapsed frame must stay rejected")
+    assert(deepWindows(plain).exists(_.partitionSpec.isEmpty),
+      "detector missed a plain unpartitioned window")
+    val cached = Caching.persisted(plain).filter($"rn" > 1)
+    cached.count() // materialize so the scan leaf hides the window body
+    assert(deepWindows(cached).exists(_.partitionSpec.isEmpty),
+      "detector missed an unpartitioned window inside a cached subtree")
+    Caching.release(); spark.catalog.clearCache()
+    val partitioned = base
+      .withColumn("rn", row_number().over(
+        W.partitionBy($"user_id").orderBy($"v")))
+    val seen = deepWindows(partitioned)
+    assert(seen.nonEmpty && seen.forall(_.partitionSpec.nonEmpty),
+      "partitioned windows must stay legal")
   }
 }
