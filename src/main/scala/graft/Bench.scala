@@ -207,8 +207,29 @@ object Bench {
                 "\"" + short(k) + ":" + f2(r) + "(" + f2(med) + "/" + f2(b) + ")\""
               }.mkString("[", ",", "]")
             val worst = ratios.maxBy(_._4)
-            emit(s"""{"metric":"baseline_ratio","mode":"$mode","baseline_round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"${short(worst._1)}:${f2(worst._4)}","OVER_2X":${overEntries(over)}}""")
-            frag = Some(s""""baseline":{"mode":"$mode","round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"${short(worst._1)}:${f2(worst._4)}","over2x_n":${over.size},"OVER_2X":${overEntries(over.take(5))}}""")
+            // self-adjudicating worst ratio (r19 verdict #6): three
+            // rounds running, the worst entry (q124/q69/q34) was host
+            // noise, proven by a MANUAL idle re-read. Automate it:
+            // past ×1.25 the worst query is immediately re-measured
+            // alone (7 iters, median) and the headline carries BOTH
+            // numbers — "q:full/rr<reread-ratio>" — so a transient
+            // load burst refutes itself inside the artifact.
+            val reread: Option[Double] =
+              if (worst._4 <= 1.25) None
+              else {
+                System.err.println(s"[bench] worst ${worst._1} ratio " +
+                  s"${f2(worst._4)} > 1.25 — re-measuring alone (7 iters)")
+                val ts = (1 to 7).map(_ => runOnce(worst._1)).filter(_ >= 0)
+                if (ts.isEmpty) None else {
+                  val m = ts.sorted.apply(ts.length / 2)
+                  System.err.println(s"""[bench] {"metric":"worst_reread","q":"${worst._1}","median":${f(m)},"baseline":${f(worst._3)},"ratio":${f2(m / worst._3)}}""")
+                  Some(m)
+                }
+              }
+            val worstStr = short(worst._1) + ":" + f2(worst._4) +
+              reread.map(m => "/rr" + f2(m / worst._3)).getOrElse("")
+            emit(s"""{"metric":"baseline_ratio","mode":"$mode","baseline_round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"$worstStr","OVER_2X":${overEntries(over)}}""")
+            frag = Some(s""""baseline":{"mode":"$mode","round":"$baseRound","n":${ratios.size},"median_ratio":${f2(medianRatio)},"worst":"$worstStr","over2x_n":${over.size},"OVER_2X":${overEntries(over.take(5))}}""")
           }
         }
       }
