@@ -209,17 +209,91 @@ object Multimodal {
     * 16 slices the leading bins (16 is the natural size). */
   def histogramFeatures(media: Column, dim: Int): Column = {
     require(dim > 0 && dim <= 16, s"histogram dim $dim not in 1..16")
-    // the SAME detectors as withMediaMeta — a bare magic-prefix check
-    // would skip 44 bytes of any RIFF container (WebP, AVI, extensible
-    // WAV) that the header parser itself classifies as opaque
-    val h = hex(substring(media, 1, HeaderBytes))
-    val len = length(media).cast("long")
-    val off = when(isBmpHdr(h, len), lit(54))
-      .when(isWavHdr(h, len), lit(44))
-      .otherwise(lit(0)).cast("int")
-    val hist = call_function("graft_byte_hist", media, off)
+    val hist = call_function("graft_byte_hist", media, payloadOffset(media))
     val total = greatest(aggregate(hist, lit(0L), (a, x) => a + x), lit(1L))
     slice(transform(hist, c => (c.cast("double") / total).cast("float")), 1, dim)
+  }
+
+  /** Byte offset where the payload region starts — the SAME detectors
+    * as withMediaMeta (a bare magic-prefix check would skip 44 bytes of
+    * any RIFF container — WebP, AVI, extensible WAV — that the header
+    * parser itself classifies as opaque). Shared by
+    * [[histogramFeatures]] and [[mediaFingerprint]]. */
+  private def payloadOffset(media: Column): Column = {
+    val h = hex(substring(media, 1, HeaderBytes))
+    val len = length(media).cast("long")
+    when(isBmpHdr(h, len), lit(54))
+      .when(isWavHdr(h, len), lit(44))
+      .otherwise(lit(0)).cast("int")
+  }
+
+  /** 64-bit perceptual fingerprint of a media payload: the native
+    * byte-grid expression [[graft.functions.ByteGridFp]] over the
+    * decoded payload region (header-aware via [[payloadOffset]]) —
+    * bit c = cell c's mean byte exceeds the payload's global mean,
+    * compared as exact cross-multiplied integers. The DCT-free
+    * pHash stand-in: localized byte edits flip few bits, so Hamming
+    * distance tracks payload similarity. Requires
+    * [[graft.plans.GraftExtensions.register]]. */
+  def mediaFingerprint(media: Column): Column =
+    call_function("graft_media_fp", media, payloadOffset(media))
+
+  /** Banded-Hamming media near-dup (r19 verdict #3): all id pairs
+    * whose [[mediaFingerprint]]s differ in at most `maxHamming` bits,
+    * found WITHOUT an all-pairs join.
+    *
+    * Shape: one map pass computes fingerprints (persisted — the
+    * [[graft.Caching]] contract, caller releases); each doc explodes
+    * into `bands` (band_idx, band_key) rows (the [[TextOps]] LSH
+    * banding pattern applied to 64/bands-bit fingerprint slices); an
+    * equality self-join per (band_idx, band_key) emits candidates
+    * bucket-locally; candidates dedup and then pay one O(1)
+    * `bit_count(xor)` verify. Neither side is broadcast-forced — pair
+    * volume is quadratic in duplicate-cluster size, so a dup-heavy
+    * corpus must be able to degrade to a shuffle join (the q169
+    * lesson).
+    *
+    * Recall is LOSSLESS, not probabilistic: `maxHamming < bands` is
+    * required, so a qualifying pair's differing bits (≤ maxHamming)
+    * touch at most maxHamming < bands of the fingerprint's bands,
+    * leaving at least one band bit-identical — pigeonhole, every
+    * qualifying pair surfaces as a candidate. At maxHamming >= bands a
+    * pair with one differing bit per band shares NO band and would be
+    * silently lost — the require makes that misuse loud
+    * (MultimodalSpec red-tests the exact boundary shape).
+    *
+    * Output: (a_id, b_id, hamming), a_id < b_id.
+    */
+  def mediaNearDup(df: DataFrame, id: Column, media: Column,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must be >= 2 and divide 64")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming=$maxHamming >= bands=$bands loses pairs whose diff " +
+        "bits spread one-per-band: raise bands so maxHamming < bands")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val fps = graft.Caching.persisted(
+      df.select(id.cast("long").as("doc_id"),
+        mediaFingerprint(media).as("fp")))
+    val banded = fps.select(col("doc_id"), col("fp"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("bi"),
+        call_function("shiftright", col("fp"), lit(b * bits))
+          .bitwiseAND(lit(mask)).as("bk"))): _*)).as("band"))
+      .select(col("doc_id"), col("fp"),
+        col("band.bi").as("bi"), col("band.bk").as("bk"))
+    val cand = banded.select(col("doc_id").as("a_id"), col("fp").as("a_fp"),
+        col("bi"), col("bk"))
+      .join(banded.select(col("doc_id").as("b_id"), col("fp").as("b_fp"),
+        col("bi"), col("bk")), Seq("bi", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** STUB decode → fixed-dim feature vector. Deterministic fake:

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, KllAgg, KllMergeAgg, KllQuantile, KllRank, MinHashSig, NearestCentroid, RollingFingerprint, ShingleSet, SimHash60, ThetaAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaUnionAgg, ThetaUnionEstimate, TopKByScore, TopKByScoreStr, ZOrderKey}
+import graft.functions.{BloomAgg, BloomMightContain, ByteGridFp, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, KllAgg, KllMergeAgg, KllQuantile, KllRank, MinHashSig, NearestCentroid, RollingFingerprint, ShingleSet, SimHash60, ThetaAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaUnionAgg, ThetaUnionEstimate, TopKByScore, TopKByScoreStr, ZOrderKey}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -71,6 +71,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 2, "graft_byte_hist(binary, offset)")
         ByteHistogram(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_media_fp"),
+      new ExpressionInfo(classOf[ByteGridFp].getName, "graft_media_fp"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_media_fp(binary, offset)")
+        ByteGridFp(args.head, args(1))
       }),
     (FunctionIdentifier("graft_char_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),

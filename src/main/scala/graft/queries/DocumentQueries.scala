@@ -1516,6 +1516,52 @@ object DocumentQueries {
 
   private val defsC: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Perceptual media near-dup (r19 verdict #3): each document gets a
+    // synthesized BMP whose 4096-byte pixel region is a 64-cell
+    // constant-value grid — cell c is byte 0xC0 or 0x40 by (an
+    // md5-derived per-family random bit) XOR (the member's planted
+    // flip) — so the byte-grid fingerprint (Multimodal.mediaFingerprint,
+    // the native graft_media_fp expression reading the ACTUAL bytes
+    // past the 54-byte BMP header) reconstructs exactly that bit
+    // pattern, and Hamming distances are fully controlled: member m
+    // flips cells {2·((m−1) mod 31), +1}, so (base, m) pairs sit at
+    // distance 2 (kept, ≤ 3) and (m_j, m_k) pairs at distance 4
+    // (rejected — the recall boundary, red-tested in MultimodalSpec).
+    // Pairs come from mediaNearDup's banded-Hamming join (pigeonhole-
+    // lossless at maxHamming 3 < 4 bands, NEVER all-pairs); the q169
+    // source matrix attaches via the exploded-sides join. The oracle
+    // does NOT parse bytes: it rebuilds each fingerprint from the
+    // md5/flip arithmetic and brute-forces Hamming in SQL — a header
+    // offset bug, grid-boundary bug or band-key bug breaks the match.
+    "q195_media_neardup" -> ((s, d) => {
+      import s.implicits._
+      graft.plans.GraftExtensions.register(s)
+      val docs = documents(s, d)
+      val fam = ($"doc_id" % 200).cast("long")
+      val m = expr("doc_id DIV 200")
+      val fc = (m - 1) % 31 * 2
+      val cellHexes = (0 until 64).map { c =>
+        val md5bit = conv(substring(md5(concat(lit("fam_"),
+          fam.cast("string"), lit("_"), lit(c.toString))), 1, 1),
+          16, 10).cast("long") % 2 === 1
+        val flipped = m >= 1 && (fc === c || fc + 1 === c)
+        call_function("repeat",
+          when(md5bit =!= flipped, lit("C0")).otherwise(lit("40")), lit(64))
+      }
+      val media = graft.ext.Multimodal.bmpPayload(lit(32L), lit(32L),
+        unhex(concat(cellHexes: _*)))
+      val mf = docs.select($"doc_id", media.as("media"))
+      val pairs = graft.ext.Multimodal.mediaNearDup(mf, $"doc_id", $"media")
+      val sides = pairs.select($"a_id", $"b_id", $"hamming",
+        explode(array($"a_id", $"b_id")).as("doc_id"))
+      docs.select($"doc_id", $"source")
+        .join(sides, Seq("doc_id"))
+        .groupBy($"a_id", $"b_id", $"hamming")
+        .agg(min($"source").as("src_a"), max($"source").as("src_b"))
+        .select($"a_id", $"b_id", $"hamming", $"src_a", $"src_b")
+        .orderBy($"a_id", $"b_id")
+    }),
+
     // TF-IDF top-3 terms per document (keyword extraction /
     // curriculum-tagging step). Corpus statistics derive from the tf
     // frame — the text is tokenized ONCE; N rides along as a broadcast
@@ -3944,6 +3990,41 @@ object DocumentQueries {
            round(CAST(postings AS DOUBLE)
              / CAST(sum(postings) OVER () AS DOUBLE), 6)
              AS postings_share
-         FROM oct ORDER BY df_bucket"""
+         FROM oct ORDER BY df_bucket""",
+
+    // Independent route: the oracle never touches the media BYTES — it
+    // rebuilds every fingerprint from the md5-bit/flip arithmetic the
+    // fixture is synthesized from and brute-forces all-pairs Hamming
+    // (fine at oracle SF; the Spark side must stay banded). bit 63
+    // cannot be built as 1<<63 in DuckDB (overflow) — spelled as the
+    // long minimum.
+    "q195_media_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 200 AS fam,
+             doc_id // 200 AS m, source FROM documents),
+         b AS (SELECT d.doc_id, c.c,
+             CASE WHEN
+               (CAST(concat('0x', substr(md5('fam_' ||
+                  CAST(d.fam AS VARCHAR) || '_' || CAST(c.c AS VARCHAR)),
+                  1, 1)) AS BIGINT) % 2 = 1)
+               <> (d.m >= 1 AND (c.c = 2 * ((d.m - 1) % 31)
+                              OR c.c = 2 * ((d.m - 1) % 31) + 1))
+             THEN 1 ELSE 0 END AS bit
+           FROM d, range(64) c(c)),
+         fp AS (SELECT doc_id,
+             bit_or(CASE WHEN bit = 1 THEN
+               CASE WHEN c = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (CAST(1 AS BIGINT) << CAST(c AS INTEGER)) END
+             ELSE 0 END) AS fp
+           FROM b GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+           least(da.source, db.source) AS src_a,
+           greatest(da.source, db.source) AS src_b
+         FROM fp a
+         JOIN fp b ON a.doc_id < b.doc_id
+           AND bit_count(xor(a.fp, b.fp)) <= 3
+         JOIN d da ON da.doc_id = a.doc_id
+         JOIN d db ON db.doc_id = b.doc_id
+         ORDER BY a_id, b_id"""
   )
 }

@@ -315,4 +315,95 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) == Seq(0L)) // 1-byte payload
     assert(out(1) == Seq(0L, 4L, 8L)) // 11 bytes, stride 4
   }
+
+  // ---- media near-dup (r19 verdict #3) ----------------------------
+
+  /** 1024-byte 64-cell grid payload: cell c is 16 bytes of 0xC0 when
+    * bit c ∈ `bits` else 0x40 — so ByteGridFp reconstructs exactly
+    * `bits` as long as both values occur (global mean strictly
+    * between). */
+  private def gridBytes(bits: Set[Int]): Array[Byte] =
+    (0 until 64).flatMap(c =>
+      Array.fill(16)(if (bits(c)) 0xC0.toByte else 0x40.toByte)).toArray
+
+  private def fpOf(bits: Set[Int]): Long =
+    bits.foldLeft(0L)((a, c) => a | (1L << c))
+
+  test("graft_media_fp reconstructs the planted cell pattern exactly") {
+    graft.plans.GraftExtensions.register(spark)
+    val bits = Set(0, 3, 17, 22, 38, 45, 59, 63) // includes the sign bit
+    val df = Seq(Tuple1(gridBytes(bits))).toDF("media")
+    val fp = df.select(Multimodal.mediaFingerprint($"media").as("fp"))
+      .head().getLong(0)
+    assert(fp == fpOf(bits), s"fp=$fp expected=${fpOf(bits)}")
+    // reference impl agrees (the codegen and interpreted paths share it)
+    assert(graft.functions.ByteGridFp.fingerprint(gridBytes(bits), 0)
+      == fpOf(bits))
+    // header-aware: the same grid inside a BMP container fingerprints
+    // identically (the 54 header bytes are skipped, not hashed)
+    val wrapped = df.select(Multimodal.bmpPayload(lit(4L), lit(4L),
+      $"media").as("media"))
+    assert(wrapped.select(Multimodal.mediaFingerprint($"media"))
+      .head().getLong(0) == fpOf(bits))
+    // empty region → 0, null → null
+    assert(graft.functions.ByteGridFp.fingerprint(Array.empty[Byte], 0) == 0L)
+    assert(graft.functions.ByteGridFp.fingerprint(gridBytes(bits), 2048) == 0L)
+    val n = Seq(Tuple1(null: Array[Byte])).toDF("media")
+      .select(Multimodal.mediaFingerprint($"media")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("mediaNearDup: pigeonhole recall at d<=3, verify rejects d=4") {
+    graft.plans.GraftExtensions.register(spark)
+    val base = Set(3, 17, 22, 38, 45, 59)
+    val docs = Seq(
+      0L -> base,                       // anchor
+      1L -> (base ++ Set(5, 20, 40)),   // d=3, diffs span bands 0/1/2
+      2L -> (base ++ Set(8, 9, 10, 11)) // d=4, ALL diffs inside band 0
+    ).map { case (id, bits) => (id, gridBytes(bits)) }
+      .toDF("doc_id", "media")
+    val pairs = Multimodal.mediaNearDup(docs, $"doc_id", $"media")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Caching.release()
+    // (0,1) d=3: three bands touched, band 3 identical → pigeonhole
+    // guarantees candidacy; verify keeps it at hamming 3
+    // (0,2) d=4: bands 1/2/3 identical → CANDIDATE generated, but the
+    // exact bit_count verify must reject it (threshold 3)
+    // (1,2) d=7: rejected
+    assert(pairs == Set((0L, 1L, 3L)), pairs)
+  }
+
+  test("mediaNearDup recall boundary: maxHamming >= bands is refused, and why") {
+    graft.plans.GraftExtensions.register(spark)
+    // the shape the require exists for: a d=4 pair with ONE differing
+    // bit per band shares NO band key — banding at 4 bands would
+    // silently lose it if d=4 were allowed
+    val base = Set(3, 17, 22, 38, 45, 59)
+    val spread = base ++ Set(2, 18, 34, 50) // one flip in each band
+    val fa = fpOf(base); val fb = fpOf(spread)
+    assert(java.lang.Long.bitCount(fa ^ fb) == 4)
+    (0 until 4).foreach { b =>
+      assert(((fa >>> (16 * b)) & 0xFFFF) != ((fb >>> (16 * b)) & 0xFFFF),
+        s"band $b unexpectedly shared — the boundary fixture is broken")
+    }
+    val docs = Seq(0L -> gridBytes(base), 1L -> gridBytes(spread))
+      .toDF("doc_id", "media")
+    // at the supported threshold the pair is (correctly) out of scope
+    val got = Multimodal.mediaNearDup(docs, $"doc_id", $"media").count()
+    Caching.release()
+    assert(got == 0L)
+    // and the misuse that WOULD lose it is loud, not silent
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.mediaNearDup(docs, $"doc_id", $"media", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("loses pairs"))
+    // exact duplicates (d=0) are found at any legal threshold
+    val dup = Seq(0L -> gridBytes(base), 1L -> gridBytes(base))
+      .toDF("doc_id", "media")
+    val d0 = Multimodal.mediaNearDup(dup, $"doc_id", $"media",
+        maxHamming = 0).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSet
+    Caching.release()
+    assert(d0 == Set((0L, 1L, 0L)))
+  }
 }

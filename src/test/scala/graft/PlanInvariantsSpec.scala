@@ -1211,6 +1211,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(countOf(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("q195 media near-dup: banded Hamming join over the cached fp frame") {
+    // the fingerprint pass runs ONCE into the persisted (doc_id, fp)
+    // frame — both banded self-join sides read the InMemoryRelation;
+    // candidates come from the (band, key) equality join (never a
+    // cartesian), with the exact bit_count verify in-plan; the
+    // broadcast is the planner's size-based choice, not a hint (the
+    // q169 rule: a dup-heavy corpus must be free to degrade to a
+    // shuffle join)
+    val p = plan("q195_media_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countOf(p, "InMemoryTableScan") == 2, p)
+    assert(p.contains("graft_media_fp"), p)
+    assert(p.contains("bit_count"), p)
+    assert(countOf(p, "Generate explode") == 3, p) // 2 band sides + pair sides
+  }
+
   test("q169 source matrix: AQE broadcasts pair sides onto the corpus scan") {
     // the exploded near-dup pair sides are tiny on a typical corpus
     // and must end up BROADCAST onto the slim (doc_id, source)
