@@ -110,11 +110,21 @@ object PackScaleBench {
             w => concat(lit("c"), col("__r").cast("string"), w)))).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // events replicate along TIME, not keys: copy r appends the same
+    // month of activity one span later for the SAME users — ×r the
+    // rows per user series, which is the axis that actually stresses
+    // the per-key series operators under test (q101's user<50 slice
+    // and q49's per-channel windows grow ×r; a key-offset replication
+    // would leave both workloads at ×1 and the curve would measure
+    // nothing). event_id still offsets (stays a unique key).
     val events = Tables.events(spark, sfDir)
+    val spanUs = events.agg((max(unix_micros(col("ts"))) -
+      min(unix_micros(col("ts"))) + 3600L * 1000000L)).head().getLong(0)
     events.select(reps, col("*"))
       .select((col("event_id") + col("__r") * 1000000000L).as("event_id"),
-        col("ts"), (col("user_id") + col("__r") * 10000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+        timestamp_micros(unix_micros(col("ts")) + col("__r") * spanUs)
+          .as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     Seq("embeddings", "lineitem", "orders", "customer", "part",
       "supplier", "nation", "region").foreach { name =>

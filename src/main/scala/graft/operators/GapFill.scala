@@ -31,11 +31,18 @@ import org.apache.spark.sql.functions._
   * collapses to grid cardinality before it ever shuffles. Everything
   * downstream (span agg, grid join, both window passes) operates on
   * bucket/grid-sized frames, all hashed on the same key family. The
-  * backward `last ignoreNulls` and forward `first ignoreNulls` windows
-  * share ONE ascending sort (a single WindowExec pair over one
-  * exchange — no per-direction re-sort, pinned in GapFillSpec). The
-  * grid explode is `sequence(min, max, step)` per key — rows ∝
-  * span/step, generated map-side after the span agg, never collected.
+  * backward fill is a `last ignoreNulls` RUNNING frame
+  * (unboundedPreceding..currentRow — incrementally maintained, O(n)
+  * per key); the forward fill is the SAME running-frame shape over the
+  * DESCENDING order, not a (currentRow..unboundedFollowing) frame —
+  * Spark executes an unboundedFollowing frame by re-scanning the
+  * remaining rows for EVERY row, O(n²) per key, which
+  * PackScaleBench round 20 measured as a superlinear bend on q101
+  * (×4 data → ×13 time) before this rewrite. The two directions cost
+  * one exchange plus two in-partition sorts (asc + desc), both over
+  * the grid-sized frame. The grid explode is `sequence(min, max,
+  * step)` per key — rows ∝ span/step, generated map-side after the
+  * span agg, never collected.
   */
 object GapFill {
 
@@ -68,13 +75,17 @@ object GapFill {
     val g = grid.join(hourly, keyCols :+ "__h", "left")
     val back = Window.partitionBy(keys: _*).orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(keys: _*).orderBy(col("__h"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // forward fill as a DESC running frame: last-non-null-so-far over
+    // __h descending ≡ first-non-null-ahead over __h ascending, but
+    // executes as an incrementally-maintained frame instead of the
+    // O(n²)-per-key unboundedFollowing re-scan (see scaladoc)
+    val fwd = Window.partitionBy(keys: _*).orderBy(col("__h").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsH = when(col("__v").isNotNull, col("__h"))
     val pv = last(col("__v"), ignoreNulls = true).over(back)
     val ph = last(obsH, ignoreNulls = true).over(back)
-    val nv = first(col("__v"), ignoreNulls = true).over(fwd)
-    val nh = first(obsH, ignoreNulls = true).over(fwd)
+    val nv = last(col("__v"), ignoreNulls = true).over(fwd)
+    val nh = last(obsH, ignoreNulls = true).over(fwd)
     val frac = (unix_timestamp(col("__h")) - unix_timestamp(ph)).cast("double") /
       (unix_timestamp(nh) - unix_timestamp(ph)).cast("double")
     g.select(keys ++ Seq(col("__h").as(tsCol),

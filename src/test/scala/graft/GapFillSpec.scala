@@ -69,17 +69,21 @@ class GapFillSpec extends SparkSpec {
     assert(math.abs(mid._3 - (1.0 + 28.0 * 8192.0 / 20160.0)) < 1e-9)
   }
 
-  test("plan: both window directions share one sort (no re-sort pair)") {
+  test("plan: running frames both directions, no O(n^2) following frame") {
     val df = Seq(("a", ts(0), 1.0), ("a", ts(3), 7.0)).toDF("k", "t", "v")
     val p = GapFill.interpolate(df, Seq("k"), "t", "v", 3600L)
       .queryExecution.executedPlan.toString
-    // the backward and forward frames share one WindowExec over one
-    // sort: a split into two Window nodes (each with its own sort)
-    // would double the grid pass
+    // both fills are RUNNING (unboundedPreceding..currentRow) frames —
+    // the forward direction rides a DESC sort of the same partition.
+    // An unboundedFollowing frame here re-scans the remaining rows per
+    // row (O(n²) per key): PackScaleBench round 20 measured q101 at
+    // ×13 time for ×4 data on exactly that plan before this shape.
+    assert(p.contains("unboundedpreceding$(), currentrow$()"), p)
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"O(n²)-per-key following frame reintroduced:\n$p")
+    // two Window nodes (asc + desc), one exchange: the desc pass
+    // re-sorts within the same partitioning, it must NOT re-shuffle
     val windowNodes = p.linesIterator.count(_.contains("Window ["))
-    assert(windowNodes == 1, s"expected ONE WindowExec, got $windowNodes:\n$p")
-    assert(p.contains("unboundedpreceding$(), currentrow$()") &&
-      p.contains("currentrow$(), unboundedfollowing$()"),
-      s"both frame directions must sit in the single WindowExec:\n$p")
+    assert(windowNodes == 2, s"expected asc+desc WindowExec pair:\n$p")
   }
 }
