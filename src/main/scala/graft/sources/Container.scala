@@ -50,6 +50,13 @@ object Container {
         // a year of one house doesn't fit one write task at 100 TB.
         // Channel files stay internally ts-clustered (source order), so
         // with MICROS stats a per-channel time slice prunes row groups.
+        // Measured at 300 M rows / 6.7 GB raw (IngestBench, SCALE.md
+        // round 20): the write is encoder-bound, not layout-bound —
+        // 23 files, no small-file or listing pathology. Residual
+        // caveat: a single EXTREME-rate channel (kHz waveforms × years)
+        // is still one write task; at that shape split the shuffle key
+        // by a coarse time bucket (year keeps ts-clustering) or use
+        // writeBucketed with a bucket count sized to the rate.
         .repartition(col("dataset"), col("house_id"), col("channel_id"))
         .write.mode(mode)
         .partitionBy("dataset", "house_id")
