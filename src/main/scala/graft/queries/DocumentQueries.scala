@@ -1517,8 +1517,11 @@ object DocumentQueries {
   private val defsC: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Perceptual media near-dup (r19 verdict #3): each document gets a
-    // synthesized BMP whose 4096-byte pixel region is a 64-cell
-    // constant-value grid — cell c is byte 0xC0 or 0x40 by (an
+    // synthesized BMP whose 1024-byte pixel region is a 64-cell
+    // constant-value grid (16 bytes per cell — cell means are exact at
+    // any cell width, so the fixture carries the minimum bytes that
+    // still exercise the grid boundaries) — cell c is byte 0xC0 or
+    // 0x40 by (an
     // md5-derived per-family random bit) XOR (the member's planted
     // flip) — so the byte-grid fingerprint (Multimodal.mediaFingerprint,
     // the native graft_media_fp expression reading the ACTUAL bytes
@@ -1546,9 +1549,9 @@ object DocumentQueries {
           16, 10).cast("long") % 2 === 1
         val flipped = m >= 1 && (fc === c || fc + 1 === c)
         call_function("repeat",
-          when(md5bit =!= flipped, lit("C0")).otherwise(lit("40")), lit(64))
+          when(md5bit =!= flipped, lit("C0")).otherwise(lit("40")), lit(16))
       }
-      val media = graft.ext.Multimodal.bmpPayload(lit(32L), lit(32L),
+      val media = graft.ext.Multimodal.bmpPayload(lit(16L), lit(16L),
         unhex(concat(cellHexes: _*)))
       val mf = docs.select($"doc_id", media.as("media"))
       val pairs = graft.ext.Multimodal.mediaNearDup(mf, $"doc_id", $"media")
