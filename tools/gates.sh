@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT="$(mktemp -d /tmp/graft_gates.XXXXXX)"
 
-echo "[gates] 0/5 scalatest suite"
+echo "[gates] 0/6 scalatest suite"
 sbt -batch test > "$OUT/suite.log" 2>&1 ||
   { grep -E "FAILED|\*\*\*" "$OUT/suite.log" | head -20; tail -5 "$OUT/suite.log"; exit 1; }
 grep -hE "Tests: succeeded" "$OUT/suite.log" | tail -1
@@ -29,24 +29,31 @@ if [ "$SF" != "/root/testdata/sf0.01" ]; then
   export SPARK_GRAFT_Q50_CENTROIDS
 fi
 
-echo "[gates] 1/5 oracle gate at $SF"
+echo "[gates] 1/6 oracle gate at $SF"
 sbt -batch "runMain graft.Verify $SF $OUT/verify" > "$OUT/verify.log" 2>&1 ||
   { tail -20 "$OUT/verify.log"; exit 1; }
 python3 tools/compare.py "$SF" "$OUT/verify" | tail -1
 
-echo "[gates] 2/5 partitioning determinism"
+echo "[gates] 2/6 partitioning determinism"
 sbt -batch "runMain graft.DeterminismCheck $SF" > "$OUT/det.log" 2>&1 ||
   { grep FAIL "$OUT/det.log" | head; exit 1; }
 grep '"metric":"determinism"' "$OUT/det.log"
 
-echo "[gates] 3/5 layout invariance"
+echo "[gates] 3/6 layout invariance"
 sbt -batch "runMain graft.LayoutInvarianceCheck $SF" > "$OUT/layout.log" 2>&1 ||
   { grep FAIL "$OUT/layout.log" | head; exit 1; }
 grep '"metric":"layout_invariance"' "$OUT/layout.log"
 
-echo "[gates] 4/5 sketch cross-check"
+echo "[gates] 4/6 sketch cross-check"
 sbt -batch "runMain graft.tools.SketchDump $SF $OUT/sketch" > "$OUT/sketch.log" 2>&1 ||
   { tail -20 "$OUT/sketch.log"; exit 1; }
 python3 tools/sketch_check.py "$SF" "$OUT/sketch"
+
+# streaming<->batch differential: always at sf0.1 (where the oracle
+# tables live at meaningful volume); ~3 min, 6 legs incl. crash/restart
+echo "[gates] 5/6 streaming parity (sf0.1)"
+sbt -batch "runMain graft.StreamingParityCheck /root/testdata/sf0.1" > "$OUT/sparity.log" 2>&1 ||
+  { grep -E "FAIL|Exception" "$OUT/sparity.log" | head; exit 1; }
+grep -E "PASS|streaming_parity" "$OUT/sparity.log"
 
 echo "[gates] ALL GREEN at $SF"
