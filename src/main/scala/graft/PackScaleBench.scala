@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   *
   * Replication (the DedupScaleBench planted-key discipline — scale the
   * data, not the duplicate structure):
-  *   - keys offset per copy (doc_id +r·10⁷, user_id +r·10⁷,
-  *     event_id +r·10⁹) so nothing collides across copies;
+  *   - DOCUMENT keys offset per copy (doc_id +r·10⁷) so nothing
+  *     collides across copies; EVENTS replicate along TIME instead:
+  *     copy r appends the same span of activity one span later for the
+  *     SAME users (user_id unchanged — ×r the rows per user series,
+  *     the axis that stresses q101/q49's per-key operators; a key
+  *     offset would leave those workloads at ×1), with only event_id
+  *     offset (+r·10⁹) to stay a unique key;
   *   - document TEXT is word-wise salted per copy (`c<r><word>`) —
   *     a bijective token map per copy, so within-copy duplicate lines
   *     (q86), shingle dfs (q175's anchor df ∈ [2,10] cap) and n-gram
@@ -23,9 +28,7 @@ import org.apache.spark.sql.functions._
   *     content-equal ACROSS copies. A naive text-identical replication
   *     would multiply every shingle df by the factor and silently
   *     change the q175 workload (df-capped anchors vanish) — the curve
-  *     would measure a different query per point;
-  *   - events keep their timestamps: ×R means R× the users at the
-  *     same density, which is how a user-keyed corpus actually grows.
+  *     would measure a different query per point.
   *
   * Prints one JSON line per (query, scale) and a final exponents line:
   * e = least-squares slope of ln t vs ln scale — e ≈ 1 linear,

@@ -197,15 +197,29 @@ object StreamingParityCheck {
         .option("path", s"$out/cr").option("checkpointLocation",
           s"$out/cr_cp").start()
       val q1 = mk()
-      val deadline = System.nanoTime() + 120L * 1000000000L
+      // poll to the crash point. Two distinct failure modes (advisor
+      // r20): 'stream FINISHED before the crash point' is a fixture
+      // bug (CrashAfterBatches too high) and must fail loudly; the
+      // deadline merely bounds a hung stream on a loaded host, so it
+      // is generous (480 s vs the old 120 s) and its expiry message
+      // names the load condition instead of masquerading as a parity
+      // failure.
+      val deadline = System.nanoTime() + 480L * 1000000000L
       while (Option(q1.lastProgress).forall(_.batchId <
           CrashAfterBatches) && q1.isActive &&
           System.nanoTime() < deadline) Thread.sleep(100)
       val crashedAt = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+      val stillActive = q1.isActive
       q1.stop() // hard stop mid-stream; no graceful drain
-      require(crashedAt >= CrashAfterBatches,
-        s"stream finished before the crash point (batch $crashedAt) — " +
-          "the leg would not test restart; lower CrashAfterBatches")
+      if (crashedAt < CrashAfterBatches) {
+        require(stillActive,
+          s"stream finished before the crash point (batch $crashedAt) — " +
+            "the leg would not test restart; lower CrashAfterBatches")
+        throw new IllegalStateException(
+          s"480 s deadline expired at batch $crashedAt < $CrashAfterBatches " +
+            "with the stream still active — host overload, not a parity " +
+            "failure; re-run when quieter")
+      }
       val q2 = mk()
       q2.processAllAvailable(); q2.stop()
       println(s"[parity] crash_restart: killed after batch $crashedAt, " +
@@ -260,14 +274,18 @@ object StreamingParityCheck {
     * pin its mtime (the file source replays oldest-mtime first). */
   private def promote(tmpDir: String, dest: String, mtime: Long): Unit = {
     import java.nio.file.{Files, Paths}
-    val part = Files.list(Paths.get(tmpDir)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+    // Files.list/walk return open directory streams — close them
+    // (advisor r20: one leaked handle per chunk)
+    val part = scala.util.Using.resource(Files.list(Paths.get(tmpDir)))(
+      _.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")))
     require(part.length == 1, s"expected 1 part file in $tmpDir: ${part.toSeq}")
     Files.move(Paths.get(part.head), Paths.get(dest))
     Files.setLastModifiedTime(Paths.get(dest),
       java.nio.file.attribute.FileTime.fromMillis(mtime))
     // clean the rest of the tmp dir
-    Files.walk(Paths.get(tmpDir)).sorted(
-      java.util.Comparator.reverseOrder()).forEach(p => Files.delete(p))
+    scala.util.Using.resource(Files.walk(Paths.get(tmpDir)))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p)))
   }
 }

@@ -22,9 +22,15 @@ import org.apache.spark.sql.types._
   * whole-stage codegen — Spark has no per-byte iteration built-in, and
   * a hex + HOF detour interprets and allocates per byte. Null binary
   * propagates null; an empty region yields 0L (media exists, it is
-  * just headerless/empty). Worst case cellSum·n: 255·n·n overflows
-  * long past n ≈ 6.0e8 bytes — a single media payload ≥ 600 MB is
-  * outside this fingerprint's design envelope (cap or chunk upstream).
+  * just headerless/empty). The cross-multiplied comparison is exact at
+  * ANY payload length (r20 verdict finding #2): `cellSum · n` reaches
+  * ~255·n²/64 and overflows a long past n ≈ 1.5e9 bytes — inside the
+  * 2^31 array cap, so reachable — hence the compare runs as an
+  * unsigned 128-bit product comparison ([[ByteGridFp.gtExact]], two
+  * `Math.multiplyHigh` + a compare — no measurable cost at 64
+  * compares/payload, red-tested in MultimodalSpec at overflow-regime
+  * operands). Sums stay below 255·2^31 < 2^39, products below 2^70 —
+  * comfortably inside 128 bits.
   */
 case class ByteGridFp(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -89,9 +95,20 @@ object ByteGridFp {
       val hi = ((c + 1).toLong * n / Cells).toInt
       val cnt = hi - lo
       // cellMean > globalMean  <=>  cellSum * n > totalSum * cellCnt
-      if (cnt > 0 && sums(c) * n > total * cnt) fp |= 1L << c
+      if (cnt > 0 && gtExact(sums(c), n, total, cnt)) fp |= 1L << c
       c += 1
     }
     fp
+  }
+
+  /** `a*b > c*d` exactly, for non-negative operands — the 128-bit
+    * products via `Math.multiplyHigh` compare hi-then-lo(unsigned), so
+    * the grid bit stays correct past the ~1.5e9-byte payload where the
+    * naive long product silently overflows (r20 verdict finding #2). */
+  def gtExact(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) > 0
   }
 }

@@ -97,7 +97,13 @@ object GlobalAgg {
       .toDF("__pid", "__os")
       .select(col("__pid") +:
         vNames.indices.map(i => col("__os")(i).as(s"__off$i")): _*)
+    // explicit ROWS frame (advisor r20): the default RANGE frame is
+    // peer-inclusive on orderCols ties, which differs from the
+    // rowsBetween window forms this operator replaced; live call sites
+    // order by distinct histogram keys (identical either way), the
+    // explicit frame makes the scaladoc's tie contract true in general
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = ranged.join(broadcast(offsetDf), Seq("__pid"))
     val withRuns = values.zipWithIndex.foldLeft(joined) {
       case (acc, ((_, name), i)) =>

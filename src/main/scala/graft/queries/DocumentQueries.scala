@@ -1514,6 +1514,49 @@ object DocumentQueries {
     }
   }
 
+  /** q195 fixture synthesis — (doc_id, media) with the BMP grid payload
+    * described at the q195 definition below, in the r21 family-factored
+    * form (optimization guide §1.2 step 2 / §2.3): the 64 md5-derived
+    * grid bits depend only on `fam = doc_id % 200`, so they are
+    * computed ONCE per distinct family (≤ 200 rows), expanded to the
+    * 2048-hex-char pixel pattern there, and broadcast back; the only
+    * per-row work left is the member-flip splice (a 64-char
+    * `translate`) and the header wrap. The original form evaluated the
+    * 64-md5 concat tree per ROW — a ~400-node expression tree whose
+    * evaluation dominated the pack's heaviest query (~2/3 of q195's
+    * measured cost, r20 verdict). Payload bytes are IDENTICAL
+    * (MultimodalSpec pins old-form == new-form md5 per doc over every
+    * family and the flip wraparound; the untouched q195 oracle pins the
+    * result end-to-end). */
+  private[graft] def q195Media(docs: DataFrame): DataFrame = {
+    val fam = (col("doc_id") % 200).cast("long")
+    // per-family base pattern: cell c is "C0" iff the md5 bit is set,
+    // each cell then expanded to its 16-byte run (32 hex chars)
+    val cellHex = concat((0 until 64).map { c =>
+      val md5bit = conv(substring(md5(concat(lit("fam_"),
+        col("__fam").cast("string"), lit("_"), lit(c.toString))), 1, 1),
+        16, 10).cast("long") % 2 === 1
+      when(md5bit, lit("C0")).otherwise(lit("40"))
+    }: _*)
+    val famBase = docs.select(fam.as("__fam")).distinct()
+      .withColumn("__base", regexp_replace(cellHex, "(..)", "$1" * 16))
+    val m = expr("doc_id DIV 200")
+    val fc = (m - 1) % 31 * 2 // first flipped cell (members m >= 1 only)
+    // member flips invert cells fc, fc+1: each cell is 32 hex chars of
+    // "C0"/"40" pairs, so translate C<->4 on the 64-char splice
+    val off = fc * 32
+    val pixelHex = when(m >= 1, concat(
+        col("__base").substr(lit(1), off),
+        translate(col("__base").substr(off + 1, lit(64)), "C4", "4C"),
+        col("__base").substr(off + 65, lit(2048))))
+      .otherwise(col("__base"))
+    docs.select(col("doc_id"))
+      .join(broadcast(famBase), fam === col("__fam"))
+      .select(col("doc_id"),
+        graft.ext.Multimodal.bmpPayload(lit(16L), lit(16L),
+          unhex(pixelHex)).as("media"))
+  }
+
   private val defsC: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Perceptual media near-dup (r19 verdict #3): each document gets a
@@ -1536,24 +1579,13 @@ object DocumentQueries {
     // does NOT parse bytes: it rebuilds each fingerprint from the
     // md5/flip arithmetic and brute-forces Hamming in SQL — a header
     // offset bug, grid-boundary bug or band-key bug breaks the match.
+    // Synthesis is the family-factored form ([[q195Media]], r21): same
+    // bytes (spec-pinned), 64 md5s per FAMILY instead of per row.
     "q195_media_neardup" -> ((s, d) => {
       import s.implicits._
       graft.plans.GraftExtensions.register(s)
       val docs = documents(s, d)
-      val fam = ($"doc_id" % 200).cast("long")
-      val m = expr("doc_id DIV 200")
-      val fc = (m - 1) % 31 * 2
-      val cellHexes = (0 until 64).map { c =>
-        val md5bit = conv(substring(md5(concat(lit("fam_"),
-          fam.cast("string"), lit("_"), lit(c.toString))), 1, 1),
-          16, 10).cast("long") % 2 === 1
-        val flipped = m >= 1 && (fc === c || fc + 1 === c)
-        call_function("repeat",
-          when(md5bit =!= flipped, lit("C0")).otherwise(lit("40")), lit(16))
-      }
-      val media = graft.ext.Multimodal.bmpPayload(lit(16L), lit(16L),
-        unhex(concat(cellHexes: _*)))
-      val mf = docs.select($"doc_id", media.as("media"))
+      val mf = q195Media(docs)
       val pairs = graft.ext.Multimodal.mediaNearDup(mf, $"doc_id", $"media")
       val sides = pairs.select($"a_id", $"b_id", $"hamming",
         explode(array($"a_id", $"b_id")).as("doc_id"))

@@ -406,4 +406,57 @@ class MultimodalSpec extends SparkSpec {
     Caching.release()
     assert(d0 == Set((0L, 1L, 0L)))
   }
+
+  // ---- r21 optimization pins -------------------------------------
+
+  test("q195 synthesis: family-factored form is byte-identical to the per-row form") {
+    // the r21 rewrite moved the 64 md5 calls from per-ROW to per-FAMILY
+    // (queries.DocumentQueries.q195Media); this pin rebuilds the
+    // ORIGINAL per-row expression and asserts payload equality over
+    // doc_ids covering every family (0..199), members m = 0..33 (incl.
+    // the (m-1) % 31 flip wraparound at m = 32) — any drift in the md5
+    // bit, flip splice, 16-byte expansion or header wrap fails here
+    val docs = spark.range(0L, 6800L).select($"id".as("doc_id"))
+    val fam = ($"doc_id" % 200).cast("long")
+    val m = expr("doc_id DIV 200")
+    val fc = (m - 1) % 31 * 2
+    val cellHexes = (0 until 64).map { c =>
+      val md5bit = conv(substring(md5(concat(lit("fam_"),
+        fam.cast("string"), lit("_"), lit(c.toString))), 1, 1),
+        16, 10).cast("long") % 2 === 1
+      val flipped = m >= 1 && (fc === c || fc + 1 === c)
+      call_function("repeat",
+        when(md5bit =!= flipped, lit("C0")).otherwise(lit("40")), lit(16))
+    }
+    val oldMedia = Multimodal.bmpPayload(lit(16L), lit(16L),
+      unhex(concat(cellHexes: _*)))
+    val oldDf = docs.select($"doc_id", md5(oldMedia).as("old_h"))
+    val newDf = graft.queries.DocumentQueries.q195Media(docs)
+      .select($"doc_id", md5($"media").as("new_h"))
+    val joined = oldDf.join(newDf, "doc_id")
+    assert(joined.count() == 6800L) // every doc synthesized in both forms
+    val drift = joined.filter($"old_h" =!= $"new_h").count()
+    assert(drift == 0L, s"$drift docs drifted between synthesis forms")
+  }
+
+  test("ByteGridFp.gtExact: exact past the long-overflow boundary") {
+    import graft.functions.ByteGridFp.gtExact
+    // overflow regime: n = 2e9 payload bytes (inside the 2^31 array
+    // cap), one all-0xFF cell — cellSum·n = 7.97e9 · 2e9 ≈ 1.59e19
+    // wraps a signed long NEGATIVE, so the old naive compare would
+    // clear a bit that belongs set
+    val n = 2000000000L
+    val cellSum = 255L * (n / 64) // all-0xFF cell
+    val total = cellSum + 63L * 64L * (n / 64) // rest mid-gray 0x40
+    assert(cellSum * n < 0L, "fixture must actually overflow a long")
+    assert(gtExact(cellSum, n, total, n / 64)) // bright cell above mean
+    assert(!gtExact(64L * (n / 64), n, total, n / 64)) // dim cell below
+    // parity with BigInt on a deterministic sweep incl. mixed regimes
+    val vals = Seq(0L, 1L, 255L, 1L << 31, (1L << 62) + 12345L,
+      Long.MaxValue / 255, 600000000L, 255L * 600000000L)
+    for (a <- vals; b <- vals; c <- vals; d <- vals)
+      assert(gtExact(a, b, c, d) ==
+        (BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)),
+        s"gtExact($a,$b,$c,$d) disagrees with BigInt")
+  }
 }

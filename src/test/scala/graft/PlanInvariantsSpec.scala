@@ -1229,6 +1229,21 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("graft_media_fp"), p)
     assert(p.contains("bit_count"), p)
     assert(countOf(p, "Generate explode") == 3, p) // 2 band sides + pair sides
+    // verify BEFORE the dedup (r21, the r20 verdict finding): the
+    // bit_count(xor) <= maxHamming verify is fused into the band join's
+    // own condition — candidates that fail Hamming never reach the
+    // distinct's exchange, and the distinct key is (a_id, b_id,
+    // hamming), fingerprints dropped
+    val joinLine = p.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("[bi"))
+    assert(joinLine.exists(_.contains("bit_count")),
+      s"Hamming verify not fused into the band join: $joinLine\n$p")
+    // the per-row 64-md5 synthesis is gone: md5 only appears in the
+    // ≤200-row family subtree, so the plan text stays small (the
+    // r20 form printed a ~25k-node tree — 367 KB of plan, 4.5 MiB task
+    // binaries); a regression re-inflating the tree trips this bound
+    assert(p.length < 120000,
+      s"q195 plan text ${p.length} chars — per-row synthesis tree is back?")
   }
 
   test("q169 source matrix: AQE broadcasts pair sides onto the corpus scan") {

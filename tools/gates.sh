@@ -49,11 +49,19 @@ sbt -batch "runMain graft.tools.SketchDump $SF $OUT/sketch" > "$OUT/sketch.log" 
   { tail -20 "$OUT/sketch.log"; exit 1; }
 python3 tools/sketch_check.py "$SF" "$OUT/sketch"
 
-# streaming<->batch differential: always at sf0.1 (where the oracle
-# tables live at meaningful volume); ~3 min, 6 legs incl. crash/restart
-echo "[gates] 5/6 streaming parity (sf0.1)"
-sbt -batch "runMain graft.StreamingParityCheck /root/testdata/sf0.1" > "$OUT/sparity.log" 2>&1 ||
-  { grep -E "FAIL|Exception" "$OUT/sparity.log" | head; exit 1; }
-grep -E "PASS|streaming_parity" "$OUT/sparity.log"
+# streaming<->batch differential: defaults to sf0.1 (where the oracle
+# tables live at meaningful volume); ~3 min, 6 legs incl. crash/restart.
+# Overridable via SPARK_GRAFT_PARITY_SF; skipped with a loud warning when
+# the directory is absent (advisor r20: a host without sf0.1 must not
+# turn the whole battery red on a hardcoded path).
+PARITY_SF="${SPARK_GRAFT_PARITY_SF:-/root/testdata/sf0.1}"
+if [ -d "$PARITY_SF" ]; then
+  echo "[gates] 5/6 streaming parity ($PARITY_SF)"
+  sbt -batch "runMain graft.StreamingParityCheck $PARITY_SF" > "$OUT/sparity.log" 2>&1 ||
+    { grep -E "FAIL|Exception" "$OUT/sparity.log" | head; exit 1; }
+  grep -E "PASS|streaming_parity" "$OUT/sparity.log"
+else
+  echo "[gates] 5/6 streaming parity SKIPPED: $PARITY_SF not found (set SPARK_GRAFT_PARITY_SF)"
+fi
 
 echo "[gates] ALL GREEN at $SF"
