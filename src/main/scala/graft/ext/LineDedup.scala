@@ -62,11 +62,17 @@ object LineDedup {
     val occ = perDoc.select(
       id, posexplode(col("__lines")).as(Seq("__pos", "__line")))
     // map-side-combinable first-occurrence: one surviving row per
-    // distinct line, chosen by lexicographic (doc_id, pos) struct min
+    // distinct line, chosen by lexicographic (doc_id, pos) struct min.
+    // Grouped by the LINE itself (r21): the previous md5(__line) key
+    // computed a hash per occurrence and then shuffled the line AGAIN
+    // inside the min-struct payload — keying on the line drops the md5
+    // pass, narrows the shuffled row (key + (doc_id, pos), the line no
+    // longer rides twice), and removes the 128-bit-collision caveat
+    // outright. Identical groups, identical survivors.
     val kept = occ
-      .groupBy(md5(col("__line")).as("__h"))
-      .agg(min(struct(id, col("__pos"), col("__line"))).as("__first"))
-      .select(col("__first.*"))
+      .groupBy(col("__line"))
+      .agg(min(struct(id, col("__pos"))).as("__first"))
+      .select(col("__first.*"), col("__line"))
     val reassembled = kept
       .groupBy(id)
       .agg(

@@ -60,34 +60,52 @@ object TextOps {
   }
 
   /** The scale form of [[shingles]]: exploded DISTINCT (id, shingle)
-    * rows built from posexplode + codegen'd `lead` windows instead of a
-    * per-row interpreted transform (which cost ~10 s at sf0.1 for the
-    * near-dup queries). Documents with < k words produce no rows (the
-    * empty shingle set). One shuffle keyed by the id. */
+    * rows. At the library k (= [[ShingleK]]) this is a pure map
+    * explode of the native [[graft.functions.ShingleSet]] extractor —
+    * ZERO shuffle (r21: the previous posexplode + per-doc lead()-window
+    * form paid an exchange + sort of corpus-token volume plus a
+    * (id, shingle)-keyed distinct exchange just to assemble grams;
+    * measured 6× at sf0.1, bit-identical rows, parity-pinned in
+    * TextOpsSpec). Documents with < k words produce no rows (the
+    * native extractor yields NULL, which explode drops). The general-k
+    * window form remains for non-default k. */
   def shingleRows(df: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String, k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val tok = df.select(col(idCol),
-      posexplode(words(col(textCol))).as(Seq("__pos", "__w")))
-    val leads = (1 until k).map(j => lead(col("__w"), j).over(w).as(s"__w$j"))
-    tok.select(col(idCol) +: col("__w") +: leads: _*)
-      .filter(col(s"__w${k - 1}").isNotNull)
-      .select(col(idCol),
-        concat_ws(" ", col("__w") +: (1 until k).map(j => col(s"__w$j")): _*)
+                  textCol: String, k: Int = ShingleK): org.apache.spark.sql.DataFrame =
+    if (k == ShingleK) {
+      graft.plans.GraftExtensions.register(df.sparkSession)
+      df.select(col(idCol),
+        explode(call_function("graft_shingle_set", col(textCol)))
           .as("shingle"))
-      .distinct()
-  }
+    } else shingleRowsWindowed(df, idCol, textCol, k).drop("pos").distinct()
 
   /** Occurrence form of [[shingleRows]]: one row per shingle POSITION
-    * (`__pos` 0-based, no distinct) — the duplicate-span queries need
+    * (`pos` 0-based, no distinct) — the duplicate-span queries need
     * every occurrence plus its location so duplicated-gram counts and
     * token-coverage intervals can be computed (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL'22, measures dup
-    * substrings by position, not by distinct gram). Same codegen'd
-    * posexplode + `lead` shape, one shuffle keyed by the id. */
+    * substrings by position, not by distinct gram). At the library k
+    * this is a map-only posexplode of the native
+    * [[graft.functions.ShingleRows]] extractor (element i = the
+    * shingle starting at token i, so the posexplode index IS the
+    * token position) — zero shuffle, same r21 rationale and parity
+    * pin as [[shingleRows]]. */
   def shingleRowsPos(df: org.apache.spark.sql.DataFrame, idCol: String,
-                     textCol: String, k: Int = ShingleK): org.apache.spark.sql.DataFrame = {
+                     textCol: String, k: Int = ShingleK): org.apache.spark.sql.DataFrame =
+    if (k == ShingleK) {
+      graft.plans.GraftExtensions.register(df.sparkSession)
+      df.select(col(idCol),
+        posexplode(call_function("graft_shingle_rows", col(textCol)))
+          .as(Seq("pos", "shingle")))
+    } else shingleRowsWindowed(df, idCol, textCol, k)
+
+  /** The pre-r21 general-k gram builder: posexplode to token rows,
+    * per-doc lead() window, concat — one exchange + sort keyed by the
+    * id. Kept for k != [[ShingleK]] (no native extractor) and as the
+    * parity reference the TextOpsSpec pin compares the native forms
+    * against. */
+  private[graft] def shingleRowsWindowed(df: org.apache.spark.sql.DataFrame,
+                                         idCol: String, textCol: String,
+                                         k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val tok = df.select(col(idCol),

@@ -59,3 +59,74 @@ object ShingleSet {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 }
+
+/** Native positional shingle extractor: `graft_shingle_rows(text)` →
+  * array<string> of ALL K-word shingles in position order (element i =
+  * the shingle starting at token i, duplicates kept), NULL for
+  * documents with fewer than K words. The occurrence-form sibling of
+  * [[ShingleSet]]: `posexplode` over it reproduces
+  * `TextOps.shingleRowsPos`'s (pos, shingle) rows WITHOUT the token
+  * posexplode → per-doc lead()-window pass — i.e. without shuffling
+  * corpus-token volume through an exchange + sort just to assemble
+  * grams (r21 optimization; parity-pinned in TextOpsSpec). Same
+  * tokenizer as the whole native family ([[SimHash60.tokenRanges]]
+  * byte runs ≡ split("\\s+") on text without a leading-whitespace
+  * empty token). */
+case class ShingleRows(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_rows expects string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // null for < K words, independent of child nullability
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_shingle_rows"
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleRows.compute(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ShingleRows.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleRows =
+    copy(child = newChild)
+}
+
+object ShingleRows {
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, ntok) = SimHash60.tokenRanges(bytes)
+    val k = MinHashSig.K
+    if (ntok < k) return null
+    val out = new Array[AnyRef](ntok - k + 1)
+    var t = 0
+    while (t <= ntok - k) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += ends(t + j) - starts(t + j); j += 1 }
+      val g = new Array[Byte](len)
+      var p = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { g(p) = ' '; p += 1 }
+        val l = ends(t + j) - starts(t + j)
+        System.arraycopy(bytes, starts(t + j), g, p, l)
+        p += l
+        j += 1
+      }
+      out(t) = UTF8String.fromBytes(g)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

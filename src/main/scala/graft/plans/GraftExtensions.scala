@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomAgg, BloomMightContain, ByteGridFp, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, KllAgg, KllMergeAgg, KllQuantile, KllRank, MinHashSig, NearestCentroid, RollingFingerprint, ShingleSet, SimHash60, ThetaAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaUnionAgg, ThetaUnionEstimate, TopKByScore, TopKByScoreStr, ZOrderKey}
+import graft.functions.{BloomAgg, BloomMightContain, ByteGridFp, ByteHistogram, CharEntropy, DotProduct, HeavyHitters, JpegSofDims, JsonLongKey, KllAgg, KllMergeAgg, KllQuantile, KllRank, MinHashSig, NearestCentroid, RollingFingerprint, ShingleRows, ShingleSet, SimHash60, ThetaAgg, ThetaAnotBEstimate, ThetaEstimate, ThetaIntersectEstimate, ThetaUnionAgg, ThetaUnionEstimate, TopKByScore, TopKByScoreStr, ZOrderKey}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -101,6 +101,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "graft_shingle_set(str)")
         ShingleSet(args.head)
+      }),
+    (FunctionIdentifier("graft_shingle_rows"),
+      new ExpressionInfo(classOf[ShingleRows].getName, "graft_shingle_rows"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_shingle_rows(str)")
+        ShingleRows(args.head)
       }),
     (FunctionIdentifier("graft_topk_str"),
       new ExpressionInfo(classOf[TopKByScoreStr].getName, "graft_topk_str"),

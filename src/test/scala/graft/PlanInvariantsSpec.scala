@@ -181,17 +181,21 @@ class PlanInvariantsSpec extends SparkSpec {
 
   test("q97 span removal: gram-keyed aggs only, never doc×doc, no corpus window") {
     val p = plan("q97_span_removal")
-    // 4 real hash exchanges — the occ build (reused via
-    // InMemoryRelation, so its exchange PRINTS under both cached scans
-    // → 5 textual occurrences), the per-doc gram distinct, the gram
-    // document-frequency agg, and the covered-position collect_set;
-    // the rewrite itself is a map-side higher-order array filter —
-    // nothing pairs documents and the only Window is the shingle
-    // build's per-doc lead()
-    assert(countOf(p, "Exchange hashpartitioning") == 5, p)
+    // 3 real hash exchanges — the per-doc gram distinct, the gram
+    // document-frequency agg, and the covered-position collect_set.
+    // The occurrence build itself is now a map-only Generate over the
+    // native graft_shingle_rows extractor (r21: the old posexplode +
+    // per-doc lead()-window shape paid an exchange + sort of
+    // corpus-token volume, which printed twice under the two cached
+    // scans → 5 textual occurrences); the rewrite is a map-side
+    // higher-order array filter — nothing pairs documents and NO
+    // Window remains anywhere in the plan
+    assert(countOf(p, "Exchange hashpartitioning") == 3, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("graft_shingle_rows"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("collect_set"), p)
-    // offset explode + token posexplode are real generators
+    // offset explode + shingle-array posexplode are real generators
     assert(countOf(p, "Generate explode(sequence") == 1, p)
   }
 

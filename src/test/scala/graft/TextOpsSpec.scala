@@ -51,6 +51,32 @@ class TextOpsSpec extends SparkSpec {
     assert(viaDistinct == viaRows)
   }
 
+  test("native shingle builders match the windowed form (r21 parity pin)") {
+    // shingleRows/shingleRowsPos moved from the posexplode + per-doc
+    // lead()-window shape to map-only native extractors; this pins
+    // row-identity against the retained general-k windowed reference
+    // over the edge shapes: < k words, exactly k, duplicate grams,
+    // multi-space runs, unicode, empty text
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "x y x y x y"),
+        (4L, "one  two   three four"), (5L, ""), (6L, "καλημέρα κόσμε γεια σου"))
+      .toDF("doc_id", "text")
+    val winPos = TextOps.shingleRowsWindowed(df, "doc_id", "text",
+      TextOps.ShingleK).as[(Long, Int, String)].collect().toSet
+    val natPos = TextOps.shingleRowsPos(df, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(natPos == winPos, s"occurrence drift: ${natPos.diff(winPos)} / ${winPos.diff(natPos)}")
+    val winDistinct = TextOps.shingleRowsWindowed(df, "doc_id", "text",
+        TextOps.ShingleK).select($"doc_id", $"shingle").distinct()
+      .as[(Long, String)].collect().toSet
+    val natDistinct = TextOps.shingleRows(df, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(natDistinct == winDistinct)
+    // the non-default-k path still routes through the windowed form
+    val k4 = TextOps.shingleRows(df, "doc_id", "text", k = 4)
+      .as[(Long, String)].collect().toSet
+    assert(k4((4L, "one two three four")) && !k4.exists(_._1 == 2L))
+  }
+
   test("hash28/hash60 produce bounded non-negative longs") {
     val (h28, h60) = Seq("hello", "", "καλημέρα")
       .toDF("t")
