@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions._
   * mod B), so the oracle recomputes identical bucket ids.
   *
   * ==Scale shape (100 TB)==
-  * Two passes over the map-only tokenize+explode stream, NO persisted
-  * corpus-sized intermediate — the SpanDedup 8g-heap measurement
-  * (SCALE.md round 16) showed recomputing a map-only pass beats caching
-  * a corpus-token-sized frame exactly when memory is tight:
+  * Two passes over the map-only tokenize+explode stream. By default the
+  * stream is persisted (MEMORY_AND_DISK, graft.Caching contract) so the
+  * two passes share one tokenize+explode+hash computation; when memory
+  * is tight `SPARK_GRAFT_DSIR_PERSIST=0` drops the cache and recomputes
+  * the map-only pass per branch — the SpanDedup 8g-heap measurement
+  * (SCALE.md round 16) showed recompute beats caching a
+  * corpus-token-sized frame exactly when memory is tight:
   *   1. model pass: groupBy(bucket) over the gram stream → 2·B partial
   *      rows per task (map-side combine), ONE tiny shuffle to B rows;
   *      totals are a 1-row agg over that, joined back broadcast.
@@ -69,6 +72,16 @@ object Dsir {
         bucketOf(col("__gram"), buckets).as("__bucket"))
   }
 
+  /** Opt-out for the corpus-token-sized feature-stream persist in
+    * [[importanceWeights]] (`SPARK_GRAFT_DSIR_PERSIST=0`): the
+    * MEMORY_AND_DISK cache of the gram stream competes with the wide
+    * aggregations for unified memory exactly like SpanDedup's
+    * `persistOcc` (SCALE.md round 16 — the 8 GB-heap leg died with the
+    * cache on and completed with it off), so a tight-memory 100 TB run
+    * flips this off and recomputes the map-only pass per branch. */
+  private def persistFeats: Boolean =
+    !sys.env.get("SPARK_GRAFT_DSIR_PERSIST").contains("0")
+
   /** Per-document importance weights + deterministic Gumbel selection
     * keys: (idCol, n_feats, log_w, sel_key). `saltedKey` controls the
     * Gumbel coin so different selection rounds draw fresh noise. */
@@ -76,11 +89,22 @@ object Dsir {
                         isTarget: Column, buckets: Int = 1024,
                         alpha: Double = 1.0,
                         salt: String = "dsir"): DataFrame = {
-    val feats = featureRows(docs, idCol, textCol, isTarget, buckets)
+    // The gram stream feeds the model pass AND the scoring pass, and
+    // the B-row model feeds the totals AND the ratio table — unpersisted
+    // they are four full tokenize+explode+md5 passes over the corpus
+    // (r22 plan audit: three parquet scans with Generate). Persist the
+    // narrow (id, tgt, bucket) stream once via the graft.Caching
+    // contract (guide §5: reuse beats recompute while memory allows;
+    // callers release after their terminal action) — opt-out above for
+    // the tight-heap recompute story. The model persist is B rows
+    // (bucket count, never corpus-sized) and unconditionally safe.
+    val featsRaw = featureRows(docs, idCol, textCol, isTarget, buckets)
+    val feats =
+      if (persistFeats) graft.Caching.persisted(featsRaw) else featsRaw
     // model pass: B rows; map-side combine makes the shuffle ~2B rows/task
-    val model = feats.groupBy(col("__bucket"))
+    val model = graft.Caching.persisted(feats.groupBy(col("__bucket"))
       .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
-        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr"))
+        sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cr")))
     val totals = model.agg(sum(col("__ct")).cast("double").as("__tt"),
       sum(col("__cr")).cast("double").as("__tr"))
     val b = lit(buckets.toDouble)

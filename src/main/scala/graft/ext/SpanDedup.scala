@@ -70,6 +70,14 @@ object SpanDedup {
       .select(id, explode(sequence(col("pos"), col("pos") + lit(k - 1)))
         .as("__p"))
       .groupBy(id).agg(collect_set(col("__p")).as("__cov"))
+    // The rewrite tokens sit in the same coordinate system as the
+    // shingle positions for ANY text: the native extractor's tokenizer
+    // (SimHash60.tokenRanges) is the byte-level twin of
+    // split("\\s+", -1) INCLUDING the boundary empty tokens it emits
+    // for leading/trailing whitespace, so words() here indexes the
+    // identical token list (pinned on boundary-whitespace docs in
+    // SpanDedupSpec and by the native-vs-windowed parity in
+    // TextOpsSpec).
     df.select(id, TextOps.words(safeText).as("__w"))
       .join(covered, Seq(idCol), "left")
       .select(id,

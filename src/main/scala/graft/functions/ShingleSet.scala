@@ -69,9 +69,11 @@ object ShingleSet {
   * posexplode → per-doc lead()-window pass — i.e. without shuffling
   * corpus-token volume through an exchange + sort just to assemble
   * grams (r21 optimization; parity-pinned in TextOpsSpec). Same
-  * tokenizer as the whole native family ([[SimHash60.tokenRanges]]
-  * byte runs ≡ split("\\s+") on text without a leading-whitespace
-  * empty token). */
+  * tokenizer as the whole native family: [[SimHash60.tokenRanges]] is
+  * the byte-level twin of split("\\s+", -1) INCLUDING the boundary
+  * empty tokens it emits for leading/trailing whitespace, so the
+  * equivalence with the windowed words() form holds for ANY text
+  * (boundary-whitespace cases pinned in TextOpsSpec, r22). */
 case class ShingleRows(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

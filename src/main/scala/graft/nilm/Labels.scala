@@ -177,14 +177,32 @@ object Labels {
     coalesce(tier1, tier2, tier3, lit("other"))
   }
 
-  /** The scale path for label normalization: evaluate [[universalLabel]]
+  /** The scale path for label normalization: evaluate the 3-tier match
     * only on the DISTINCT raw labels (vocabulary-sized) and broadcast-join
-    * the mapping back, instead of running the ~380-branch (interpreted)
-    * match expression per fact row. Adds `universal_label`. */
+    * the mapping back, instead of running the match per fact row.
+    * Adds `universal_label`.
+    *
+    * The per-distinct-label match is [[mapLabel]] behind a UDF, not the
+    * [[universalLabel]] Column form: the ~440-branch when-chain is a
+    * 41 KB expression tree that Catalyst re-analyzes, re-optimizes and
+    * Janino-compiles on EVERY query build — measured as the dominant
+    * cost of q34 (plan time, not row time: its 8-vs-32-core bench ratio
+    * was 0.99). The UDF closes over the same tiered decision procedure
+    * (tier-1 exact map, tier-2 keyword substring, tier-3 universal-name
+    * substring, first match wins — mapLabel IS the reference
+    * implementation the Column form is tested against), evaluates only
+    * on the vocabulary-sized distinct frame (never fact rows, so
+    * codegen is irrelevant here), and keeps the plan tree constant-size.
+    * Row-identity with the Column form is pinned in LabelsSpec. */
   def attachUniversal(df: org.apache.spark.sql.DataFrame,
                       rawCol: String): org.apache.spark.sql.DataFrame = {
+    // null → "other", exactly like the Column form (whose coalesce
+    // bottoms out at "other" when every tier nulls out); unreachable
+    // through the inner equi-join below, which drops null keys anyway
+    val mapUdf = udf((raw: String) =>
+      if (raw == null) "other" else mapLabel(raw))
     val mapping = df.select(col(rawCol)).distinct()
-      .withColumn("universal_label", universalLabel(col(rawCol)))
+      .withColumn("universal_label", mapUdf(col(rawCol)))
     df.join(broadcast(mapping), Seq(rawCol))
   }
 

@@ -61,6 +61,7 @@ class DsirSpec extends SparkSpec {
         buckets = B, alpha = 1.0, salt = "t")
       .select($"doc_id", $"n_feats", $"log_w").as[(Long, Long, Double)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    Caching.release()
     val want = refWeights()
     assert(got.keySet == want.keySet)
     for ((id, (nf, lw)) <- want) {
@@ -73,6 +74,7 @@ class DsirSpec extends SparkSpec {
     val w = Dsir.importanceWeights(docs, "doc_id", "text", $"tgt",
         buckets = 1024, alpha = 1.0, salt = "t")
       .select($"doc_id", $"log_w").as[(Long, Double)].collect().toMap
+    Caching.release()
     // doc 3 is pure raw-pool vocabulary (no bucket collisions with
     // target grams at B=1024 for this fixture) → negative weight;
     // doc 0's grams are mostly target-side → positive
@@ -81,10 +83,13 @@ class DsirSpec extends SparkSpec {
   }
 
   test("sel_key is deterministic and salt-sensitive") {
-    def keys(salt: String) =
-      Dsir.importanceWeights(docs, "doc_id", "text", $"tgt",
+    def keys(salt: String) = {
+      val m = Dsir.importanceWeights(docs, "doc_id", "text", $"tgt",
           buckets = B, salt = salt)
         .select($"doc_id", $"sel_key").as[(Long, Double)].collect().toMap
+      Caching.release()
+      m
+    }
     val a = keys("s1"); val b = keys("s1"); val c = keys("s2")
     assert(a == b, "same salt must reproduce identical keys")
     assert(a != c, "different salt must draw different Gumbel noise")
@@ -92,6 +97,7 @@ class DsirSpec extends SparkSpec {
     val rep = Dsir.importanceWeights(docs.repartition(7), "doc_id", "text",
         $"tgt", buckets = B, salt = "s1")
       .select($"doc_id", $"sel_key").as[(Long, Double)].collect().toMap
+    Caching.release()
     assert(rep == a, "keys must be partitioning-invariant")
   }
 
@@ -99,6 +105,7 @@ class DsirSpec extends SparkSpec {
     val nf = Dsir.importanceWeights(docs, "doc_id", "text", $"tgt",
         buckets = B, salt = "t")
       .select($"doc_id", $"n_feats").as[(Long, Long)].collect().toMap
+    Caching.release()
     assert(nf(4L) == 1L, "one token → one unigram, zero bigrams")
     assert(nf(5L) == 1L, "empty text → the single empty-string token")
   }

@@ -59,6 +59,26 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(4) === Row(5L, 4L, 3L, "p"))
   }
 
+  test("leading/trailing whitespace does not shift covered positions") {
+    // advisor r22 probe: the shingle positions come from the native
+    // extractor (SimHash60.tokenRanges) and the rewrite tokens from
+    // words() = split("\\s+") — these MUST index the same token list
+    // or covered positions land on the wrong tokens. tokenRanges is
+    // the byte twin of split("\\s+", -1) INCLUDING the boundary empty
+    // tokens (leading ws → ""@0, trailing ws → ""@n-1), so doc 1's
+    // tokens are ["", a, b, c, d] and the shared gram "a b c" sits at
+    // position 1 in BOTH coordinate systems: exactly a/b/c are removed
+    // (the "" survivor makes clean_text " d", the same split artifact
+    // the DuckDB oracle produces).
+    val out = run(Seq(
+      1L -> "  a b c d",     // leading whitespace
+      2L -> "a b c x",
+      3L -> "y a b c \t "))  // trailing whitespace
+    assert(out(0) === Row(1L, 5L, 3L, " d"))
+    assert(out(1) === Row(2L, 4L, 3L, "x"))
+    assert(out(2) === Row(3L, 5L, 3L, "y "))
+  }
+
   test("persistOcc=false (recompute-per-branch) is result-identical") {
     import spark.implicits._
     val rows = (0L until 100L).map(i =>

@@ -56,9 +56,15 @@ class TextOpsSpec extends SparkSpec {
     // lead()-window shape to map-only native extractors; this pins
     // row-identity against the retained general-k windowed reference
     // over the edge shapes: < k words, exactly k, duplicate grams,
-    // multi-space runs, unicode, empty text
+    // multi-space runs, unicode, empty text, and — advisor r22 probe —
+    // leading/trailing whitespace: split("\\s+") emits boundary empty
+    // tokens there and the native tokenizer (SimHash60.tokenRanges)
+    // deliberately emits the SAME boundary empties, so grams and
+    // positions agree for any text, not just trimmed text
     val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "x y x y x y"),
-        (4L, "one  two   three four"), (5L, ""), (6L, "καλημέρα κόσμε γεια σου"))
+        (4L, "one  two   three four"), (5L, ""), (6L, "καλημέρα κόσμε γεια σου"),
+        (7L, "  lead pad a b c"), (8L, "trail pad x y z \t "),
+        (9L, " \n both ends padded \t"))
       .toDF("doc_id", "text")
     val winPos = TextOps.shingleRowsWindowed(df, "doc_id", "text",
       TextOps.ShingleK).as[(Long, Int, String)].collect().toSet
